@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.{DedupQueries, FingerprintQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.pipeline.{Observations, StarSchema, WeatherEtl}
+import graft.queries.{EventsQueries, RelationalQueries, WeatherQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 has a query here; those with
+  * SQL-expressible semantics also have a DuckDB oracle in [[oracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All query modules, in SURVEY.md §2 order. */
+  val modules: Seq[QueryModule] = Seq(
+    WeatherQueries,       // O-7..O-23, O-28: the reference ETL semantics
+    RelationalQueries,    // §2.1 relational surface
+    EventsQueries,        // event-time windows (batch twins of streaming)
+    DedupQueries,         // exact / normalized / jaccard / minhash-LSH
+    FingerprintQueries,   // simhash custom expression
+    SimilarityQueries,    // embedding cosine / ANN
+    TextQueries,          // token counting / quality / language-ID
+    MultimodalQueries     // binary columns + stubbed decode
+  )
+
+  private lazy val allDefs: Seq[(String, QueryDef)] = modules.flatMap(_.defs)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full reference pipeline (observations -> enrichment -> star
+    * fan-out -> star join -> seasonal aggregate). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allDefs.toMap.apply("q_weather_star").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (n, d) => n -> d.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (n, QueryDef(_, Some(sql), _)) => n -> sql }.toMap
+
+  /** The headline benchmark subset (see [[Bench]]). */
+  def benchQueries: Seq[String] = allDefs.collect { case (n, d) if d.bench => n }
 }

@@ -1,0 +1,196 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB posture):
+  *  - exact/normalized dedup: hash-groupBy — one shuffle on the content
+  *    hash, map-side partial aggregation, no data skew (hashes are
+  *    uniform);
+  *  - n-gram Jaccard: pair generation is blocked (language + length
+  *    band) so the join is an equi-join on the block key, never a full
+  *    cross product;
+  *  - MinHash+LSH: signature computation is narrow; candidate
+  *    generation is an equi-join on (band, bandHash) — the classic
+  *    shuffle-bounded LSH shape. Only candidates pay the exact-verify
+  *    cost.
+  */
+object DedupFunctions {
+
+  /** Token 3-gram shingles over whitespace tokens. */
+  def shingles(tokens: Column): Column =
+    transform(
+      sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(3))))
+
+  def distinctShingles(text: Column): Column =
+    array_distinct(shingles(TextFunctions.wsTokens(text)))
+
+  /** Exact Jaccard similarity of two string sets (int ratio => exact
+    * double on both engines). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b))
+
+  /** MinHash signature: k permutations approximated by seeded xxhash64;
+    * each signature slot is the min hash over the shingle set. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleSet, sh => xxhash64(s, sh))))
+
+  /** LSH band hashes: split the signature into `bands` bands of
+    * `rows` slots, hash each band. Equal band hash => candidate pair. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
+
+  /** documents ∪ perturbed near-duplicate copies (planted, deterministic):
+    * copy of every 5th doc with the first whitespace token dropped.
+    * Gives the dedup operators true positives to find at any SF. */
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val perturbed = docs
+      .filter(col("doc_id") % 5 === 0)
+      .select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(perturbed)
+  }
+
+  /** DuckDB CTE mirroring [[withPlantedNearDups]]. */
+  val plantedCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         regexp_replace(text, '^\S+\s+', '') AS text,
+      |         lang, source, n_chars
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+}
+
+object DedupQueries extends QueryModule {
+  import DedupFunctions._
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on the full content. The input is
+    // documents ∪ documents so there are real duplicates to collapse;
+    // output is the retained (minimal doc_id) row per distinct text.
+    "q_dedup_exact" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        docs.unionByName(docs)
+          .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("keeper_doc_id")
+      },
+      oracle = Some("""
+        |SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keeper_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text) ORDER BY keeper_doc_id""".stripMargin),
+      bench = true),
+
+    // ---- Normalized dedup: case/punctuation/whitespace-insensitive.
+    "q_dedup_normalized" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        docs.unionByName(docs.select(col("doc_id") + 500000 as "doc_id",
+            upper(col("text")).as("text"), col("lang"), col("source"), col("n_chars")))
+          .groupBy(md5(norm.cast("binary")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("keeper_doc_id")
+      },
+      oracle = Some("""
+        |SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |       MIN(doc_id) AS keeper_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM (SELECT * FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 500000, upper(text), lang, source, n_chars FROM documents)
+        |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)),
+
+    // ---- n-gram Jaccard near-dup detection, blocked by language and
+    // length band (the scalable pair-generation strategy: equi-join on
+    // the block key instead of a cross product).
+    "q_neardup_jaccard" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            distinctShingles(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+          col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+          col("n_chars").as("nc_b"), col("sh").as("sh_b"))
+        a.join(b, col("lang_a") === col("lang_b") &&
+            col("id_a") < col("id_b") &&
+            abs(col("nc_a") - col("nc_b")) <= 60)
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.6)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(plantedCte + """,
+        |tok AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         string_split_regex(text, '\s+') AS tokens
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 60
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- MinHash + LSH near-dup candidates, exact-verified.
+    "q_neardup_minhash" -> QueryDef(
+      fn = (spark, dir) => {
+        val k = 64; val bands = 16; val rows = 4
+        // Shingle sets are computed once and cached; everything that
+        // flows through the (wide) explode+join is fixed-width ids and
+        // hashes — the shingle arrays are only rejoined for the final
+        // exact verification of the (few) candidate pairs.
+        val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), distinctShingles(col("text")).as("sh"))
+          .persist()
+        val exploded = docs
+          .select(col("doc_id"),
+            posexplode(bandHashes(minhashSignature(col("sh"), k), bands, rows))
+              .as(Seq("band_idx", "band_hash")))
+        val cand = exploded.as("x").join(exploded.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_hash") === col("y.band_hash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.6)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = None,
+      bench = true)
+  )
+}

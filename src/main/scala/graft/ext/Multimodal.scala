@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, batch-decoded per partition.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB ([[Multimodal.stubDecode]]) — but
+  * the Spark-side shape is real: schema, per-partition batching
+  * (`mapPartitions`, the Scala analog of `mapInPandas`), partition
+  * sizing, and the downstream feature schema are all what a real
+  * decoder plugs into.
+  *
+  * Scale: decode is narrow (no shuffle); a real deployment tunes
+  * `spark.sql.files.maxPartitionBytes` so one partition's payloads fit
+  * in executor memory, which is the only constraint at 100 TB.
+  */
+object Multimodal {
+
+  /** Feature record produced by the (stub) decoder. */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** STUB decode kernel: a real implementation would decode the codec
+    * header and pixel data here. This fake derives deterministic
+    * "dimensions" and a checksum from the payload bytes so the
+    * pipeline shape is testable end-to-end. */
+  def stubDecode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = payload.length.toLong,
+      format = if (payload.nonEmpty && (payload(0) & 0xff) < 0x80) "fake/rgb8" else "fake/rgb16",
+      width = (sum % 640).toInt + 1,
+      height = ((sum / 640) % 480).toInt + 1,
+      checksum = sum)
+  }
+
+  /** documents.text re-cast as an opaque binary payload column — the
+    * stand-in for real image/audio bytes in the test corpus. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Batch feature extraction: one decoder instantiation per partition,
+    * rows processed in a tight loop (the mapInPandas batch shape). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec contexts etc.)
+        rows.map { case (id, payload) => stubDecode(id, payload) }
+      }
+      .toDF()
+  }
+}
+
+object MultimodalQueries extends QueryModule {
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Binary-column plumbing is oracle-checkable: byte length and
+    // content hash of the payload survive the cast on both engines.
+    "q_multimodal_meta" -> QueryDef(
+      fn = (spark, dir) => Multimodal.asMedia(Tables(spark, dir, "documents"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        |SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Stubbed decode + feature extraction (mapPartitions batch
+    // shape). Not SQL-expressible => rows-only check + ScalaTest spec.
+    "q_multimodal_features" -> QueryDef(
+      fn = (spark, dir) => Multimodal
+        .extractFeatures(Multimodal.asMedia(Tables(spark, dir, "documents")))
+        .orderBy("doc_id"),
+      oracle = None)
+  )
+}

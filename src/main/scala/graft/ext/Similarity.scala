@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * All math is done in DOUBLE with a strict left-to-right fold so the
+  * DuckDB oracle (`list_inner_product` over `DOUBLE[]`) reproduces the
+  * result bit-for-bit.
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a
+  * broadcast of the (small) query set against a partitioned scan of the
+  * corpus: no shuffle of the corpus, partial top-k per partition via
+  * window ranking. The near-dup variant blocks pairs by label (an
+  * equi-join key) rather than a full cross product. An LSH-bucketed
+  * variant (random hyperplanes => band equi-join, same shape as
+  * MinHash-LSH in [[DedupFunctions]]) is the 100 TB path.
+  */
+object VectorFunctions {
+
+  /** array<float> -> array<double> (all similarity math in double). */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential-fold dot product — same op order as a plain loop. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity: dot(a,b) / sqrt(dot(a,a) * dot(b,b)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+}
+
+object SimilarityQueries extends QueryModule {
+  import VectorFunctions._
+
+  /** Shared DuckDB fragment: embeddings with double-precision vectors. */
+  private val embCte =
+    """WITH emb AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val cosSql =
+    "list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v))"
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Brute-force cosine top-k: 20 query vectors against the whole
+    // corpus. The query set is broadcast; the corpus is never shuffled
+    // until the final (tiny) top-k aggregation.
+    "q_ann_cosine_topk" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        broadcast(queries)
+          .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")),
+            col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + s"""
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cosSql AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                       ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |  FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      bench = true),
+
+    // ---- Embedding near-dup: same-label blocked pairs above a cosine
+    // threshold, with planted perturbed copies as guaranteed positives.
+    "q_embedding_neardup" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        val planted = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+            concat(array(element_at(col("v"), 1) + lit(0.01)),
+              slice(col("v"), 2, 10000)).as("v"))
+        val all = emb.unionByName(planted)
+        val a = all.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+          col("v").as("v_a"))
+        val b = all.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+          col("v").as("v_b"))
+        a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
+          .withColumn("sim", cosine(col("v_a"), col("v_b")))
+          .filter(col("sim") >= 0.99)
+          .select(col("id_a"), col("id_b"), col("label_a").as("label"), col("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(embCte + """,
+        |all_emb AS (
+        |  SELECT vec_id, label, v FROM emb
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, label,
+        |         [v[1] + 0.01] || v[2:] AS v
+        |  FROM emb WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+        |  list_inner_product(a.v, b.v) / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) AS sim
+        |FROM all_emb a JOIN all_emb b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All per-row, narrow, whole-stage-codegen'd column expressions —
+  * they scale linearly and shuffle nothing.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+
+  val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+  val esStop = Seq("el", "la", "de", "que", "y", "en", "los", "se", "del")
+  val frStop = Seq("le", "la", "de", "et", "les", "des", "un", "une", "est")
+  val deStop = Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "ein")
+
+  def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, tok => tok.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Stopword ratio over whitespace tokens (English list). */
+  def stopwordRatio(tokens: Column): Column =
+    countIn(tokens, enStop).cast("double") / size(tokens)
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs with
+    * low punctuation and a healthy stopword rate. Pure double math. */
+  def qualityScore(text: Column, tokens: Column): Column =
+    (least(length(text).cast("double") / lit(500.0), lit(1.0)) * lit(0.4)) +
+      ((lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))) * lit(0.3)) +
+      (least(stopwordRatio(tokens) * lit(5.0), lit(1.0)) * lit(0.3))
+
+  /** CJK-character count — the zh signal for language ID. */
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[一-鿿]"), lit(0))).cast("long")
+
+  /** Stopword-profile language ID with a fixed tie-break order
+    * (zh > en > es > fr > de). Deterministic, SQL-expressible. */
+  def langId(text: Column, tokens: Column): Column = {
+    val (en, es, fr, de) = (countIn(tokens, enStop), countIn(tokens, esStop),
+      countIn(tokens, frStop), countIn(tokens, deStop))
+    when(cjkCount(text) > 0, "zh")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+}
+
+object TextQueries extends QueryModule {
+  import TextFunctions._
+
+  private val stopList = enStop.map(w => s"'$w'").mkString(", ")
+  private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Token counting + quality signals per document.
+    "q_text_stats" -> QueryDef(
+      fn = (spark, dir) => {
+        val tokens = wsTokens(col("text"))
+        Tables(spark, dir, "documents").select(
+          col("doc_id"),
+          size(tokens).cast("long").as("n_tokens"),
+          bpeishCount(col("text")).as("n_bpeish_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(tokens))
+            .as("avg_token_len"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(tokens).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\\s+')) AS avg_token_len,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($stopList))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- Quality scoring with a composite signal.
+    "q_text_quality" -> QueryDef(
+      fn = (spark, dir) => {
+        val tokens = wsTokens(col("text"))
+        Tables(spark, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          qualityScore(col("text"), tokens).as("quality"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |SELECT doc_id, lang,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |  + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |  + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($stopList))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |  AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Language identification (stopword-profile heuristic).
+    "q_lang_id" -> QueryDef(
+      fn = (spark, dir) => {
+        val tokens = wsTokens(col("text"))
+        Tables(spark, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          langId(col("text"), tokens).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh,
+        |    len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSql(enStop)}))) AS s_en,
+        |    len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSql(esStop)}))) AS s_es,
+        |    len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSql(frStop)}))) AS s_fr,
+        |    len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSql(deStop)}))) AS s_de
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_zh > 0 THEN 'zh'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM scored ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.streaming.EventsStream
+
+/** Event-time windowing over the events table — the batch twins of the
+  * streaming queries in [[EventsStream]] (same transformation
+  * functions, so the oracle check covers the streaming logic too).
+  */
+object EventsQueries extends QueryModule {
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Tumbling 1-hour window aggregation (event time).
+    "q_events_hourly" -> QueryDef(
+      fn = (spark, dir) =>
+        EventsStream.hourlyRollup(Tables(spark, dir, "events"))
+          .orderBy("hour_start", "event_type"),
+      oracle = Some("""
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      bench = true),
+
+    // ---- Sliding windows: 2-hour window sliding by 1 hour.
+    "q_events_sliding" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("win_start", "event_type"),
+      oracle = Some("""
+        |WITH buckets AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type FROM events),
+        |slid AS (
+        |  SELECT b AS win_start, event_type, COUNT(*) AS n FROM buckets GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT b - INTERVAL '1 hour' AS win_start, event_type, COUNT(*) AS n
+        |  FROM buckets GROUP BY 1, 2)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       SUM(n) AS n_events
+        |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- Session windows: 30-minute-gap sessionization per user.
+    // Spark: built-in session_window. DuckDB: classic gaps-and-islands
+    // (new session when the gap since the previous event is >= 30 min —
+    // Spark merges events strictly inside start+gap).
+    "q_events_sessions" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        |WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

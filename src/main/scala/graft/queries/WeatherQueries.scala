@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.enrich.Weather
+import graft.pipeline.{Observations, StarSchema, WeatherEtl}
+
+/** The reference ETL semantics (SURVEY.md §2 O-7..O-23, O-28) as
+  * oracle-checked queries over deterministic pseudo-observations derived
+  * from the `events` table ([[Observations]]).
+  */
+object WeatherQueries extends QueryModule {
+
+  private def obs(spark: SparkSession, dir: String): DataFrame =
+    Observations.fromEvents(Tables(spark, dir, "events"))
+
+  /** DuckDB CTE: obs + the full datetime/metric enrichment, mirroring
+    * [[WeatherEtl.enrich]] expression-by-expression. */
+  private val enrichedCte: String = Observations.oracleCte + """,
+    |enriched AS (
+    |  SELECT *,
+    |    strftime(make_timestamp(("timestamp" + timezone) * 1000000), '%Y-%m-%d %H:%M:%S') AS recorded_datetime_local,
+    |    strftime(make_timestamp(("timestamp" + timezone) * 1000000), '%Y-%m-%d') AS recorded_date_local,
+    |    strftime(make_timestamp((sunset_ts + timezone) * 1000000), '%Y-%m-%d %H:%M:%S') AS sunset_datetime_local,
+    |    strftime(make_timestamp((sunrise_ts + timezone) * 1000000), '%Y-%m-%d %H:%M:%S') AS sunrise_datetime_local,
+    |    'Q' || CAST(quarter(make_timestamp(("timestamp" + timezone) * 1000000)) AS VARCHAR) AS recorded_quarter_local,
+    |    CASE WHEN month(make_timestamp(("timestamp" + timezone) * 1000000)) BETWEEN 3 AND 5 THEN 'Spring'
+    |         WHEN month(make_timestamp(("timestamp" + timezone) * 1000000)) BETWEEN 6 AND 8 THEN 'Summer'
+    |         WHEN month(make_timestamp(("timestamp" + timezone) * 1000000)) BETWEEN 9 AND 11 THEN 'Fall'
+    |         ELSE 'Winter' END AS recorded_season_local,
+    |    dayname(make_timestamp(("timestamp" + timezone) * 1000000)) AS recorded_weekday_local,
+    |    monthname(make_timestamp(("timestamp" + timezone) * 1000000)) AS recorded_month_local,
+    |    CAST(year(make_timestamp(("timestamp" + timezone) * 1000000)) AS BIGINT) AS recorded_year_local,
+    |    CAST(floor(((sunset_ts - sunrise_ts) % 86400 + 86400) % 86400 / 60) AS BIGINT) AS daylight_duration_minutes,
+    |    round(temp - (100 - humidity) / 5, 2) AS dew_point,
+    |    round((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9, 2) AS heat_index
+    |  FROM obs
+    |)""".stripMargin
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // O-7..O-16: the full datetime-enrichment branch.
+    "q_weather_enrich" -> QueryDef(
+      fn = (spark, dir) => WeatherEtl.enrich(obs(spark, dir))
+        .select("obs_id", "station_id", "recorded_datetime_local",
+          "recorded_date_local", "sunset_datetime_local",
+          "sunrise_datetime_local", "recorded_quarter_local",
+          "recorded_season_local", "recorded_weekday_local",
+          "recorded_month_local", "recorded_year_local",
+          "daylight_duration_minutes")
+        .orderBy("obs_id"),
+      oracle = Some(enrichedCte + """
+        |SELECT obs_id, station_id, recorded_datetime_local,
+        |       recorded_date_local, sunset_datetime_local,
+        |       sunrise_datetime_local, recorded_quarter_local,
+        |       recorded_season_local, recorded_weekday_local,
+        |       recorded_month_local, recorded_year_local,
+        |       daylight_duration_minutes
+        |FROM enriched ORDER BY obs_id""".stripMargin),
+      bench = true),
+
+    // O-17..O-19: calculated-metrics branch (dew point + heat index).
+    "q_weather_derived" -> QueryDef(
+      fn = (spark, dir) => obs(spark, dir).select(
+        col("obs_id"), col("temp"), col("humidity"),
+        Weather.dewPoint(col("temp"), col("humidity")).as("dew_point"),
+        Weather.heatIndexC(col("temp"), col("humidity")).as("heat_index")
+      ).orderBy("obs_id"),
+      oracle = Some(Observations.oracleCte + """
+        |SELECT obs_id, temp, humidity,
+        |       round(temp - (100 - humidity) / 5, 2) AS dew_point,
+        |       round((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9, 2) AS heat_index
+        |FROM obs ORDER BY obs_id""".stripMargin)),
+
+    // O-21..O-23 + O-28: star-schema fan-out with deterministic surrogate
+    // keys, then the warehouse's analytical star join: fact joined back to
+    // all four dimensions, aggregated per station x season. The oracle
+    // computes the equivalent direct aggregation (the surrogate-key joins
+    // are identity by construction — same result, simpler SQL).
+    "q_weather_star" -> QueryDef(
+      fn = (spark, dir) => {
+        val enriched = WeatherEtl.enrich(obs(spark, dir))
+        val star = StarSchema.split(enriched)
+        star.fact
+          .join(star.timeDim, "time_id")
+          .join(star.paramDim, "parameter_id")
+          .join(star.tempDim, "temp_id")
+          .join(star.heatIndexDim, "heat_index_id")
+          .groupBy(col("station_id"), col("record_season"))
+          .agg(
+            count(lit(1)).as("n_obs"),
+            (sum(col("dew_point").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_dew_point"),
+            (sum(col("heat_index").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_heat_index"),
+            (sum(col("temp_range_max").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_temp_max"),
+            sum(col("humidity")).as("sum_humidity"))
+          .orderBy("station_id", "record_season")
+      },
+      oracle = Some(enrichedCte + """
+        |SELECT station_id, recorded_season_local AS record_season,
+        |       COUNT(*) AS n_obs,
+        |       CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_dew_point,
+        |       CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_heat_index,
+        |       CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_temp_max,
+        |       SUM(humidity) AS sum_humidity
+        |FROM enriched
+        |GROUP BY station_id, recorded_season_local
+        |ORDER BY station_id, record_season""".stripMargin),
+      bench = true)
+  )
+}

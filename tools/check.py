@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local correctness harness mirroring the driver's DuckDB oracle gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark output) and compares it
+to the DuckDB result of <verifyOutDir>/oracle_sql.json[name] executed
+over <sfDir>'s tables. Exact value comparison after sorting columns by
+name (like the driver). Prints per-query PASS/FAIL + first diffs.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        d = duck_df[sorted(duck_df.columns)]
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            n_fail += 1
+            continue
+        import pandas as pd
+        bad = []
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if sv.dtype != dv.dtype:
+                try:
+                    dv = dv.astype(sv.dtype)
+                except Exception:
+                    bad.append((c, "dtype", str(s[c].dtype), str(d[c].dtype)))
+                    continue
+            neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad.append((c, f"row {i}", sv[i], dv[i],
+                            int(neq.sum())))
+        if bad:
+            print(f"FAIL {name}: {len(s)} rows; diffs: {bad[:4]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
