@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+  import DedupFunctions._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+    (1L, "quick brown fox jumps over the lazy dog", "en", "web", 39L), // near-dup of 0
+    (2L, "completely different text with other words entirely", "en", "web", 51L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L) // exact dup of 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles: token 3-grams in order") {
+    val out = Seq("a b c d").toDF("text")
+      .select(shingles(TextFunctions.wsTokens(col("text"))).as("sh"))
+      .as[Seq[String]].head()
+    assert(out === Seq("a b c", "b c d"))
+  }
+
+  test("shingles: short docs yield a single (possibly partial) shingle") {
+    val out = Seq("a b").toDF("text")
+      .select(shingles(TextFunctions.wsTokens(col("text"))).as("sh"))
+      .as[Seq[String]].head()
+    assert(out === Seq("a b"))
+  }
+
+  test("jaccard: exact set semantics") {
+    val out = Seq(1).toDF("x").select(
+      jaccard(array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"))
+      .as[Double].head()
+    assert(out === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minhash signature: deterministic, k slots, identical sets agree") {
+    val df = docs.select(col("doc_id"),
+      minhashSignature(distinctShingles(col("text")), 16).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L).length === 16)
+    assert(sigs(0L) === sigs(3L)) // exact dup -> identical signature
+    assert(sigs(0L) !== sigs(2L)) // different text -> different signature
+  }
+
+  test("band hashes: bands count, exact dups collide on every band") {
+    val df = docs.select(col("doc_id"),
+      bandHashes(minhashSignature(distinctShingles(col("text")), 16), 4, 4).as("bh"))
+    val bh = df.as[(Long, Seq[Long])].collect().toMap
+    assert(bh(0L).length === 4)
+    assert(bh(0L) === bh(3L))
+  }
+
+  test("minhash near-dups of a shared prefix collide on some band") {
+    // doc 1 = doc 0 minus first token: high Jaccard, should share >= 1 band
+    val df = docs.select(col("doc_id"),
+      bandHashes(minhashSignature(distinctShingles(col("text")), 64), 16, 4).as("bh"))
+    val bh = df.as[(Long, Seq[Long])].collect().toMap
+    assert(bh(0L).zip(bh(1L)).exists { case (a, b) => a == b })
+  }
+
+  test("withPlantedNearDups plants a first-token-dropped copy of every 5th doc") {
+    val planted = withPlantedNearDups(docs)
+    assert(planted.count() === 4 + 1) // only doc_id 0 satisfies % 5 == 0
+    val copy = planted.filter(col("doc_id") === 1000000L).select("text").as[String].head()
+    assert(copy === "quick brown fox jumps over the lazy dog")
+  }
+}

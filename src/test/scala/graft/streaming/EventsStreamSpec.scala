@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents = Seq(
+    (1L, 10L, "click", 5.0, Timestamp.valueOf("2024-01-01 10:05:00")),
+    (2L, 10L, "click", 7.0, Timestamp.valueOf("2024-01-01 10:55:00")),
+    (3L, 11L, "view", 1.0, Timestamp.valueOf("2024-01-01 11:10:00")),
+    (2L, 10L, "click", 7.0, Timestamp.valueOf("2024-01-01 10:55:00")) // dup event_id
+  ).toDF("event_id", "user_id", "event_type", "value", "ts")
+
+  test("streaming hourly rollup (AvailableNow) matches batch on deduped input") {
+    val dir = Files.createTempDirectory("events_stream").toString
+    mkEvents.write.mode("overwrite").parquet(dir)
+
+    val q = EventsStream.streamingHourlyRollup(spark, dir, "t_rollup")
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("t_rollup")
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // batch twin over the deduplicated frame (streaming applied
+    // dropDuplicatesWithinWatermark on event_id)
+    val batch = EventsStream.hourlyRollup(mkEvents.dropDuplicates("event_id"))
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._3).sum === 3) // dup collapsed: 3 events, not 4
+  }
+
+  test("batch hourlyRollup buckets by event-time hour") {
+    val out = EventsStream.hourlyRollup(mkEvents.dropDuplicates("event_id"))
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01 10:00:00", "click", 2L, 12.0),
+      ("2024-01-01 11:00:00", "view", 1L, 1.0)))
+  }
+}
