@@ -54,13 +54,21 @@ object Weather {
   def daylightMinutes(sunriseEpoch: Column, sunsetEpoch: Column): Column =
     floor(pmod(sunsetEpoch - sunriseEpoch, lit(86400L)) / lit(60)).cast("long")
 
+  /** 2-decimal rounding, half toward +inf, computed entirely in IEEE
+    * double math: `floor(x*100 + 0.5) / 100`. Spark's `round()` goes
+    * through BigDecimal HALF_UP while DuckDB rounds the raw double —
+    * they disagree on half-way doubles, so oracle-checked outputs use
+    * this explicit formula, which is bit-identical on any engine that
+    * evaluates the same double expression tree. */
+  def round2(x: Column): Column = floor(x * lit(100.0) + lit(0.5)) / lit(100.0)
+
   /** Dew-point approximation, unrounded. Reference: dags/etl.py:78. */
   def dewPointRaw(tempC: Column, humidity: Column): Column =
     tempC - ((lit(100) - humidity) / lit(5))
 
   /** Dew point with the reference's `round(x, 2)`. */
   def dewPoint(tempC: Column, humidity: Column): Column =
-    round(dewPointRaw(tempC, humidity), 2)
+    round2(dewPointRaw(tempC, humidity))
 
   /** Celsius -> Fahrenheit (transient, feeds heat index).
     * Reference: dags/etl.py:80. */
@@ -80,5 +88,5 @@ object Weather {
 
   /** Heat index (C) with the reference's `round(x, 2)`. */
   def heatIndexC(tempC: Column, humidity: Column): Column =
-    round(heatIndexCRaw(tempC, humidity), 2)
+    round2(heatIndexCRaw(tempC, humidity))
 }

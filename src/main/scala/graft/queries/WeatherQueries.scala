@@ -34,8 +34,8 @@ object WeatherQueries extends QueryModule {
     |    monthname(make_timestamp(("timestamp" + timezone) * 1000000)) AS recorded_month_local,
     |    CAST(year(make_timestamp(("timestamp" + timezone) * 1000000)) AS BIGINT) AS recorded_year_local,
     |    CAST(floor(((sunset_ts - sunrise_ts) % 86400 + 86400) % 86400 / 60) AS BIGINT) AS daylight_duration_minutes,
-    |    round(temp - (100 - humidity) / 5, 2) AS dew_point,
-    |    round((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9, 2) AS heat_index
+    |    floor((temp - (100 - humidity) / 5) * 100.0 + 0.5) / 100.0 AS dew_point,
+    |    floor(((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9) * 100.0 + 0.5) / 100.0 AS heat_index
     |  FROM obs
     |)""".stripMargin
 
@@ -70,8 +70,8 @@ object WeatherQueries extends QueryModule {
       ).orderBy("obs_id"),
       oracle = Some(Observations.oracleCte + """
         |SELECT obs_id, temp, humidity,
-        |       round(temp - (100 - humidity) / 5, 2) AS dew_point,
-        |       round((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9, 2) AS heat_index
+        |       floor((temp - (100 - humidity) / 5) * 100.0 + 0.5) / 100.0 AS dew_point,
+        |       floor(((0.5 * ((temp * 1.8 + 32) + 61.0 + (((temp * 1.8 + 32) - 68.0) * 1.2) + (humidity * 0.094)) - 32) * 5 / 9) * 100.0 + 0.5) / 100.0 AS heat_index
         |FROM obs ORDER BY obs_id""".stripMargin)),
 
     // O-21..O-23 + O-28: star-schema fan-out with deterministic surrogate
