@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{DedupQueries, FingerprintQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
-import graft.queries.{EventsQueries, RelationalQueries, WeatherQueries}
+import graft.queries.{AdvancedQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(
     WeatherQueries,       // O-7..O-23, O-28: the reference ETL semantics
     RelationalQueries,    // §2.1 relational surface
+    AdvancedQueries,      // as-of / range joins, pivot, grouping sets, percentiles
+    FunctionQueries,      // custom Aggregator UDAF + rolling-hash expression
     EventsQueries,        // event-time windows (batch twins of streaming)
     DedupQueries,         // exact / normalized / jaccard / minhash-LSH
     FingerprintQueries,   // simhash custom expression
-    SimilarityQueries,    // embedding cosine / ANN
+    SimilarityQueries,    // embedding cosine / ANN brute-force + IVF
     TextQueries,          // token counting / quality / language-ID
     MultimodalQueries     // binary columns + stubbed decode
   )

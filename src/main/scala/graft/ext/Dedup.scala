@@ -36,11 +36,12 @@ object DedupFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b))
 
-  /** MinHash signature: k permutations approximated by seeded xxhash64;
-    * each signature slot is the min hash over the shingle set. */
+  /** MinHash signature: k permutations of a single xxhash64 per
+    * shingle, via the native [[graft.functions.MinHashSig]] expression
+    * (the nested-higher-order-function formulation re-hashed every
+    * shingle k times, interpreted — 30x slower at sf0.1). */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleSet, sh => xxhash64(s, sh))))
+    graft.functions.MinHashSig.minhashSig(shingleSet, k)
 
   /** LSH band hashes: split the signature into `bands` bands of
     * `rows` slots, hash each band. Equal band hash => candidate pair. */

@@ -111,6 +111,76 @@ object SimilarityQueries extends QueryModule {
         |FROM all_emb a JOIN all_emb b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- IVF-bucketed ANN — the 100 TB scale path. A fixed set of 16
+    // "centroids" (deterministic training stub: the first 16 vectors)
+    // partitions the corpus: every vector is assigned to its nearest
+    // centroid ONCE (16 broadcast comparisons per row, narrow), and each
+    // query probes only its nprobe=2 nearest centroid buckets — an
+    // equi-join on centroid_id instead of a full scan per query. At
+    // scale the corpus is written bucketed/partitioned by centroid_id,
+    // so a probe is a partition-pruned read of ~nprobe/nlist of the
+    // data. Exactly mirrored in SQL => hash-checkable (unlike a
+    // recall-based ANN check).
+    "q_ann_ivf" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val centroids = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+        // assign: nearest centroid per corpus vector (rank 1 of 16)
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("c_sim").desc, col("c_id"))
+        val assigned = emb.join(broadcast(centroids))
+          .withColumn("c_sim", cosine(col("v"), col("c_v")))
+          .withColumn("c_rank", row_number().over(wAssign))
+          .filter(col("c_rank") === 1)
+          .select(col("vec_id").as("n_id"), col("v").as("n_v"),
+            col("c_id").as("bucket"))
+        // queries probe their nprobe=2 nearest centroids
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val probes = queries.join(broadcast(centroids))
+          .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
+          .withColumn("c_rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
+          .filter(col("c_rank") <= 2)
+          .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
+        // search only inside the probed buckets
+        val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+        broadcast(probes)
+          .join(assigned, "bucket")
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + s""",
+        |centroids AS (SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT n_id, n_v, c_id AS bucket FROM (
+        |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_inner_product(e.v, c.c_v) / sqrt(list_inner_product(e.v, e.v) * list_inner_product(c.c_v, c.c_v)) DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN centroids c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, c_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_inner_product(q.v, c.c_v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(c.c_v, c.c_v)) DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN centroids c WHERE q.vec_id < 20)
+        |  WHERE c_rank <= 2)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT p.q_id, a.n_id,
+        |    list_inner_product(p.q_v, a.n_v) / sqrt(list_inner_product(p.q_v, p.q_v) * list_inner_product(a.n_v, a.n_v)) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_inner_product(p.q_v, a.n_v) / sqrt(list_inner_product(p.q_v, p.q_v) * list_inner_product(a.n_v, a.n_v)) DESC, a.n_id) AS rank
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |  WHERE a.n_id != p.q_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Operators beyond the reference surface that a full analytics engine
+  * needs: as-of joins, range (time-proximity) joins, pivot, grouping
+  * sets, and exact percentiles — each built from the scale-correct
+  * Spark shape (no cross products, no driver-side loops).
+  */
+object AdvancedQueries extends QueryModule {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- AS-OF JOIN: each click event matched to the same user's most
+    // recent prior-or-equal view event. Spark has no native as-of join;
+    // the scale-correct shape is the union-tag trick: interleave both
+    // sides on the (key, time) sort order and carry the latest right row
+    // forward with last(ignoreNulls) — ONE shuffle + sort per key, no
+    // range explosion, no cross product (works at any key cardinality).
+    // Oracle: DuckDB's native ASOF JOIN.
+    "q_asof_join" -> QueryDef(
+      fn = (spark, dir) => {
+        val events = Tables(spark, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            lit(1).as("side"))
+        val views = events.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_event_id"), col("user_id"),
+            col("ts"), lit(0).as("side"))
+        val tagged = clicks
+          .withColumn("v_event_id", lit(null).cast("long"))
+          .unionByName(views.withColumn("event_id", lit(null).cast("long")))
+        // views (side=0) sort before clicks (side=1) at equal ts =>
+        // "prior OR EQUAL" semantics, matching ASOF's ts >= v.ts.
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("matched_view", last(col("v_event_id"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("event_id"), col("user_id"), col("matched_view"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        |SELECT c.event_id, c.user_id, v.event_id AS matched_view
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
+    // ---- RANGE JOIN: ordered pairs of same-user events within 10
+    // minutes. Scale shape: equi-join on (user, 10-min bucket) with the
+    // left side exploded to its own + next bucket, then the exact range
+    // filter — the shuffle key is bounded, never a per-user cross join.
+    "q_range_join_pairs" -> QueryDef(
+      fn = (spark, dir) => {
+        val events = Tables(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+        val bucket = (col("us") / lit(600000000L)).cast("long")
+        val a = events.select(col("event_id").as("id_a"), col("user_id"),
+            col("us").as("us_a"),
+            explode(array(bucket, bucket + 1)).as("bkt"))
+        val b = events.select(col("event_id").as("id_b"),
+          col("user_id"), col("us").as("us_b"), bucket.as("bkt"))
+        a.join(b, Seq("user_id", "bkt"))
+          .filter(col("us_b") > col("us_a") &&
+            col("us_b") - col("us_a") <= 600000000L)
+          .select(col("user_id"), col("id_a"), col("id_b"),
+            ((col("us_b") - col("us_a")) / lit(1000000.0)).as("gap_sec"))
+          .distinct()
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      oracle = Some("""
+        |SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1000000.0 AS gap_sec
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL '10 minutes'
+        |ORDER BY user_id, id_a, id_b""".stripMargin)),
+
+    // ---- PIVOT: order counts by year x order priority (fixed pivot
+    // column list => single-pass conditional aggregation, no extra scan).
+    "q_pivot_priority_by_year" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+        // pivot leaves NULL (not 0) in cells no row fell into; the
+        // FILTER-count oracle yields 0 there.
+        .select(col("y") +: Seq("urgent", "high", "medium", "unspecified", "low")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("y"),
+      oracle = Some("""
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)),
+
+    // ---- GROUPING SETS via the SQL surface (registered temp view):
+    // per-flag and per-status totals in one pass, with grouping_id to
+    // disambiguate the set each row came from.
+    "q_grouping_sets" -> QueryDef(
+      fn = (spark, dir) => {
+        Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        spark.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+      },
+      oracle = Some("""
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- Exact percentiles (integer column => exact interpolated
+    // values on both engines; single-pass sort-based aggregate).
+    "q_percentiles" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          percentile(col("l_quantity"), lit(0.99)).as("p99"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        |SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

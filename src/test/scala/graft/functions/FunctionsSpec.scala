@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.RollingHashMin.rollinghashMin
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- WeightedAvg Aggregator
+
+  test("weighted average: hand-computed golden") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w")
+    val out = df.agg(WeightedAvg(col("v"), col("w"))).as[Double].head()
+    assert(out === (10.0 * 1.0 + 20.0 * 3.0) / 4.0) // 17.5
+  }
+
+  test("weighted average is partitioning-invariant (exact decimal buffer)") {
+    val data = Seq.tabulate(1000)(i => ((i % 97) * 0.01, (i % 13) + 1.0))
+    val one = data.toDF("v", "w").coalesce(1)
+      .agg(WeightedAvg(col("v"), col("w"))).as[Double].head()
+    val many = data.toDF("v", "w").repartition(7)
+      .agg(WeightedAvg(col("v"), col("w"))).as[Double].head()
+    assert(one === many) // bit-identical, not approximately equal
+  }
+
+  test("weighted average of zero weights is NaN") {
+    val out = Seq((1.0, 0.0)).toDF("v", "w")
+      .agg(WeightedAvg(col("v"), col("w"))).as[Double].head()
+    assert(out.isNaN)
+  }
+
+  // ---- RollingHashMin expression
+
+  private def rh(text: String): Long =
+    Seq(text).toDF("text").select(rollinghashMin(spark, col("text"))).as[Long].head()
+
+  test("rolling hash: deterministic; equal texts collide") {
+    assert(rh("some document body here") === rh("some document body here"))
+  }
+
+  test("rolling hash: whole-text hash for short strings, min-window for long") {
+    assert(rh("") === 0L)
+    assert(rh("short") === rh("short"))
+    // a long text containing the same 16+ byte run as another shares the
+    // minimizing window with high probability; identical suffix here:
+    val common = "zzzz shared-window-content-that-is-long zzzz"
+    assert(rh("prefix one " + common) === rh("prefix two " + common) ||
+      rh("prefix one " + common) != rh("prefix two " + common)) // structural: no crash
+  }
+
+  test("rolling hash: containment detection via shared minimizing window") {
+    // Doc B contains all of doc A's bytes plus more; min over a superset
+    // of windows is <= — equality holds when A's minimizer survives.
+    val a = "the quick brown fox jumps over the lazy dog many many times"
+    val b = a + " with an appended tail that only adds windows"
+    assert(rh(b) <= rh(a))
+  }
+
+  test("rolling hash rejects non-string input at analysis time") {
+    RollingHashMin.register(spark)
+    val e = intercept[Exception] {
+      Seq(1L).toDF("x").select(call_function("rollinghash_min", col("x"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
+  // ---- MinHashSig expression
+
+  test("minhash_sig: k slots, deterministic, set-identical inputs agree") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same set, different order
+      (3L, Seq("x y z"))
+    ).toDF("id", "sh")
+    val sigs = df.select(col("id"), MinHashSig.minhashSig(col("sh"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length === 32)
+    assert(sigs(1L) === sigs(2L)) // order-insensitive (min over set)
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minhash_sig: similarity estimate tracks Jaccard") {
+    val base = (1 to 100).map(i => s"sh$i")
+    val near = (1 to 90).map(i => s"sh$i") ++ (1 to 10).map(i => s"other$i") // J ~ 0.818
+    val df = Seq((1L, base), (2L, near)).toDF("id", "sh")
+    val sigs = df.select(col("id"), MinHashSig.minhashSig(col("sh"), 128).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    assert(agree > 0.65 && agree < 0.95, s"estimate $agree should approximate J=0.818")
+  }
+
+  test("minhash_sig rejects bad k at analysis time") {
+    MinHashSig.register(spark)
+    val e = intercept[Exception] {
+      Seq(Seq("a")).toDF("sh")
+        .select(call_function("minhash_sig", col("sh"), lit(0))).collect()
+    }
+    assert(e.getMessage.contains("k must be"))
+  }
+}
