@@ -66,6 +66,45 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final val FrameBytes = 64
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size
+    * frames and keep every `everyN`-th — the explode + byte-slice shape
+    * of real video frame extraction (a real decoder replaces the
+    * `substring` slice with a codec seek). Narrow: no shuffle; output
+    * rows are (doc_id, frame_idx, frame payload).
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("payload")) / lit(FrameBytes.toDouble)).cast("long")
+    media
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(everyN.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(col("payload"), (col("frame_idx") * FrameBytes + 1).cast("int"),
+          lit(FrameBytes)).as("frame"))
+  }
+
+  /** Resize stub: keep every `factor`-th byte of the payload (a real
+    * implementation swaps in a pixel-space scaler; the plumbing —
+    * binary in, smaller binary + updated metadata out, all narrow —
+    * is identical). Runs as a per-partition batch like the decoder. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          (id, out, payload.length.toLong, out.length.toLong)
+        }
+      }
+      .toDF("doc_id", "payload", "orig_bytes", "resized_bytes")
+  }
 }
 
 object MultimodalQueries extends QueryModule {
@@ -93,6 +132,27 @@ object MultimodalQueries extends QueryModule {
       fn = (spark, dir) => Multimodal
         .extractFeatures(Multimodal.asMedia(Tables(spark, dir, "documents")))
         .orderBy("doc_id"),
-      oracle = None)
+      oracle = None),
+
+    // ---- Frame sampling: every 3rd 64-byte frame, checkable via byte
+    // length + hash of each sampled frame (documents are ASCII, so the
+    // DuckDB string substr slices the same bytes).
+    "q_multimodal_frames" -> QueryDef(
+      fn = (spark, dir) => Multimodal
+        .sampleFrames(Multimodal.asMedia(Tables(spark, dir, "documents")), everyN = 3)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"),
+      oracle = Some("""
+        |WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1), 3)) AS frame_idx,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 implementation of the reference's observation source
+  * (SURVEY.md §2 O-4: per-station REST fan-out,
+  * dags/utils/api.py:10-35).
+  *
+  * The reference fetches stations SERIALLY on one machine — its
+  * scalability ceiling. Here each station is an `InputPartition`, so
+  * the fetch fans out across executors; a real deployment would issue
+  * the HTTP GET inside the partition reader. The container has no
+  * egress, so the reader generates deterministic fixture observations
+  * (seeded per station/tick) with the OWM response shape — the
+  * Spark-side plumbing (provider, table, scan builder with COLUMN
+  * PRUNING pushdown, partitioning, reader lifecycle) is the real thing.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.ObservationSource")
+  *     .option("stations", 4).option("ticks", 24).load()
+  * }}}
+  */
+class ObservationSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ObservationSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ObservationTable(
+      Option(properties.get("stations")).map(_.toInt).getOrElse(4),
+      Option(properties.get("ticks")).map(_.toInt).getOrElse(1))
+}
+
+object ObservationSource {
+  /** The 15-field in-flight observation record (dags/utils/api.py:30-34). */
+  val schema: StructType = StructType(Seq(
+    StructField("station_id", LongType, nullable = false),
+    StructField("city", StringType, nullable = false),
+    StructField("temp", DoubleType, nullable = false),
+    StructField("feels_like", DoubleType, nullable = false),
+    StructField("temp_min", DoubleType, nullable = false),
+    StructField("temp_max", DoubleType, nullable = false),
+    StructField("pressure", LongType, nullable = false),
+    StructField("humidity", LongType, nullable = false),
+    StructField("visibility", LongType, nullable = false),
+    StructField("wind_speed", DoubleType, nullable = false),
+    StructField("wind_direction", DoubleType, nullable = false),
+    StructField("cloudiness", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("sunrise_ts", LongType, nullable = false),
+    StructField("sunset_ts", LongType, nullable = false)))
+
+  /** Deterministic fixture "fetch" for (station, tick) — the stand-in
+    * for the HTTP GET + JSON pluck. */
+  def fetch(station: Long, tick: Long): Array[Any] = {
+    val seed = station * 100003L + tick * 7919L
+    def f(i: Int): Double = (((seed * (i + 3) * 2654435761L) >>> 16) % 4000L) / 100.0 - 20.0
+    def n(i: Int, m: Long): Long = ((seed * (i + 11) * 0x9E3779B97F4A7C15L) >>> 17) % m
+    val base = 1700000000L + tick * 300L
+    Array[Any](
+      station, UTF8String.fromString(s"city_$station"),
+      f(1), f(2), f(1) - 1.5, f(1) + 2.0,
+      980L + n(3, 60), n(4, 101), n(5, 10001),
+      math.abs(f(6)) / 2, n(7, 360).toDouble, n(8, 101),
+      base, base - 20000L - n(9, 10000), base + 20000L + n(10, 10000))
+  }
+}
+
+class ObservationTable(stations: Int, ticks: Int) extends Table with SupportsRead {
+  override def name(): String = s"observations(stations=$stations, ticks=$ticks)"
+  override def schema(): StructType = ObservationSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ObservationScanBuilder(stations, ticks)
+}
+
+/** Supports column-pruning pushdown: Catalyst hands us the required
+  * schema and the reader materializes only those fields. */
+class ObservationScanBuilder(stations: Int, ticks: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ObservationSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"observation-source(pruned=${required.fieldNames.mkString(",")})"
+
+    // one partition per station — the fan-out the reference lacks
+    override def planInputPartitions(): Array[InputPartition] =
+      Array.tabulate(stations)(s => StationPartition(s.toLong, ticks))
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ObservationReaderFactory(required)
+  }
+}
+
+case class StationPartition(station: Long, ticks: Int) extends InputPartition
+
+class ObservationReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StationPartition]
+    // map required fields to their position in the full record
+    val idx = required.fieldNames.map(ObservationSource.schema.fieldIndex)
+    new PartitionReader[InternalRow] {
+      private var tick = -1
+      override def next(): Boolean = { tick += 1; tick < p.ticks }
+      override def get(): InternalRow = {
+        val full = ObservationSource.fetch(p.station, tick.toLong)
+        InternalRow.fromSeq(idx.toIndexedSeq.map(full))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -29,4 +29,25 @@ class MultimodalSpec extends SparkSpec {
     assert(features.columns.toSeq ===
       Seq("doc_id", "n_bytes", "format", "width", "height", "checksum"))
   }
+
+  test("sampleFrames: every Nth fixed-size frame, last frame may be short") {
+    val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text") // 200B -> 4 frames (64,64,64,8)
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyN = 1)
+      .orderBy("frame_idx")
+      .select(col("frame_idx"), octet_length(col("frame")).as("n"))
+      .as[(Long, Int)].collect().toSeq
+    assert(frames === Seq((0L, 64), (1L, 64), (2L, 64), (3L, 8)))
+    val sampled = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyN = 3)
+      .select("frame_idx").as[Long].collect().toSeq.sorted
+    assert(sampled === Seq(0L, 3L))
+  }
+
+  test("resize keeps every factor-th byte and reports both sizes") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.asMedia(docs), factor = 3)
+      .select("payload", "orig_bytes", "resized_bytes")
+      .as[(Array[Byte], Long, Long)].head()
+    assert(new String(out._1) === "adgj")
+    assert(out._2 === 10L && out._3 === 4L)
+  }
 }
