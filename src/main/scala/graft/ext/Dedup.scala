@@ -27,8 +27,11 @@ object DedupFunctions {
       sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
       i => concat_ws(" ", slice(tokens, i + 1, lit(3))))
 
+  /** Native one-pass tokenize+shingle+distinct ([[graft.functions.ShingleSet]]);
+    * same result as `array_distinct(shingles(wsTokens(text)))` without
+    * materializing the token array through interpreted HOFs. */
   def distinctShingles(text: Column): Column =
-    array_distinct(shingles(TextFunctions.wsTokens(text)))
+    graft.functions.ShingleSet.shingleSet(text, 3)
 
   /** Exact Jaccard similarity of two string sets (int ratio => exact
     * double on both engines). */
@@ -166,26 +169,42 @@ object DedupQueries extends QueryModule {
     "q_neardup_minhash" -> QueryDef(
       fn = (spark, dir) => {
         val k = 64; val bands = 16; val rows = 4
-        // Shingle sets are computed once and cached; everything that
-        // flows through the (wide) explode+join is fixed-width ids and
-        // hashes — the shingle arrays are only rejoined for the final
-        // exact verification of the (few) candidate pairs.
+        // Production LSH shape, stage by stage:
+        //  1. ONE narrow pass computes each doc's signature (native
+        //     shingle + minhash kernels); persisted — it's the compact
+        //     (id, 64xlong) frame every later stage keys off.
+        //  2. Candidates = equi-join on (band, bandHash) over ids only.
+        //  3. Cheap pre-filter: signature agreement (the Broder
+        //     estimator, fixed-width compare) >= 0.4 — kills the bulk
+        //     of low-similarity band collisions before any string set
+        //     is materialized.
+        //  4. Exact Jaccard verification ONLY for survivors, shingling
+        //     just those docs.
         val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), distinctShingles(col("text")).as("sh"))
-          .persist()
-        val exploded = docs
+          .select(col("doc_id"), col("text"))
+        val sigs = docs
           .select(col("doc_id"),
-            posexplode(bandHashes(minhashSignature(col("sh"), k), bands, rows))
-              .as(Seq("band_idx", "band_hash")))
+            minhashSignature(distinctShingles(col("text")), k).as("sig"))
+          .persist()
+        val exploded = sigs.select(col("doc_id"),
+          posexplode(bandHashes(col("sig"), bands, rows))
+            .as(Seq("band_idx", "band_hash")))
         val cand = exploded.as("x").join(exploded.as("y"),
             col("x.band_idx") === col("y.band_idx") &&
               col("x.band_hash") === col("y.band_hash") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        cand
-          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        val prefiltered = cand
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .filter(graft.functions.SigAgreement.sigAgreement(col("sig_a"), col("sig_b")) >= 0.4)
+          .select("id_a", "id_b")
+        prefiltered
+          .join(docs.select(col("doc_id").as("id_a"),
+            distinctShingles(col("text")).as("sh_a")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"),
+            distinctShingles(col("text")).as("sh_b")), "id_b")
           .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= 0.6)
           .select("id_a", "id_b", "jaccard")

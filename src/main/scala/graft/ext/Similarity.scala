@@ -25,9 +25,13 @@ object VectorFunctions {
   /** array<float> -> array<double> (all similarity math in double). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product — same op order as a plain loop. */
+  /** Sequential-fold dot product — native expression
+    * ([[graft.functions.DotProduct]]): identical multiply-add chain to
+    * the `aggregate(zip_with(...))` HOF and DuckDB's
+    * `list_inner_product`, one JIT'd loop instead of interpreted
+    * lambdas (the hot kernel of every similarity operator). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   /** Cosine similarity: dot(a,b) / sqrt(dot(a,a) * dot(b,b)). */
   def cosine(a: Column, b: Column): Column =

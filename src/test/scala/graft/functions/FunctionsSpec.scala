@@ -91,6 +91,42 @@ class FunctionsSpec extends SparkSpec {
     assert(agree > 0.65 && agree < 0.95, s"estimate $agree should approximate J=0.818")
   }
 
+  // ---- ShingleSet expression: must be bit-parity with the HOF
+  // formulation the DuckDB oracles mirror.
+
+  test("shingle_set == array_distinct(shingles(split)) on edge inputs") {
+    import graft.ext.{DedupFunctions, TextFunctions}
+    val texts = Seq(
+      "a b c d e", "a b", "a", "", " leading space", "trailing space ",
+      "double  space", "a b c a b c a b c", "x\ty\nz w")
+    val df = texts.toDF("text")
+    val native = df.select(ShingleSet.shingleSet(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    val hof = df.select(array_distinct(
+      DedupFunctions.shingles(TextFunctions.wsTokens(col("text")))).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    texts.indices.foreach { i =>
+      assert(native(i) === hof(i), s"text: '${texts(i)}'")
+    }
+  }
+
+  // ---- DotProduct expression: parity with the HOF fold.
+
+  test("dot_product == aggregate(zip_with) fold, bit-identical") {
+    val vecs = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2, 0.3, 0.7), Seq(0.9, 0.8, 0.7, 0.3)),
+      (Seq.tabulate(64)(i => math.sin(i.toDouble)), Seq.tabulate(64)(i => math.cos(i.toDouble))))
+    val df = vecs.toDF("a", "b")
+    val native = df.select(DotProduct.dotProduct(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .as[Double].collect().toSeq
+    assert(native === hof) // exact, not approximate
+  }
+
   test("minhash_sig rejects bad k at analysis time") {
     MinHashSig.register(spark)
     val e = intercept[Exception] {
