@@ -134,6 +134,48 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ---- Approximate aggregates: HLL++ distinct count and quantile
+    // sketch — THE aggregates that matter at 100 TB (fixed-size state,
+    // single pass, mergeable across partitions). Algorithms differ
+    // across engines so there is no hash oracle; the spec asserts the
+    // documented error bounds against exact answers.
+    "q_approx_aggs" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy("l_returnflag"),
+      oracle = None),
+
+    // ---- Nested/array types: per-customer sorted order-price list +
+    // array ops over it (the collect + array-function surface).
+    "q_array_agg" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(array_sort(collect_list(col("o_totalprice"))).as("prices"))
+        .select(
+          col("o_custkey"),
+          size(col("prices")).cast("long").as("n_orders"),
+          element_at(col("prices"), 1).as("min_price"),
+          element_at(col("prices"), -1).as("max_price"),
+          // scalar output only: array-typed result columns don't
+          // survive the driver's column-wise hash compare
+          aggregate(slice(col("prices"), 1, 3), lit(0.0), (a, v) => a + v)
+            .as("cheapest3_sum"))
+        .orderBy("o_custkey"),
+      oracle = Some("""
+        |SELECT o_custkey,
+        |  CAST(len(list_sort(list(o_totalprice))) AS BIGINT) AS n_orders,
+        |  list_sort(list(o_totalprice))[1] AS min_price,
+        |  list_sort(list(o_totalprice))[-1] AS max_price,
+        |  list_reduce(list_prepend(0.0, list_sort(list(o_totalprice))[1:3]), (a, v) -> a + v) AS cheapest3_sum
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // ---- Exact percentiles (integer column => exact interpolated
     // values on both engines; single-pass sort-based aggregate).
     "q_percentiles" -> QueryDef(

@@ -81,7 +81,10 @@ object WeatherQueries extends QueryModule {
     // are identity by construction — same result, simpler SQL).
     "q_weather_star" -> QueryDef(
       fn = (spark, dir) => {
-        val enriched = WeatherEtl.enrich(obs(spark, dir))
+        // one cached scan feeds all five star members (the fan-out
+        // posture documented in StarSchema/StarSink) — without this the
+        // five join branches each recompute source->enrich
+        val enriched = WeatherEtl.enrich(obs(spark, dir)).persist()
         val star = StarSchema.split(enriched)
         star.fact
           .join(star.timeDim, "time_id")

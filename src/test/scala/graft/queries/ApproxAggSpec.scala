@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Approximate aggregates have no hash oracle (sketch algorithms are
+  * engine-specific) — this spec enforces the error bounds against
+  * exact answers on the sf0.001 data.
+  */
+class ApproxAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 2% rsd bound (with slack) of exact") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("exact").cast("double"), col("approx").cast("double"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) / exact < 0.08,
+        s"exact=$exact approx=$approx") // 4x the 2% rsd
+    }
+  }
+
+  test("percentile_approx lands between neighboring exact percentiles") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val (p40, p60, approx50) = li.agg(
+      percentile(col("l_extendedprice"), lit(0.4)),
+      percentile(col("l_extendedprice"), lit(0.6)),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
+      .as[(Double, Double, Double)].head()
+    assert(approx50 >= p40 && approx50 <= p60, s"[$p40, $p60] vs $approx50")
+  }
+}
