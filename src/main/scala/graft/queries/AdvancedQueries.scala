@@ -134,6 +134,29 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ---- Salted join (skew mitigation): same result as the plain
+    // equi-join — which is exactly what the oracle checks — but no
+    // reducer ever receives a whole hot key (salt spreads each key's
+    // rows; the small side is replicated per salt bucket).
+    "q_salted_join" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+        val ord = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.ops.ScaleJoins.saltedJoin(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), ord,
+          key = "o_orderkey", leftUniqueCol = "l_linenumber", salts = 4)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        |SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- Approximate aggregates: HLL++ distinct count and quantile
     // sketch — THE aggregates that matter at 100 TB (fixed-size state,
     // single pass, mergeable across partitions). Algorithms differ

@@ -55,6 +55,12 @@ def main():
         bad = []
         for c in s.columns:
             sv, dv = s[c], d[c]
+            if len(sv) and (isinstance(sv.iloc[0], (list, tuple))
+                            or "ndarray" in type(sv.iloc[0]).__name__):
+                # array-typed columns: elementwise == is ambiguous;
+                # compare stringified
+                sv = sv.map(lambda x: str(list(x)))
+                dv = dv.map(lambda x: str(list(x)))
             if sv.dtype != dv.dtype:
                 try:
                     dv = dv.astype(sv.dtype)
