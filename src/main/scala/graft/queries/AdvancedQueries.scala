@@ -134,6 +134,26 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ---- Custom whole-operator (tier (c)): per-key top-k as a
+    // LogicalPlan + SparkStrategy + bounded-heap exec with map-side
+    // partial reduction — O(n log k), no per-partition full sort, and
+    // only ~k rows per key per partition reach the shuffle (the window
+    // row_number formulation shuffles and sorts EVERY row). The oracle
+    // is the window formulation, proving operator equivalence.
+    "q_topk_operator" -> QueryDef(
+      fn = (spark, dir) => graft.plans.TopK.perKey(
+          Tables(spark, dir, "orders"), 3,
+          Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey"),
+      oracle = Some("""
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- Salted join (skew mitigation): same result as the plain
     // equi-join — which is exactly what the oracle checks — but no
     // reducer ever receives a whole hot key (salt spreads each key's
