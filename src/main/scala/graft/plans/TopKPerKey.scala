@@ -28,6 +28,12 @@ import org.apache.spark.sql.graft.PlanBridge
   * At 100 TB, "top 3 orders per customer" shuffles ~3 rows per
   * customer per partition instead of the whole orders table.
   *
+  * (Spark 3.5+ narrows the gap with InferWindowGroupLimit, which
+  * pre-limits partitions below the Window — but the surviving rows
+  * still pay the full shuffle + sort + rank pass. This operator
+  * replaces that entire pipeline; [[TopKRewriteRule]] applies it
+  * automatically to rewritable window queries.)
+  *
   * Row order within a key's top-k output is unspecified (like any
   * physical operator's); callers order the final result.
   */
