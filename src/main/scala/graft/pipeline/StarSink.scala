@@ -30,9 +30,13 @@ object StarSink {
     */
   def write(enriched: DataFrame, baseDir: String,
       deterministicKeys: Boolean = true): Map[String, Long] = {
-    val cached = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist WITH the keys: the five table scans then read cached
+    // columns instead of recomputing sha2 keys per branch (and in
+    // uuid mode a materialized cache is what makes fact/dim keys agree)
+    val cached = StarSchema.withKeys(enriched, deterministicKeys)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val star = StarSchema.split(cached, deterministicKeys)
+      val star = StarSchema.splitKeyed(cached)
       val n = cached.count() // materializes the cache before the 5 scans
 
       // dims first (any order), fact LAST — see class doc

@@ -72,18 +72,33 @@ object StarSchema {
       tempDim: DataFrame,
       heatIndexDim: DataFrame)
 
-  /** Split the enriched frame (keyed by `obs_id`) into the 5 tables. */
-  def split(enriched: DataFrame, deterministicKeys: Boolean = true): Star = {
-    def k(t: String) = key(t, col("obs_id"), deterministicKeys)
-    val fact = enriched.select(
-      k("record").as("record_id"),
+  private val keyNames =
+    Seq("record_id", "time_id", "parameter_id", "temp_id", "heat_index_id")
+
+  /** Append the five surrogate-key columns in ONE projection. Persist
+    * the RESULT of this (not the bare enriched frame) before fanning
+    * out: the five split branches then only select cached columns —
+    * otherwise every branch recomputes its keys (9 sha2/row across the
+    * five projections). */
+  def withKeys(enriched: DataFrame, deterministicKeys: Boolean = true): DataFrame =
+    enriched.withColumns(Map(
+      "record_id" -> key("record", col("obs_id"), deterministicKeys),
+      "time_id" -> key("time", col("obs_id"), deterministicKeys),
+      "parameter_id" -> key("parameter", col("obs_id"), deterministicKeys),
+      "temp_id" -> key("temp", col("obs_id"), deterministicKeys),
+      "heat_index_id" -> key("heat_index", col("obs_id"), deterministicKeys)))
+
+  /** Split a [[withKeys]]-keyed frame into the 5 tables (pure selects). */
+  def splitKeyed(keyed: DataFrame): Star = {
+    val fact = keyed.select(
+      col("record_id"),
       col("station_id"),
-      k("time").as("time_id"),
-      k("parameter").as("parameter_id"),
-      k("temp").as("temp_id"),
-      k("heat_index").as("heat_index_id"))
-    val timeDim = enriched.select(
-      k("time").as("time_id"),
+      col("time_id"),
+      col("parameter_id"),
+      col("temp_id"),
+      col("heat_index_id"))
+    val timeDim = keyed.select(
+      col("time_id"),
       col("recorded_datetime_local").as("record_datetime"),
       col("recorded_date_local").as("record_date"),
       col("recorded_month_local").as("record_month"),
@@ -91,24 +106,29 @@ object StarSchema {
       col("recorded_quarter_local").as("record_quarter"),
       col("recorded_season_local").as("record_season"),
       col("recorded_weekday_local").as("record_weekday"))
-    val paramDim = enriched.select(
-      k("parameter").as("parameter_id"),
+    val paramDim = keyed.select(
+      col("parameter_id"),
       col("humidity"), col("pressure"), col("visibility"),
       col("cloudiness"), col("dew_point"), col("wind_speed"),
       col("wind_direction"))
-    val tempDim = enriched.select(
-      k("temp").as("temp_id"),
+    val tempDim = keyed.select(
+      col("temp_id"),
       col("temp"),
       col("temp_min").as("temp_range_min"),
       col("temp_max").as("temp_range_max"),
       col("feels_like"))
     // heat_index_category = 1, description = '' are hardcoded by the
     // reference (dags/etl.py:120 — O-23).
-    val heatIndexDim = enriched.select(
-      k("heat_index").as("heat_index_id"),
+    val heatIndexDim = keyed.select(
+      col("heat_index_id"),
       col("heat_index"),
       lit(1L).as("heat_index_category"),
       lit("").as("description"))
     Star(fact, timeDim, paramDim, tempDim, heatIndexDim)
   }
+
+  /** Convenience: key + split in one call (branches recompute the key
+    * projection unless the caller persists `withKeys` first). */
+  def split(enriched: DataFrame, deterministicKeys: Boolean = true): Star =
+    splitKeyed(withKeys(enriched, deterministicKeys))
 }

@@ -81,11 +81,11 @@ object WeatherQueries extends QueryModule {
     // are identity by construction — same result, simpler SQL).
     "q_weather_star" -> QueryDef(
       fn = (spark, dir) => {
-        // one cached scan feeds all five star members (the fan-out
-        // posture documented in StarSchema/StarSink) — without this the
-        // five join branches each recompute source->enrich
-        val enriched = WeatherEtl.enrich(obs(spark, dir)).persist()
-        val star = StarSchema.split(enriched)
+        // one cached scan (WITH the surrogate keys computed once) feeds
+        // all five star members — without this the five join branches
+        // each recompute source->enrich->sha2 keys
+        val keyed = StarSchema.withKeys(WeatherEtl.enrich(obs(spark, dir))).persist()
+        val star = StarSchema.splitKeyed(keyed)
         star.fact
           .join(star.timeDim, "time_id")
           .join(star.paramDim, "parameter_id")
