@@ -110,6 +110,23 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_set parity holds on 200 random whitespace-laden strings") {
+    import graft.ext.{DedupFunctions, TextFunctions}
+    import org.scalacheck.Gen
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "d1", "", " ", "\t", "\n", "e e")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val texts = Gen.listOfN(200, textGen).sample.get
+    val df = texts.toDF("text")
+    val native = df.select(ShingleSet.shingleSet(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    val hof = df.select(array_distinct(
+      DedupFunctions.shingles(TextFunctions.wsTokens(col("text")))).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    texts.indices.foreach { i =>
+      assert(native(i) === hof(i), s"text: '${texts(i).replace("\n", "\\n")}'")
+    }
+  }
+
   // ---- DotProduct expression: parity with the HOF fold.
 
   test("dot_product == aggregate(zip_with) fold, bit-identical") {
