@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupQueries, FingerprintQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.ext.{DedupQueries, FingerprintQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
 import graft.queries.{AdvancedQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
 
@@ -24,7 +24,8 @@ object SparkEntry {
     FingerprintQueries,   // simhash custom expression
     SimilarityQueries,    // embedding cosine / ANN brute-force + IVF
     TextQueries,          // token counting / quality / language-ID
-    MultimodalQueries     // binary columns + stubbed decode
+    MultimodalQueries,    // binary columns + stubbed decode
+    PipelineQueries       // dup-cluster resolution + curation pipeline
   )
 
   private lazy val allDefs: Seq[(String, QueryDef)] = modules.flatMap(_.defs)

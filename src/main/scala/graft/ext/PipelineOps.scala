@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Whole-pipeline operators for training-data curation: duplicate
+  * CLUSTER resolution (near-dup pairs are edges; a keeper per
+  * connected component) and the composed filter pipeline
+  * (dedup -> quality -> language agreement).
+  */
+object PipelineOps {
+
+  /** Connected components by iterative min-label propagation —
+    * the distributed shape of duplicate-cluster resolution (each
+    * iteration is one join + one aggregation; iterations ~ graph
+    * diameter, which is tiny for near-dup clusters). No driver-side
+    * data: the loop only checks a convergence COUNT per round.
+    *
+    * @param nodes (id)      one row per document
+    * @param edges (src,dst) undirected near-dup pairs (either direction)
+    * @return (id, cluster)  cluster = min doc id reachable
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val both = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("cluster")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbors = labels.join(both, labels("id") === both("src"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select("id", "cluster").union(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    both.unpersist()
+    labels
+  }
+}
+
+object PipelineQueries extends QueryModule {
+  import DedupFunctions._
+  import TextFunctions._
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Duplicate clusters: exact-Jaccard near-dup pairs as edges,
+    // connected components, one keeper (min doc_id) per cluster.
+    // Oracle: DuckDB recursive CTE computing min reachable label over
+    // the same edge set.
+    "q_dedup_clusters" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            distinctShingles(col("text")).as("sh"))
+        val edges = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+            col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+            col("n_chars").as("nc_b"), col("sh").as("sh_b")),
+            col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
+              abs(col("nc_a") - col("nc_b")) <= 60)
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val nodes = withPlantedNearDups(Tables(spark, dir, "documents"))
+          .select(col("doc_id").as("id"))
+        PipelineOps.connectedComponents(nodes, edges)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_size"))
+          .filter(col("cluster_size") > 1) // non-trivial clusters only
+          .orderBy("cluster")
+      },
+      // WITH RECURSIVE applies to the whole clause — rewrite the shared
+      // planted-corpus prefix accordingly
+      oracle = Some(plantedCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+        |tok AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         string_split_regex(text, '\s+') AS tokens FROM docs),
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 60
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+        |  UNION
+        |  SELECT e.dst AS id, r.lbl
+        |  FROM reach r JOIN edges e ON e.src = r.id),
+        |components AS (
+        |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster, COUNT(*) AS cluster_size
+        |FROM components GROUP BY cluster
+        |HAVING COUNT(*) > 1 ORDER BY cluster""".stripMargin)),
+
+    // ---- The composed curation pipeline: normalize-dedup (keep min
+    // doc_id per normalized hash) -> quality floor -> language
+    // agreement (predicted == recorded). One narrow pass + one
+    // hash-partitioned dedup shuffle; the shape of a real pretraining
+    // filter chain.
+    "q_training_pipeline" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val tokens = wsTokens(col("text"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val scored = docs.select(
+          col("doc_id"), col("lang"), col("text"),
+          md5(norm.cast("binary")).as("content_hash"),
+          qualityScore(col("text"), tokens).as("quality"),
+          langId(col("text"), tokens).as("lang_pred"))
+        val keeper = scored.groupBy("content_hash")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        scored.join(keeper, "doc_id", "left_semi")
+          .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+          .select("doc_id", "lang", "quality")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |      + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |      AS quality,
+        |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'en'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'es'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY content_hash)
+        |SELECT s.doc_id, s.lang, s.quality
+        |FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+        |WHERE s.quality >= 0.5 AND s.lang_pred = s.lang
+        |ORDER BY s.doc_id""".stripMargin))
+  )
+
+  private def listSqlPub(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+}

@@ -185,6 +185,7 @@ object SimilarityQueries extends QueryModule {
         |      ORDER BY list_inner_product(p.q_v, a.n_v) / sqrt(list_inner_product(p.q_v, p.q_v) * list_inner_product(a.n_v, a.n_v)) DESC, a.n_id) AS rank
         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
         |  WHERE a.n_id != p.q_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      bench = true)
   )
 }

@@ -51,7 +51,8 @@ object AdvancedQueries extends QueryModule {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.event_id""".stripMargin)),
+        |ORDER BY c.event_id""".stripMargin),
+      bench = true),
 
     // ---- RANGE JOIN: ordered pairs of same-user events within 10
     // minutes. Scale shape: equi-join on (user, 10-min bucket) with the
@@ -152,7 +153,8 @@ object AdvancedQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      bench = true),
 
     // ---- Salted join (skew mitigation): same result as the plain
     // equi-join — which is exactly what the oracle checks — but no
@@ -175,7 +177,8 @@ object AdvancedQueries extends QueryModule {
         |SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true),
 
     // ---- Approximate aggregates: HLL++ distinct count and quantile
     // sketch — THE aggregates that matter at 100 TB (fixed-size state,
