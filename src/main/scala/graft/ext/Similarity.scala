@@ -186,6 +186,74 @@ object SimilarityQueries extends QueryModule {
         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
         |  WHERE a.n_id != p.q_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- LSH-bucketed ANN (random-hyperplane family): 8 hyperplanes
+    // give a 256-bucket sign signature; neighbors are searched only
+    // inside the query's bucket — an equi-join, never a scan per query.
+    // The hyperplanes are DERIVED FROM THE CORPUS (differences of fixed
+    // vector pairs) so both engines construct them exactly — a seeded
+    // RNG would not be reproducible in SQL. Same shape as MinHash-LSH:
+    // signature pass is narrow, the join key is fixed-width.
+    "q_ann_lsh" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val planes = emb.filter(col("vec_id") < 16)
+          .withColumn("pair", (col("vec_id") / 2).cast("long"))
+          .groupBy("pair")
+          .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+        val planeVecs = planes
+          .join(emb.select(col("vec_id").as("lo"), col("v").as("v_lo")), "lo")
+          .join(emb.select(col("vec_id").as("hi"), col("v").as("v_hi")), "hi")
+          .select(col("pair"), zip_with(col("v_lo"), col("v_hi"),
+            (x, y) => x - y).as("h"))
+        // bucket = sum over planes of 2^j * (dot(v, h_j) >= 0)
+        val signed = emb.join(broadcast(planeVecs))
+          .withColumn("bit",
+            when(dot(col("v"), col("h")) >= 0,
+              pow(lit(2.0), col("pair").cast("double")).cast("long"))
+              .otherwise(0L))
+          .groupBy(col("vec_id"), col("v").as("vv"))
+          .agg(sum(col("bit")).as("bucket"))
+          .select(col("vec_id"), col("vv").as("v"), col("bucket"))
+        val queries = signed.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+        broadcast(queries)
+          .join(signed.select(col("vec_id").as("n_id"), col("v").as("n_v"),
+            col("bucket")), "bucket")
+          .filter(col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + """,
+        |planes AS (
+        |  SELECT CAST(floor(vec_id / 2) AS BIGINT) AS pair,
+        |         MIN(vec_id) AS lo, MAX(vec_id) AS hi
+        |  FROM emb WHERE vec_id < 16 GROUP BY 1),
+        |plane_vecs AS (
+        |  SELECT p.pair,
+        |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS h
+        |  FROM planes p
+        |  JOIN emb a ON a.vec_id = p.lo
+        |  JOIN emb b ON b.vec_id = p.hi),
+        |signed AS (
+        |  SELECT e.vec_id, ANY_VALUE(e.v) AS v,
+        |    SUM(CASE WHEN list_inner_product(e.v, p.h) >= 0
+        |             THEN CAST(power(2.0, p.pair) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM emb e CROSS JOIN plane_vecs p
+        |  GROUP BY e.vec_id)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) DESC, n.vec_id) AS rank
+        |  FROM signed q JOIN signed n ON q.bucket = n.bucket
+        |  WHERE q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }
