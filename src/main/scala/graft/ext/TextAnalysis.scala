@@ -136,6 +136,35 @@ object TextQueries extends QueryModule {
         |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
         |       WHEN s_fr >= s_de THEN 'fr'
         |       ELSE 'de' END AS lang_pred
-        |FROM scored ORDER BY doc_id""".stripMargin))
+        |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ---- Edit distance between each planted near-dup and its source
+    // (the character-level near-dup signal, complementing the set-based
+    // Jaccard/MinHash and bit-based SimHash measures).
+    "q_edit_distance" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = DedupFunctions.withPlantedNearDups(
+          Tables(spark, dir, "documents"))
+        val orig = docs.filter(col("doc_id") < 1000000)
+          .select(col("doc_id"), col("text").as("text_a"))
+        val planted = docs.filter(col("doc_id") >= 1000000)
+          .select((col("doc_id") - 1000000).as("doc_id"), col("text").as("text_b"))
+        orig.join(planted, "doc_id")
+          .select(col("doc_id"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+            (levenshtein(col("text_a"), col("text_b")).cast("double") /
+              greatest(length(col("text_a")), length(col("text_b"))))
+              .as("edit_dist_norm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(DedupFunctions.plantedCte + """
+        |SELECT a.doc_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |  CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |    / greatest(length(a.text), length(b.text)) AS edit_dist_norm
+        |FROM (SELECT * FROM docs WHERE doc_id < 1000000) a
+        |JOIN (SELECT doc_id - 1000000 AS doc_id, text FROM docs
+        |      WHERE doc_id >= 1000000) b USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin))
   )
 }
