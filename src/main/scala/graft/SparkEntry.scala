@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{DedupQueries, FingerprintQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
-import graft.queries.{AdvancedQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     WeatherQueries,       // O-7..O-23, O-28: the reference ETL semantics
     RelationalQueries,    // §2.1 relational surface
     AdvancedQueries,      // as-of / range joins, pivot, grouping sets, percentiles
+    AnalyticsQueries,     // gap-fill, rank family, correlated subquery, vocab
     FunctionQueries,      // custom Aggregator UDAF + rolling-hash expression
     EventsQueries,        // event-time windows (batch twins of streaming)
     DedupQueries,         // exact / normalized / jaccard / minhash-LSH

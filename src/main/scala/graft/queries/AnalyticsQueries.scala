@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Time-series and analytic-function surface: gap-filling a sparse
+  * series over a generated spine, the full rank-family window
+  * functions, correlated scalar subqueries (Catalyst decorrelation),
+  * and vocabulary statistics via generator explode.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Gap-fill: hourly per-type event-count series with missing
+    // hours filled by carry-forward (a date spine from sequence() +
+    // cross join with the type dimension + last(ignoreNulls) window).
+    // The spine is generated distributed (explode of sequence), never
+    // collected.
+    "q_gap_fill" -> QueryDef(
+      fn = (spark, dir) => {
+        val events = Tables(spark, dir, "events")
+        val hourly = events
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = events.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val types = events.select(col("event_type")).distinct()
+        val filled = spine.crossJoin(types)
+          .join(hourly, Seq("h", "event_type"), "left")
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled.select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("n"), ignoreNulls = true).over(w).as("carry_forward"))
+          .orderBy("hour", "event_type")
+      },
+      oracle = Some("""
+        |WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |         date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |filled AS (
+        |  SELECT s.h, t.event_type, hr.n
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN hourly hr ON hr.h = s.h AND hr.event_type = t.event_type)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COALESCE(n, 0) AS n_events,
+        |  LAST_VALUE(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS carry_forward
+        |FROM filled ORDER BY hour, event_type""".stripMargin)),
+
+    // ---- Full rank-family analytics in one window pass.
+    "q_window_analytics" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(spark, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            nth_value(col("o_orderkey"), 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("second_key"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS second_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Correlated scalar subquery: Catalyst decorrelates it into a
+    // left outer aggregate join (no per-row subquery execution).
+    "q_correlated_subquery" -> QueryDef(
+      fn = (spark, dir) => {
+        Tables(spark, dir, "orders").createOrReplaceTempView("orders_cs")
+        Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_cs")
+        spark.sql("""
+          SELECT o_orderkey,
+                 (SELECT MAX(l_extendedprice) FROM lineitem_cs
+                  WHERE l_orderkey = o_orderkey) AS max_line_price
+          FROM orders_cs
+          ORDER BY o_orderkey""")
+      },
+      oracle = Some("""
+        |SELECT o_orderkey,
+        |  (SELECT MAX(l_extendedprice) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_line_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Vocabulary statistics: token explode (generator) + count —
+    // the corpus-level view a tokenizer-training step needs. Top 50 by
+    // (count desc, token) for a deterministic slice.
+    "q_vocab_stats" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .select(col("token"), col("n"),
+          length(col("token")).cast("long").as("token_len"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      oracle = Some("""
+        |SELECT token, COUNT(*) AS n,
+        |  CAST(length(token) AS BIGINT) AS token_len
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |      FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+  )
+}
