@@ -41,7 +41,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver, plus a file copy so a log-drowned stdout
+    // (warnings interleaved by sbt) can't lose the measurement
+    println(json)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -52,6 +52,35 @@ object DedupFunctions {
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
 
+  /** Blocked candidate pairs for exact near-dup verification over a
+    * docs frame of (doc_id, lang, n_chars, sh).
+    *
+    * The equi-join key is (lang, 60-char length bucket), NOT bare lang:
+    * lang alone has cardinality ~5, so within one language the join is
+    * all-pairs — a full quadratic shuffle on a 5-value skewed key at
+    * 100 TB. With the length bucket in the key, per-key occupancy is
+    * bounded by the docs in a 60-char band of one language.
+    *
+    * Side A explodes to its own ±1 buckets: any pair within 60 chars of
+    * each other differs by at most one bucket, so exactly ONE of the
+    * three exploded buckets equals B's bucket — each qualifying pair is
+    * produced exactly once, no post-join dedup needed (the pair order
+    * `id_a < id_b` is independent of which doc is longer, which is why
+    * the one-sided own+next trick from the directional range join
+    * doesn't apply here).
+    */
+  def bandedPairs(docs: DataFrame): DataFrame = {
+    val bucket = floor(col("n_chars") / 60).cast("long")
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"),
+      col("n_chars").as("nc_a"), col("sh").as("sh_a"),
+      explode(array(bucket - 1, bucket, bucket + 1)).as("bkt"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"),
+      col("n_chars").as("nc_b"), col("sh").as("sh_b"), bucket.as("bkt"))
+    a.join(b, Seq("lang", "bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("nc_a") - col("nc_b")) <= 60)
+  }
+
   /** documents ∪ perturbed near-duplicate copies (planted, deterministic):
     * copy of every 5th doc with the first whitespace token dropped.
     * Gives the dedup operators true positives to find at any SF. */
@@ -124,21 +153,15 @@ object DedupQueries extends QueryModule {
         |      SELECT doc_id + 500000, upper(text), lang, source, n_chars FROM documents)
         |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)),
 
-    // ---- n-gram Jaccard near-dup detection, blocked by language and
-    // length band (the scalable pair-generation strategy: equi-join on
-    // the block key instead of a cross product).
+    // ---- n-gram Jaccard near-dup detection, blocked by (language,
+    // length band) — see [[DedupFunctions.bandedPairs]] for why the
+    // band is part of the equi-join KEY, not a post-join filter.
     "q_neardup_jaccard" -> QueryDef(
       fn = (spark, dir) => {
         val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
           .select(col("doc_id"), col("lang"), col("n_chars"),
             distinctShingles(col("text")).as("sh"))
-        val a = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
-          col("n_chars").as("nc_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-          col("n_chars").as("nc_b"), col("sh").as("sh_b"))
-        a.join(b, col("lang_a") === col("lang_b") &&
-            col("id_a") < col("id_b") &&
-            abs(col("nc_a") - col("nc_b")) <= 60)
+        bandedPairs(docs)
           .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= 0.6)
           .select("id_a", "id_b", "jaccard")

@@ -62,12 +62,9 @@ object PipelineQueries extends QueryModule {
         val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
           .select(col("doc_id"), col("lang"), col("n_chars"),
             distinctShingles(col("text")).as("sh"))
-        val edges = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
-            col("n_chars").as("nc_a"), col("sh").as("sh_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-            col("n_chars").as("nc_b"), col("sh").as("sh_b")),
-            col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
-              abs(col("nc_a") - col("nc_b")) <= 60)
+        // (lang, length-bucket) blocked pair generation — the band is in
+        // the equi-join key (DedupFunctions.bandedPairs), not a filter
+        val edges = bandedPairs(docs)
           .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val nodes = withPlantedNearDups(Tables(spark, dir, "documents"))

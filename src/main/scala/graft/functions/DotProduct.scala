@@ -59,8 +59,7 @@ object DotProduct {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    FunctionInstall.once(spark, "dot_product")(exprs => DotProduct(exprs(0), exprs(1)))
 
   def dotProduct(a: Column, b: Column): Column = {
     register(SparkSession.active)

@@ -84,12 +84,11 @@ object MinHashSig {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", {
-        case Seq(input, Literal(k: Int, IntegerType)) => MinHashSig(input, k)
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig(array<string>, k literal int), got ${other.length} args")
-      }, "scala_udf")
+    FunctionInstall.once(spark, "minhash_sig") {
+      case Seq(input, Literal(k: Int, IntegerType)) => MinHashSig(input, k)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(array<string>, k literal int), got ${other.length} args")
+    }
 
   /** Column entry point (uses the active session's registry). */
   def minhashSig(tokens: Column, k: Int): Column = {

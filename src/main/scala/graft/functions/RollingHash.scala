@@ -71,8 +71,7 @@ object RollingHashMin {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rollinghash_min", exprs => RollingHashMin(exprs.head), "scala_udf")
+    FunctionInstall.once(spark, "rollinghash_min")(exprs => RollingHashMin(exprs.head))
 
   def rollinghashMin(spark: SparkSession, text: Column): Column = {
     register(spark)

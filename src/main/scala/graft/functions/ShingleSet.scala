@@ -96,12 +96,11 @@ object ShingleSet {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_set", {
-        case Seq(input, Literal(n: Int, IntegerType)) => ShingleSet(input, n)
-        case other => throw new IllegalArgumentException(
-          s"shingle_set(text, n literal int), got ${other.length} args")
-      }, "scala_udf")
+    FunctionInstall.once(spark, "shingle_set") {
+      case Seq(input, Literal(n: Int, IntegerType)) => ShingleSet(input, n)
+      case other => throw new IllegalArgumentException(
+        s"shingle_set(text, n literal int), got ${other.length} args")
+    }
 
   def shingleSet(text: Column, n: Int): Column = {
     register(SparkSession.active)

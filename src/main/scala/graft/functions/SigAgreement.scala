@@ -54,8 +54,7 @@ object SigAgreement {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "scala_udf")
+    FunctionInstall.once(spark, "sig_agreement")(exprs => SigAgreement(exprs(0), exprs(1)))
 
   def sigAgreement(a: Column, b: Column): Column = {
     register(SparkSession.active)

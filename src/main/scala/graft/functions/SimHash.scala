@@ -78,8 +78,7 @@ object SimHash {
     * (idempotent) — Spark 4 exposes no public Expression->Column
     * constructor, so custom expressions route through the registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash(exprs.head), "scala_udf")
+    FunctionInstall.once(spark, "simhash64")(exprs => SimHash(exprs.head))
 
   /** Column-level entry point (requires [[register]] on the session). */
   def simhash64(spark: SparkSession, tokens: Column): Column = {

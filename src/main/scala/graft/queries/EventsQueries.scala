@@ -27,14 +27,12 @@ object EventsQueries extends QueryModule {
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
       bench = true),
 
-    // ---- Sliding windows: 2-hour window sliding by 1 hour.
+    // ---- Sliding windows: 2-hour window sliding by 1 hour (same
+    // definition as the streaming twin, EventsStream.slidingRollup).
     "q_events_sliding" -> QueryDef(
-      fn = (spark, dir) => Tables(spark, dir, "events")
-        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-          col("event_type"), col("n_events"))
-        .orderBy("win_start", "event_type"),
+      fn = (spark, dir) =>
+        EventsStream.slidingRollup(Tables(spark, dir, "events"))
+          .orderBy("win_start", "event_type"),
       oracle = Some("""
         |WITH buckets AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type FROM events),
@@ -44,7 +42,7 @@ object EventsQueries extends QueryModule {
         |  SELECT b - INTERVAL '1 hour' AS win_start, event_type, COUNT(*) AS n
         |  FROM buckets GROUP BY 1, 2)
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-        |       SUM(n) AS n_events
+        |       CAST(SUM(n) AS BIGINT) AS n_events
         |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
     // ---- Session windows: 30-minute-gap sessionization per user.

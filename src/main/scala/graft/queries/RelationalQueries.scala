@@ -94,8 +94,11 @@ object RelationalQueries extends QueryModule {
     },
 
     // ---- Multi-way star join: TPC-H Q5-style revenue by nation.
-    // nation/region/supplier are broadcast; the customer-supplier
-    // nation-colocation predicate is the classic Q5 shape.
+    // nation/region are broadcast (bounded at 25/5 rows at every SF);
+    // supplier GROWS with SF (10k rows/SF), so it gets no hint — AQE
+    // broadcasts it at small SF and shuffle-joins it at scale. The
+    // customer-supplier nation-colocation predicate is the classic Q5
+    // shape.
     q("q_nation_revenue", bench = true, oracle = """
       |SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
@@ -114,7 +117,7 @@ object RelationalQueries extends QueryModule {
             col("o_orderdate") < lit("1997-01-01 00:00:00")),
           col("c_custkey") === col("o_custkey"))
         .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t("supplier")),
+        .join(t("supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
@@ -126,7 +129,9 @@ object RelationalQueries extends QueryModule {
         .orderBy("n_name")
     },
 
-    // ---- Broadcast dimension join: lineitem x part, grouped by brand.
+    // ---- Dimension join: lineitem x part, grouped by brand. part grows
+    // with SF (200k rows/SF) — no broadcast hint; AQE picks broadcast at
+    // small SF, a shuffle join once part outgrows the threshold.
     q("q_part_brand_volume", oracle = """
       |SELECT p_brand,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -134,7 +139,7 @@ object RelationalQueries extends QueryModule {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { implicit sd =>
       t("lineitem")
-        .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
+        .join(t("part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n_lines"))
@@ -309,7 +314,10 @@ object RelationalQueries extends QueryModule {
       val avgQty = li.groupBy(col("l_partkey").as("pk"))
         .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))))
           .as("threshold"))
-      li.join(broadcast(avgQty), col("l_partkey") === col("pk"))
+      // per-partkey aggregate has #distinct-parts rows — it grows with the
+      // fact table, so never broadcast it; the shuffle join co-partitions
+      // both sides on l_partkey (and AQE still broadcasts at tiny SF)
+      li.join(avgQty, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("threshold"))
         .agg(count(lit(1)).as("n_lines"),
           sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))

@@ -106,7 +106,7 @@ object WeatherQueries extends QueryModule {
         |       CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_dew_point,
         |       CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_heat_index,
         |       CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_temp_max,
-        |       SUM(humidity) AS sum_humidity
+        |       CAST(SUM(humidity) AS BIGINT) AS sum_humidity
         |FROM enriched
         |GROUP BY station_id, recorded_season_local
         |ORDER BY station_id, record_season""".stripMargin),
