@@ -16,17 +16,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The reference fetches stations SERIALLY on one machine — its
   * scalability ceiling. Here each station is an `InputPartition`, so
-  * the fetch fans out across executors; a real deployment would issue
-  * the HTTP GET inside the partition reader. The container has no
-  * egress, so the reader generates deterministic fixture observations
-  * (seeded per station/tick) with the OWM response shape — the
-  * Spark-side plumbing (provider, table, scan builder with COLUMN
-  * PRUNING pushdown, partitioning, reader lifecycle) is the real thing.
+  * the fetch fans out across executors. Two fetch modes:
+  *
+  *   - default: deterministic fixture observations (seeded per
+  *     station/tick) with the OWM response shape — egress-free testing;
+  *   - `endpoint` option set: a real HTTP GET per (station, tick)
+  *     inside the partition reader ([[HttpObservations]]), with
+  *     deterministic API-key rotation via the `apiKeys` option
+  *     (reference: dags/utils/api.py:11-26).
+  *
+  * Either way the Spark-side plumbing (provider, table, scan builder
+  * with COLUMN PRUNING pushdown, partitioning, reader lifecycle) is
+  * identical.
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.ObservationSource")
-  *     .option("stations", 4).option("ticks", 24).load()
+  *     .option("stations", 4).option("ticks", 24)
+  *     .option("endpoint", "http://host/data/2.5/weather")  // optional
+  *     .option("apiKeys", "k1,k2")                          // optional
+  *     .load()
   * }}}
   */
 class ObservationSource extends TableProvider {
@@ -37,7 +46,11 @@ class ObservationSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ObservationTable(
       Option(properties.get("stations")).map(_.toInt).getOrElse(4),
-      Option(properties.get("ticks")).map(_.toInt).getOrElse(1))
+      Option(properties.get("ticks")).map(_.toInt).getOrElse(1),
+      Option(properties.get("endpoint")),
+      Option(properties.get("apiKeys"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil))
 }
 
 object ObservationSource {
@@ -75,19 +88,22 @@ object ObservationSource {
   }
 }
 
-class ObservationTable(stations: Int, ticks: Int) extends Table with SupportsRead {
+class ObservationTable(stations: Int, ticks: Int,
+    endpoint: Option[String], apiKeys: Seq[String])
+    extends Table with SupportsRead {
   override def name(): String = s"observations(stations=$stations, ticks=$ticks)"
   override def schema(): StructType = ObservationSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ObservationScanBuilder(stations, ticks)
+    new ObservationScanBuilder(stations, ticks, endpoint, apiKeys)
 }
 
 /** Supports column-pruning pushdown: Catalyst hands us the required
   * schema and the reader materializes only those fields. */
-class ObservationScanBuilder(stations: Int, ticks: Int)
+class ObservationScanBuilder(stations: Int, ticks: Int,
+    endpoint: Option[String], apiKeys: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ObservationSource.schema
 
@@ -105,22 +121,28 @@ class ObservationScanBuilder(stations: Int, ticks: Int)
       Array.tabulate(stations)(s => StationPartition(s.toLong, ticks))
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ObservationReaderFactory(required)
+      new ObservationReaderFactory(required, endpoint, apiKeys)
   }
 }
 
 case class StationPartition(station: Long, ticks: Int) extends InputPartition
 
-class ObservationReaderFactory(required: StructType) extends PartitionReaderFactory {
+class ObservationReaderFactory(required: StructType,
+    endpoint: Option[String], apiKeys: Seq[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StationPartition]
     // map required fields to their position in the full record
     val idx = required.fieldNames.map(ObservationSource.schema.fieldIndex)
+    val fetch: (Long, Long) => Array[Any] = endpoint match {
+      case Some(url) => HttpObservations.fetch(url, apiKeys, _, _)
+      case None => ObservationSource.fetch
+    }
     new PartitionReader[InternalRow] {
       private var tick = -1
       override def next(): Boolean = { tick += 1; tick < p.ticks }
       override def get(): InternalRow = {
-        val full = ObservationSource.fetch(p.station, tick.toLong)
+        val full = fetch(p.station, tick.toLong)
         InternalRow.fromSeq(idx.toIndexedSeq.map(full))
       }
       override def close(): Unit = ()

@@ -27,20 +27,48 @@ object EventsStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding 2-hour / 1-hour-slide event counts per event_type — the
+    * same definition serves batch (oracle-checked as
+    * `q_events_sliding`) and streaming (each event lands in both
+    * overlapping windows; Spark assigns them at group time, so the
+    * streaming state is per (window, type), bounded by the watermark).
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Streaming variant: watermarked, exactly-once per (event_id) within
     * the watermark horizon. `sourceDir` is a parquet directory treated
     * as a file stream (the standard replay harness). */
   def streamingHourlyRollup(
       spark: SparkSession,
       sourceDir: String,
-      queryName: String): StreamingQuery = {
+      queryName: String): StreamingQuery =
+    startMemoryQuery(spark, sourceDir, queryName, hourlyRollup)
+
+  /** Streaming twin of [[slidingRollup]] (same dedup + watermark). */
+  def streamingSlidingRollup(
+      spark: SparkSession,
+      sourceDir: String,
+      queryName: String): StreamingQuery =
+    startMemoryQuery(spark, sourceDir, queryName, slidingRollup)
+
+  private def startMemoryQuery(
+      spark: SparkSession,
+      sourceDir: String,
+      queryName: String,
+      rollup: DataFrame => DataFrame): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val events = spark.readStream
       .schema(schema)
       .parquet(sourceDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    hourlyRollup(events)
+    rollup(events)
       .writeStream
       .outputMode("complete")
       .format("memory")

@@ -43,4 +43,44 @@ class ObservationSourceSpec extends SparkSpec {
     val enriched = graft.pipeline.WeatherEtl.enrich(obs)
     assert(enriched.filter(col("dew_point").isNotNull).count() === 24)
   }
+
+  test("endpoint mode issues HTTP GETs per station and matches fixture mode") {
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+    // local stub server speaking the OWM response shape
+    // (reference: dags/utils/api.py:27-34)
+    val requested = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/data/2.5/weather", (ex: HttpExchange) => {
+      val params = ex.getRequestURI.getQuery.split("&")
+        .map(_.split("=", 2)).map(kv => kv(0) -> kv(1)).toMap
+      requested.add(params("q") + "|" + params("appid"))
+      val station = params("q").stripPrefix("city_").takeWhile(_.isDigit).toLong
+      val body = HttpObservations.fixtureJson(station, params("tick").toLong)
+        .getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/data/2.5/weather"
+      // no orderBy: range partitioning would add a sampling pass that
+      // re-reads the source (and doubles the GET count); sort locally
+      val http = spark.read.format("graft.sources.ObservationSource")
+        .option("stations", 3).option("ticks", 4)
+        .option("endpoint", url).option("apiKeys", "key_a,key_b")
+        .load().collect().map(_.toSeq).sortBy(_.toString)
+      val fixture = read(3, 4).collect().map(_.toSeq).sortBy(_.toString)
+      assert(http.toSeq === fixture.toSeq)
+      // 3 stations x 4 ticks GETs; keys rotate deterministically per station
+      val reqs = requested.toArray(Array.empty[String]).toSeq
+      assert(reqs.size === 12)
+      assert(reqs.filter(_.startsWith("city_0,")).forall(_.endsWith("|key_a")))
+      assert(reqs.filter(_.startsWith("city_1,")).forall(_.endsWith("|key_b")))
+    } finally server.stop(0)
+  }
 }

@@ -36,6 +36,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum === 3) // dup collapsed: 3 events, not 4
   }
 
+  test("streaming sliding rollup (AvailableNow) matches batch twin") {
+    val dir = Files.createTempDirectory("events_sliding").toString
+    mkEvents.write.mode("overwrite").parquet(dir)
+
+    val q = EventsStream.streamingSlidingRollup(spark, dir, "t_sliding")
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("t_sliding")
+      .orderBy("win_start", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = EventsStream.slidingRollup(mkEvents.dropDuplicates("event_id"))
+      .orderBy("win_start", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed === batch)
+    // every event is in exactly two overlapping 2h/1h windows
+    assert(streamed.map(_._3).sum === 6)
+  }
+
   test("batch hourlyRollup buckets by event-time hour") {
     val out = EventsStream.hourlyRollup(mkEvents.dropDuplicates("event_id"))
       .orderBy("hour_start", "event_type")
