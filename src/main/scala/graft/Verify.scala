@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // kernel-frame exports (minhash sigs, simhash fps) feed the DuckDB
+    // oracle; only the correctness harness needs them written
+    sys.props("graft.oracle.export") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

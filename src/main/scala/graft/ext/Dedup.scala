@@ -21,6 +21,21 @@ import graft.{QueryDef, QueryModule, Tables}
   */
 object DedupFunctions {
 
+  /** Where hash-kernel outputs (minhash signatures, simhash
+    * fingerprints) are exported so the DuckDB oracle — which has no
+    * xxhash64 — can re-derive the candidate-join/verify stages from
+    * the same kernel output (the kernels themselves are spec-covered).
+    * The oracle runs next to the Spark driver, so a local path works.
+    */
+  val oracleExportDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle"
+
+  /** Export only under the correctness harness ([[graft.Verify]] sets
+    * the property) — the bench run measures query time, not oracle
+    * bookkeeping. */
+  def exportOracleFrames: Boolean =
+    sys.props.get("graft.oracle.export").contains("true")
+
   /** Token 3-gram shingles over whitespace tokens. */
   def shingles(tokens: Column): Column =
     transform(
@@ -212,6 +227,15 @@ object DedupQueries extends QueryModule {
         val exploded = sigs.select(col("doc_id"),
           posexplode(bandHashes(col("sig"), bands, rows))
             .as(Seq("band_idx", "band_hash")))
+        // export the kernel outputs so the DuckDB oracle can re-derive
+        // stages 2-4 (band join, Broder pre-filter, exact verify) from
+        // the same signatures/band hashes — see oracleExportDir
+        if (exportOracleFrames) {
+          sigs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$oracleExportDir/minhash_sigs")
+          exploded.coalesce(1).write.mode("overwrite")
+            .parquet(s"$oracleExportDir/minhash_bands")
+        }
         val cand = exploded.as("x").join(exploded.as("y"),
             col("x.band_idx") === col("y.band_idx") &&
               col("x.band_hash") === col("y.band_hash") &&
@@ -233,7 +257,46 @@ object DedupQueries extends QueryModule {
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
-      oracle = None,
+      // Full-pipeline oracle: DuckDB replays candidate banding, the
+      // Broder signature-agreement pre-filter (>= 0.4), and the exact
+      // Jaccard verify (>= 0.6) from the exported kernel frames. The
+      // shingle sets are recomputed from text (same construction the
+      // q_neardup_jaccard oracle hash-matches with).
+      oracle = Some(plantedCte + s""",
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS tokens
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok),
+        |sigs AS (
+        |  SELECT * FROM read_parquet('$oracleExportDir/minhash_sigs/*.parquet')),
+        |bands AS (
+        |  SELECT * FROM read_parquet('$oracleExportDir/minhash_bands/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+        |   AND x.doc_id < y.doc_id),
+        |pref AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.id_a
+        |  JOIN sigs sb ON sb.doc_id = c.id_b
+        |  WHERE list_sum(list_transform(generate_series(1, 64),
+        |          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+        |        >= 0.4)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM pref p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
       bench = true)
   )
 }
