@@ -188,6 +188,64 @@ object SimilarityQueries extends QueryModule {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       bench = true),
 
+    // ---- Scalar-quantized (int8) retrieval with exact re-ranking —
+    // the standard two-stage pattern for 100 TB embedding corpora:
+    // store/scan 4x-smaller int8 vectors (per-vector symmetric scale =
+    // max|x|/127; scales cancel in cosine so the quantized similarity
+    // needs no dequantization), take top-20 candidates by quantized
+    // similarity, then re-score ONLY those 20 with full-precision
+    // cosine for the final top-5. The expensive exact kernel touches
+    // 20 vectors per query instead of the corpus. Quantization uses
+    // floor(x+0.5) (not round()) so DuckDB reproduces it bit-for-bit.
+    "q_ann_sq8_rerank" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+        val quantized = emb.withColumn("qv",
+          transform(col("v"), x => floor(x / scale + lit(0.5)).cast("double")))
+        val queries = quantized.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+            col("qv").as("q_qv"))
+        val corpus = quantized.select(col("vec_id").as("n_id"),
+          col("v").as("n_v"), col("qv").as("n_qv"))
+        val wQuant = Window.partitionBy("q_id")
+          .orderBy(col("qsim").desc, col("n_id"))
+        val candidates = broadcast(queries)
+          .join(corpus, col("n_id") =!= col("q_id"))
+          .withColumn("qsim", cosine(col("q_qv"), col("n_qv")))
+          .withColumn("qrank", row_number().over(wQuant))
+          .filter(col("qrank") <= 20)
+        val wExact = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        candidates
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(wExact).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + s""",
+        |q8 AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x ->
+        |      floor(x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5)) AS qv
+        |  FROM emb),
+        |cand AS (
+        |  SELECT q_id, n_id, q_v, n_v FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.v AS q_v, n.v AS n_v,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_inner_product(q.qv, n.qv) / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(n.qv, n.qv)) DESC, n.vec_id) AS qrank
+        |    FROM q8 q JOIN q8 n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE qrank <= 20)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT q_id, n_id,
+        |    list_inner_product(q_v, n_v) / sqrt(list_inner_product(q_v, q_v) * list_inner_product(n_v, n_v)) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_inner_product(q_v, n_v) / sqrt(list_inner_product(q_v, q_v) * list_inner_product(n_v, n_v)) DESC, n_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- LSH-bucketed ANN (random-hyperplane family): 8 hyperplanes
     // give a 256-bucket sign signature; neighbors are searched only
     // inside the query's bucket — an equi-join, never a scan per query.

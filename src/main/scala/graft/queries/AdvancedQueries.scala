@@ -222,6 +222,26 @@ object AdvancedQueries extends QueryModule {
         |FROM orders WHERE o_custkey < 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // ---- Two-phase exact distinct — the at-scale rewrite of
+    // COUNT(DISTINCT): phase 1 pre-aggregates on (group, distinct-key)
+    // so the shuffle carries one row per distinct pair (map-side
+    // combined) instead of the raw rows; phase 2 counts pairs per
+    // group. Unlike the built-in distinct-agg Expand, mixing the
+    // distinct count with companion SUMs costs no row multiplication,
+    // and no single reducer ever holds a hot group's full value set.
+    "q_twophase_distinct" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("pn"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum(col("pn")).as("n_events"))
+        .orderBy("event_type"),
+      oracle = Some("""
+        |SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- Exact percentiles (integer column => exact interpolated
     // values on both engines; single-pass sort-based aggregate).
     "q_percentiles" -> QueryDef(
