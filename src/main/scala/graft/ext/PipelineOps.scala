@@ -11,6 +11,24 @@ import graft.{QueryDef, QueryModule, Tables}
   * (dedup -> quality -> language agreement).
   */
 object PipelineOps {
+  import TextFunctions.{langId, qualityScore, wsTokens}
+
+  /** The per-document scoring stage of the curation pipeline — one
+    * narrow pass computing the normalized content hash, quality score,
+    * and predicted language. Shared by the batch query
+    * (`q_training_pipeline`) and the streaming ingest
+    * ([[graft.streaming.CurationIngest]]): same columns, same
+    * semantics, batch/streaming-agnostic. */
+  def curationScore(docs: DataFrame): DataFrame = {
+    val tokens = wsTokens(col("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(
+      col("doc_id"), col("lang"), col("text"),
+      md5(norm.cast("binary")).as("content_hash"),
+      qualityScore(col("text"), tokens).as("quality"),
+      langId(col("text"), tokens).as("lang_pred"))
+  }
 
   /** Connected components by iterative min-label propagation —
     * the distributed shape of duplicate-cluster resolution (each
@@ -115,14 +133,7 @@ object PipelineQueries extends QueryModule {
     "q_training_pipeline" -> QueryDef(
       fn = (spark, dir) => {
         val docs = Tables(spark, dir, "documents")
-        val tokens = wsTokens(col("text"))
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-        val scored = docs.select(
-          col("doc_id"), col("lang"), col("text"),
-          md5(norm.cast("binary")).as("content_hash"),
-          qualityScore(col("text"), tokens).as("quality"),
-          langId(col("text"), tokens).as("lang_pred"))
+        val scored = PipelineOps.curationScore(docs)
         val keeper = scored.groupBy("content_hash")
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
