@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Codifies the PLANS.md scale claims as assertions on the physical
+  * plans, so a regression in pushdown / pruning / join shape fails the
+  * suite instead of only showing up in a 100x deployment.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q_pricing_summary: filter pushed into the scan, columns pruned") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // 7 of 16 lineitem columns read
+    val scanCols = p.split("FileScan parquet \\[", 2)(1).split("]", 2)(0)
+    assert(scanCols.split(",").length == 7, scanCols)
+    assert(!scanCols.contains("l_comment"), scanCols)
+  }
+
+  test("q_nation_revenue: bounded dims broadcast, no cartesian product") {
+    val p = plan("q_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the broadcast() hints live only on nation/region; supplier must
+    // reach the join bare so the planner can shuffle it at scale
+    val optimized = SparkEntry.queries("q_nation_revenue")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    val hinted = optimized.linesIterator
+      .filter(_.contains("ResolvedHint")).mkString("\n")
+    assert(!hinted.contains("supplier"), optimized)
+  }
+
+  test("q_topk_operator: partial/final bounded-heap pair around one exchange") {
+    val p = plan("q_topk_operator")
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+  }
+
+  test("q_neardup_jaccard: length bucket is an equi-join key, not a filter") {
+    val p = plan("q_neardup_jaccard")
+    // the join's key expressions include the exploded bucket column
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("bkt"))
+    assert(joinLine.isDefined, p)
+  }
+
+  test("q_ann_cosine_topk: corpus side is never shuffled before ranking") {
+    val p = plan("q_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
