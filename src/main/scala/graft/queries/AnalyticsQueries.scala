@@ -135,6 +135,37 @@ object AnalyticsQueries extends QueryModule {
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |      FROM documents)
         |WHERE token != ''
-        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // ---- Value-RANGE window frame: per-customer rolling 7-day order
+    // stats — the frame is bounded by the ORDER-BY VALUE (epoch
+    // seconds), not a row count, so same-timestamp ties are all
+    // included and sparse histories window correctly. The rows-frame
+    // variants are covered by q_running_order_total.
+    "q_rolling_7day" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-7L * 86400, 0)
+        Tables(spark, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            count(lit(1)).over(w).as("n_7day"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+              .cast("double").as("sum_7day"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        |SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  COUNT(*) OVER w AS n_7day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7day
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

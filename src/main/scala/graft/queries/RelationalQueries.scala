@@ -93,6 +93,57 @@ object RelationalQueries extends QueryModule {
         .limit(10)
     },
 
+    // ---- Outer joins: customers (key < 100) FULL OUTER per-customer
+    // order aggregates (key < 150) — unmatched rows survive on BOTH
+    // sides (customers without orders; aggregates outside the customer
+    // filter). COALESCE everything nullable so output is deterministic.
+    q("q_outer_joins", oracle = """
+      |WITH agg AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  FROM orders WHERE o_custkey < 150 GROUP BY o_custkey)
+      |SELECT COALESCE(c.c_custkey, a.o_custkey) AS cust_key,
+      |  CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
+      |  COALESCE(a.n_orders, 0) AS n_orders,
+      |  COALESCE(a.total_price, 0.0) AS total_price
+      |FROM (SELECT * FROM customer WHERE c_custkey < 100) c
+      |FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+      |ORDER BY cust_key""".stripMargin) { implicit sd =>
+      val agg = t("orders").filter(col("o_custkey") < 150)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      t("customer").filter(col("c_custkey") < 100)
+        .join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("cust_key"),
+          when(col("c_custkey").isNull, 0L).otherwise(1L).as("has_customer"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_price"), lit(0.0)).as("total_price"))
+        .orderBy("cust_key")
+    },
+
+    // ---- Combined semi + anti join on the same fact (TPC-H Q21's
+    // EXISTS/NOT EXISTS shape): orders with at least one returned
+    // ('R') line and no accepted ('A') line. Both subqueries plan as
+    // one pass each over lineitem — no correlated re-execution.
+    q("q_exists_notexists", oracle = """
+      |SELECT o_orderkey, o_orderpriority FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'A')
+      |ORDER BY o_orderkey""".stripMargin) { implicit sd =>
+      val li = t("lineitem")
+      t("orders")
+        .join(li.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(li.filter(col("l_returnflag") === "A"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
     // ---- Multi-way star join: TPC-H Q5-style revenue by nation.
     // nation/region are broadcast (bounded at 25/5 rows at every SF);
     // supplier GROWS with SF (10k rows/SF), so it gets no hint — AQE
