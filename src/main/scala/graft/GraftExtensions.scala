@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions._
-import graft.plans.{TopKRewriteRule, TopKStrategy}
+import graft.plans.{RangeJoinRewriteRule, TopKRewriteRule, TopKStrategy}
 
 /** One-stop Catalyst integration (the `SparkSessionExtensions` packaging):
   *
@@ -62,5 +62,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
   }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualNullSafe, EqualTo, Explode, Expression, Floor, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rewrite for proximity (band) joins — the quadratic-join
+  * trap a naive user query falls into:
+  *
+  * {{{
+  *   a.join(b, abs(a("x") - b("y")) <= d)        // planned as BNLJ: O(|a|x|b|)
+  * }}}
+  *
+  * becomes a banded EQUI-join: each left row is exploded to its own
+  * `floor(x/d)` bucket ±1, the right side gets `floor(y/d)`, and the
+  * join key is bucket equality with the original band predicate kept
+  * as a post-join filter. Any pair within `d` differs by at most one
+  * bucket, so exactly ONE of the three exploded buckets matches —
+  * identical result set, no duplicates, and the physical plan is a
+  * shuffle/broadcast HASH join on a dense integer key instead of a
+  * nested-loop scan per row (the same construction `q_range_join_pairs`
+  * and `DedupFunctions.bandedPairs` apply by hand).
+  *
+  * Fires only on INNER joins whose condition has NO equi predicate
+  * (i.e. the join would otherwise be a cartesian/nested-loop plan) and
+  * contains `abs(x - y) <= d` (or `<`) with `x`/`y` from opposite
+  * sides and `d` a positive numeric literal.
+  */
+object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private case class Band(leftExpr: Expression, rightExpr: Expression, delta: Double)
+
+  private def numericLit(e: Expression): Option[Double] = e match {
+    case Literal(v: Number, _: NumericType) => Some(v.doubleValue())
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: NumericType) =>
+      Some(v.toDouble)
+    case _ => None
+  }
+
+  /** abs(x - y) <= d with x/y from opposite join sides. */
+  private def band(p: Expression, left: LogicalPlan, right: LogicalPlan): Option[Band] = {
+    def oriented(x: Expression, y: Expression, d: Double): Option[Band] =
+      if (x.references.subsetOf(left.outputSet) &&
+          y.references.subsetOf(right.outputSet)) Some(Band(x, y, d))
+      else if (x.references.subsetOf(right.outputSet) &&
+          y.references.subsetOf(left.outputSet)) Some(Band(y, x, d))
+      else None
+    p match {
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), lit) =>
+        numericLit(lit).filter(_ > 0).flatMap(oriented(x, y, _))
+      case LessThan(Abs(Subtract(x, y, _), _), lit) =>
+        numericLit(lit).filter(_ > 0).flatMap(oriented(x, y, _))
+      case _ => None
+    }
+  }
+
+  private def isEqui(p: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def split(l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+        (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
+    p match {
+      case EqualTo(l, r) => split(l, r)
+      case EqualNullSafe(l, r) => split(l, r)
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      val preds = splitConjunctivePredicates(cond)
+      if (preds.exists(isEqui(_, left, right))) j
+      else preds.flatMap(band(_, left, right)).headOption match {
+        case Some(Band(le, re, d)) if le.dataType.isInstanceOf[NumericType] &&
+            le.deterministic && re.deterministic =>
+          rewrite(j, le, re, d)
+        case _ => j
+      }
+  }
+
+  private def rewrite(j: Join, le: Expression, re: Expression, d: Double): LogicalPlan = {
+    val dLit = Literal(d, DoubleType)
+    def bucket(e: Expression): Expression =
+      Floor(Divide(Cast(e, DoubleType), dLit))
+
+    // left: materialize the base bucket, explode to {b-1, b, b+1}
+    val baseAlias = Alias(bucket(le), "__range_bucket_base")()
+    val leftProj = Project(j.left.output :+ baseAlias, j.left)
+    val base = baseAlias.toAttribute
+    val one = Literal(1L, LongType)
+    val gen = Explode(CreateArray(Seq(Subtract(base, one), base, Add(base, one))))
+    val genOut = gen.elementSchema.fields.toSeq.map(f =>
+      AttributeReference("__range_bucket_l", f.dataType, f.nullable)())
+    val leftGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = genOut, child = leftProj)
+
+    // right: one bucket
+    val rAlias = Alias(bucket(re), "__range_bucket_r")()
+    val rightProj = Project(j.right.output :+ rAlias, j.right)
+
+    // bucket equality becomes the join KEY; the original condition
+    // (including the band predicate) stays for exactness
+    val newCond = And(EqualTo(genOut.head, rAlias.toAttribute), j.condition.get)
+    val newJoin = Join(leftGen, rightProj, Inner, Some(newCond), j.hint)
+    Project(j.left.output ++ j.right.output, newJoin)
+  }
+
+  /** Install on a session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewriteRule
+}

@@ -86,6 +86,34 @@ object AdvancedQueries extends QueryModule {
         | AND b.ts <= a.ts + INTERVAL '10 minutes'
         |ORDER BY user_id, id_a, id_b""".stripMargin)),
 
+    // ---- Band join written the NAIVE way — no blocking, no equi key,
+    // just `abs(us_a - us_b) <= 60s` between two different event
+    // streams. Spark would plan this as a nested-loop join (O(n x m));
+    // the injected [[graft.plans.RangeJoinRewriteRule]] rewrites it to
+    // the banded equi-join automatically (same construction
+    // q_range_join_pairs applies by hand), so the user-facing API can
+    // stay declarative. Oracle = the plain quadratic join in DuckDB.
+    "q_range_join_auto" -> QueryDef(
+      fn = (spark, dir) => {
+        graft.plans.RangeJoinRewriteRule.install(spark)
+        val ev = Tables(spark, dir, "events")
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("id_a"), unix_micros(col("ts")).as("us_a"))
+        val b = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("id_b"), unix_micros(col("ts")).as("us_b"))
+        a.join(b, abs(col("us_a") - col("us_b")) <= 60000000L)
+          .select(col("id_a"), col("id_b"),
+            ((col("us_b") - col("us_a")) / lit(1000000.0)).as("gap_sec"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE) / 1000000.0 AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') a
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- PIVOT: order counts by year x order priority (fixed pivot
     // column list => single-pass conditional aggregation, no extra scan).
     "q_pivot_priority_by_year" -> QueryDef(

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinRewriteRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  RangeJoinRewriteRule.install(spark)
+
+  private def sensors = Seq((1L, 100L), (2L, 158L), (3L, 160L), (4L, 300L),
+    (5L, -40L), (6L, -100L)).toDF("a_id", "a_ts")
+  private def alerts = Seq((10L, 99L), (11L, 161L), (12L, 500L),
+    (13L, -42L), (14L, 0L)).toDF("b_id", "b_ts")
+
+  private def expected(d: Long) = (for {
+    (aId, aTs) <- Seq((1L, 100L), (2L, 158L), (3L, 160L), (4L, 300L), (5L, -40L), (6L, -100L))
+    (bId, bTs) <- Seq((10L, 99L), (11L, 161L), (12L, 500L), (13L, -42L), (14L, 0L))
+    if math.abs(aTs - bTs) <= d
+  } yield (aId, bId)).sorted
+
+  test("abs-band join is rewritten to a banded equi-join (no nested loop)") {
+    val joined = sensors.join(alerts, abs(col("a_ts") - col("b_ts")) <= 60)
+    val optimized = joined.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("__range_bucket"), optimized)
+
+    val physical = joined.queryExecution.executedPlan.toString()
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"), physical)
+
+    val got = joined.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got === expected(60))
+  }
+
+  test("boundary pairs (|a-b| == d exactly) are kept, no duplicates produced") {
+    // 158 vs 161: d=3 boundary; bucket edge cases around negatives too
+    val joined = sensors.join(alerts, abs(col("a_ts") - col("b_ts")) <= 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(joined === expected(3))
+    assert(joined.distinct === joined) // each qualifying pair exactly once
+  }
+
+  test("joins that already have an equi key are left alone") {
+    val l = Seq((1L, 5L), (2L, 9L)).toDF("k", "x")
+    val r = Seq((1L, 7L), (2L, 90L)).toDF("k2", "y")
+    val joined = l.join(r, col("k") === col("k2") &&
+      abs(col("x") - col("y")) <= 10)
+    val optimized = joined.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("__range_bucket"), optimized)
+    assert(joined.select("k").as[Long].collect().toSeq.sorted === Seq(1L))
+  }
+
+  test("double-typed band columns work") {
+    val l = Seq((1L, 1.05), (2L, 2.0)).toDF("id", "x")
+    val r = Seq((10L, 1.1), (11L, 5.0)).toDF("id2", "y")
+    val got = l.join(r, abs(col("x") - col("y")) <= 0.1)
+      .select("id", "id2").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10L)))
+  }
+}
