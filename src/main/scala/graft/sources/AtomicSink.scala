@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE path (the sink half of the custom-source story;
+  * [[ObservationSource]] is the read half): a text sink with the full
+  * executor-write / driver-commit contract that makes a distributed
+  * sink atomic —
+  *
+  *   1. every task writes its partition to a STAGING file and returns
+  *      the file name + row count as its `WriterCommitMessage`;
+  *   2. only the driver's `commit(messages)` publishes: staged files
+  *      are atomically renamed into the target directory and a
+  *      `_SUCCESS` manifest (total rows, file count) is written LAST —
+  *      the same readers-gate-on-manifest invariant as
+  *      [[graft.pipeline.StarSink]];
+  *   3. `abort()` deletes the staging directory — a failed or
+  *      speculatively-duplicated task can never leave partial output
+  *      in the target.
+  *
+  * Usage: `df.write.format("graft.sources.AtomicSink")
+  *   .option("path", dir).mode("append").save()`
+  */
+class AtomicSink extends TableProvider {
+  // the write schema is the DataFrame's own — tell Spark to pass it
+  // through to getTable instead of asking the source to infer one
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only source: schema comes from the DataFrame
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AtomicSinkTable(schema, properties.get("path"))
+}
+
+class AtomicSinkTable(writeSchema: StructType, path: String)
+    extends Table with SupportsWrite {
+  require(path != null, "AtomicSink requires a path option")
+  override def name(): String = s"atomic-sink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AtomicBatchWrite(path, info.queryId(), info.schema())
+      }
+    }
+}
+
+/** Driver-side coordinator: factory for task writers + the commit. */
+class AtomicBatchWrite(path: String, queryId: String, schema: StructType)
+    extends BatchWrite {
+  private val staging = s"$path/_staging_$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AtomicWriterFactory(staging, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.map(_.asInstanceOf[AtomicCommit])
+    Files.createDirectories(Paths.get(path))
+    // atomic per-file publish: rename out of staging
+    parts.foreach { p =>
+      Files.move(Paths.get(s"$staging/${p.file}"), Paths.get(s"$path/${p.file}"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val total = parts.map(_.rows).sum
+    Files.write(Paths.get(s"$path/_SUCCESS"),
+      s"""{"rows":$total,"files":${parts.length}}""".getBytes("UTF-8"))
+    deleteRecursively(new File(staging))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(new File(staging))
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}
+
+case class AtomicCommit(file: String, rows: Long) extends WriterCommitMessage
+
+class AtomicWriterFactory(staging: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AtomicDataWriter(staging, schema, partitionId, taskId)
+}
+
+/** Task-side writer: one staged tab-separated file per (partition,
+  * task attempt) — attempt-unique names mean a speculative duplicate
+  * can stage safely; only the attempt whose message reaches commit()
+  * gets published. */
+class AtomicDataWriter(staging: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId"
+  private var rows = 0L
+  private lazy val out = {
+    Files.createDirectories(Paths.get(staging))
+    Files.newBufferedWriter(Paths.get(s"$staging/$fileName"))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) "" else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case other => throw new IllegalArgumentException(
+          s"AtomicSink: unsupported type ${other.catalogString}")
+      }
+    }
+    out.write(cells.mkString("\t"))
+    out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    AtomicCommit(fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(Paths.get(s"$staging/$fileName"))
+  }
+
+  override def close(): Unit = ()
+}

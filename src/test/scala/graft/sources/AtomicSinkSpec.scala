@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AtomicSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tasks stage, driver commits: files + manifest land atomically") {
+    val dir = Files.createTempDirectory("atomic_sink").toString + "/out"
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+    df.repartition(4).write.format("graft.sources.AtomicSink")
+      .option("path", dir).mode("append").save()
+
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) === 4, files.toSeq)
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.startsWith("_staging")), files.toSeq)
+
+    val manifest = new String(Files.readAllBytes(Paths.get(s"$dir/_SUCCESS")))
+    assert(manifest.contains("\"rows\":100"), manifest)
+
+    // round-trip through the text format
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, name STRING, score DOUBLE")
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath): _*)
+    assert(back.count() === 100)
+    assert(back.agg(sum("id")).first().getLong(0) === 5050L)
+  }
+
+  test("failed job aborts: no partial output, no staging residue") {
+    val dir = Files.createTempDirectory("atomic_abort").toString + "/out"
+    val poison = udf((i: Long) => {
+      if (i == 50L) throw new RuntimeException("poisoned row")
+      i
+    })
+    val df = (1 to 100).map(_.toLong).toDF("id")
+      .withColumn("id", poison(col("id")))
+    intercept[Exception] {
+      df.repartition(4).write.format("graft.sources.AtomicSink")
+        .option("path", dir).mode("append").save()
+    }
+    val residue = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(!residue.contains("_SUCCESS"), residue)
+    assert(residue.count(_.startsWith("part-")) === 0, residue)
+  }
+}
