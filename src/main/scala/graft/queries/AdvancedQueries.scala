@@ -208,6 +208,33 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       bench = true),
 
+    // ---- Map-type scalar surface: construct, extract, count, and
+    // enumerate keys (scalar outputs only — map columns themselves
+    // don't survive the driver's column-wise hash compare).
+    "q_map_functions" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"),
+          map(lit("priority"), col("o_orderpriority"),
+            lit("status"), col("o_orderstatus")).as("m"))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "priority").as("priority"),
+          element_at(col("m"), "status").as("status"),
+          size(col("m")).cast("long").as("n_entries"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"))
+        .orderBy("o_orderkey"),
+      oracle = Some("""
+        |WITH m AS (
+        |  SELECT o_orderkey,
+        |    MAP(['priority','status'], [o_orderpriority, o_orderstatus]) AS m
+        |  FROM orders WHERE o_custkey < 30)
+        |SELECT o_orderkey,
+        |  m['priority'][1] AS priority,
+        |  m['status'][1] AS status,
+        |  CAST(cardinality(m) AS BIGINT) AS n_entries,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+        |FROM m ORDER BY o_orderkey""".stripMargin)),
+
     // ---- Approximate aggregates: HLL++ distinct count and quantile
     // sketch — THE aggregates that matter at 100 TB (fixed-size state,
     // single pass, mergeable across partitions). Algorithms differ
