@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,10 +95,15 @@ class ObservationTable(stations: Int, ticks: Int,
   override def name(): String = s"observations(stations=$stations, ticks=$ticks)"
   override def schema(): StructType = ObservationSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ObservationScanBuilder(stations, ticks, endpoint, apiKeys)
+}
+
+/** Streaming offset = number of ticks already ingested. */
+case class TickOffset(tick: Long) extends Offset {
+  override def json(): String = tick.toString
 }
 
 /** Supports column-pruning pushdown: Catalyst hands us the required
@@ -118,14 +124,42 @@ class ObservationScanBuilder(stations: Int, ticks: Int,
 
     // one partition per station — the fan-out the reference lacks
     override def planInputPartitions(): Array[InputPartition] =
-      Array.tabulate(stations)(s => StationPartition(s.toLong, ticks))
+      Array.tabulate(stations)(s => StationPartition(s.toLong, 0, ticks))
 
     override def createReaderFactory(): PartitionReaderFactory =
       new ObservationReaderFactory(required, endpoint, apiKeys)
+
+    /** Streaming form of the same scan: the reference's 5-minute cron
+      * poll as a true MicroBatchStream — each micro-batch covers the
+      * tick range (start, latest], fanned out one partition per
+      * station. Offsets are plain tick counts, so a restart resumes
+      * from the checkpoint exactly (the fixture/HTTP fetch is
+      * deterministic per (station, tick)). */
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new MicroBatchStream {
+        override def initialOffset(): Offset = TickOffset(0L)
+        // bounded fixture: all ticks are available immediately; a live
+        // deployment would return the wall-clock tick here
+        override def latestOffset(): Offset = TickOffset(ticks.toLong)
+        override def deserializeOffset(json: String): Offset =
+          TickOffset(json.toLong)
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+          val from = start.asInstanceOf[TickOffset].tick.toInt
+          val until = end.asInstanceOf[TickOffset].tick.toInt
+          Array.tabulate(stations)(s => StationPartition(s.toLong, from, until))
+        }
+
+        override def createReaderFactory(): PartitionReaderFactory =
+          new ObservationReaderFactory(required, endpoint, apiKeys)
+      }
   }
 }
 
-case class StationPartition(station: Long, ticks: Int) extends InputPartition
+case class StationPartition(station: Long, fromTick: Int, untilTick: Int)
+    extends InputPartition
 
 class ObservationReaderFactory(required: StructType,
     endpoint: Option[String], apiKeys: Seq[String])
@@ -139,8 +173,8 @@ class ObservationReaderFactory(required: StructType,
       case None => ObservationSource.fetch
     }
     new PartitionReader[InternalRow] {
-      private var tick = -1
-      override def next(): Boolean = { tick += 1; tick < p.ticks }
+      private var tick = p.fromTick - 1
+      override def next(): Boolean = { tick += 1; tick < p.untilTick }
       override def get(): InternalRow = {
         val full = fetch(p.station, tick.toLong)
         InternalRow.fromSeq(idx.toIndexedSeq.map(full))

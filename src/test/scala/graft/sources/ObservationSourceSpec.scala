@@ -44,6 +44,27 @@ class ObservationSourceSpec extends SparkSpec {
     assert(enriched.filter(col("dew_point").isNotNull).count() === 24)
   }
 
+  test("micro-batch streaming read delivers every (station, tick) exactly once") {
+    import java.nio.file.Files
+    val q = spark.readStream.format("graft.sources.ObservationSource")
+      .option("stations", 3).option("ticks", 5).load()
+      .writeStream.format("memory").queryName("t_obs_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("obs_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("t_obs_stream")
+      .select("station_id", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = read(3, 5)
+      .select("station_id", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.length === 15)
+  }
+
   test("endpoint mode issues HTTP GETs per station and matches fixture mode") {
     import java.net.InetSocketAddress
     import java.util.concurrent.ConcurrentLinkedQueue
