@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,7 +51,8 @@ class ObservationSource extends TableProvider {
       Option(properties.get("endpoint")),
       Option(properties.get("apiKeys"))
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      Option(properties.get("maxTicksPerBatch")).map(_.toInt))
 }
 
 object ObservationSource {
@@ -90,7 +91,8 @@ object ObservationSource {
 }
 
 class ObservationTable(stations: Int, ticks: Int,
-    endpoint: Option[String], apiKeys: Seq[String])
+    endpoint: Option[String], apiKeys: Seq[String],
+    maxTicksPerBatch: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"observations(stations=$stations, ticks=$ticks)"
   override def schema(): StructType = ObservationSource.schema
@@ -98,7 +100,7 @@ class ObservationTable(stations: Int, ticks: Int,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ObservationScanBuilder(stations, ticks, endpoint, apiKeys)
+    new ObservationScanBuilder(stations, ticks, endpoint, apiKeys, maxTicksPerBatch)
 }
 
 /** Streaming offset = number of ticks already ingested. */
@@ -109,7 +111,8 @@ case class TickOffset(tick: Long) extends Offset {
 /** Supports column-pruning pushdown: Catalyst hands us the required
   * schema and the reader materializes only those fields. */
 class ObservationScanBuilder(stations: Int, ticks: Int,
-    endpoint: Option[String], apiKeys: Seq[String])
+    endpoint: Option[String], apiKeys: Seq[String],
+    maxTicksPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ObservationSource.schema
 
@@ -134,9 +137,12 @@ class ObservationScanBuilder(stations: Int, ticks: Int,
       * tick range (start, latest], fanned out one partition per
       * station. Offsets are plain tick counts, so a restart resumes
       * from the checkpoint exactly (the fixture/HTTP fetch is
-      * deterministic per (station, tick)). */
+      * deterministic per (station, tick)). With `maxTicksPerBatch`
+      * set, admission control caps each micro-batch — the rate-limit /
+      * backpressure half of a production source (a burst of backlog
+      * replays as several bounded batches instead of one giant one). */
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new MicroBatchStream {
+      new MicroBatchStream with SupportsAdmissionControl {
         override def initialOffset(): Offset = TickOffset(0L)
         // bounded fixture: all ticks are available immediately; a live
         // deployment would return the wall-clock tick here
@@ -145,6 +151,19 @@ class ObservationScanBuilder(stations: Int, ticks: Int,
           TickOffset(json.toLong)
         override def commit(end: Offset): Unit = ()
         override def stop(): Unit = ()
+
+        override def getDefaultReadLimit: ReadLimit =
+          maxTicksPerBatch.map(m => ReadLimit.maxRows(m.toLong))
+            .getOrElse(ReadLimit.allAvailable())
+
+        override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+          val from = start.asInstanceOf[TickOffset].tick
+          val cap = maxTicksPerBatch.map(m => math.min(ticks.toLong, from + m))
+            .getOrElse(ticks.toLong)
+          TickOffset(cap)
+        }
+
+        override def reportLatestOffset(): Offset = TickOffset(ticks.toLong)
 
         override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
           val from = start.asInstanceOf[TickOffset].tick.toInt

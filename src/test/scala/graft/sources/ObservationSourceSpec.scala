@@ -65,6 +65,25 @@ class ObservationSourceSpec extends SparkSpec {
     assert(streamed.length === 15)
   }
 
+  test("admission control caps ticks per micro-batch (rate limiting)") {
+    import java.nio.file.Files
+    val q = spark.readStream.format("graft.sources.ObservationSource")
+      .option("stations", 2).option("ticks", 5)
+      .option("maxTicksPerBatch", 2).load()
+      .writeStream.format("memory").queryName("t_obs_limited")
+      .option("checkpointLocation",
+        Files.createTempDirectory("obs_ckpt_lim").toString)
+      .start()
+    q.processAllAvailable() // drains the backlog through rate-limited batches
+    q.stop()
+
+    // 5 ticks at <=2 per batch => 3 non-empty batches, all rows once
+    assert(spark.table("t_obs_limited").count() === 10)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3, batches.map(_.numInputRows).toSeq)
+    assert(batches.map(_.numInputRows).toSeq === Seq(4, 4, 2))
+  }
+
   test("endpoint mode issues HTTP GETs per station and matches fixture mode") {
     import java.net.InetSocketAddress
     import java.util.concurrent.ConcurrentLinkedQueue
