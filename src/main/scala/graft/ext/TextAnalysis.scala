@@ -165,6 +165,35 @@ object TextQueries extends QueryModule {
         |FROM (SELECT * FROM docs WHERE doc_id < 1000000) a
         |JOIN (SELECT doc_id - 1000000 AS doc_id, text FROM docs
         |      WHERE doc_id >= 1000000) b USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin))
+        |ORDER BY a.doc_id""".stripMargin)),
+
+    // ---- Deterministic stratified sampling: a fixed per-language
+    // quota selected by content-hash order — the reproducible way to
+    // downsample a corpus per stratum (rand() samples differ per run
+    // and per engine; hash order is stable everywhere). Scale shape:
+    // one shuffle on (lang), per-key top-k by hash — and with the
+    // TopKRewriteRule installed, the row_number window plans as the
+    // bounded-heap operator, so only 20 rows per language per
+    // partition ever reach the shuffle.
+    "q_stratified_sample" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("h")
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            md5(concat(col("doc_id").cast("string"), col("text"))
+              .cast("binary")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("lang", "doc_id", "h")
+          .orderBy("lang", "h")
+      },
+      oracle = Some("""
+        |SELECT lang, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || text) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || text)) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, h""".stripMargin))
   )
 }
