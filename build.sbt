@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix):
+// the driver machine-parses the one JSON line Bench/Verify print, and
+// sbt's default LoggedOutput strategy prefixes every line, which made
+// BENCH_r{1,2}.json come back "parsed": null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
