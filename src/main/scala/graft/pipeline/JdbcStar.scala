@@ -57,11 +57,18 @@ object JdbcStar {
       .select("station_id", "city", "country_code")
 
   /** Write all five star tables + manifest over JDBC; returns per-table
-    * row counts. Ordering: dims first (any order), fact next, manifest
-    * LAST — see class doc. */
+    * row counts. Ordering: manifest CLEARED first, dims next (any
+    * order), fact, then the manifest row LAST — see class doc. The
+    * clear-first step matters: every table is written with Overwrite,
+    * so without it a reader gating on "manifest row exists" could see
+    * the previous batch's manifest while D_* / F_WEATHER are mid-
+    * rewrite and mistake a half-overwritten star for a complete one.
+    * `batchId` is stamped into the manifest so readers (and retries)
+    * can tell WHICH batch completed, not just that one did. */
   def writeStar(enriched: DataFrame, url: String, driver: String,
       deterministicKeys: Boolean = true,
-      maxConnections: Int = 8): Map[String, Long] = {
+      maxConnections: Int = 8,
+      batchId: Long = System.currentTimeMillis()): Map[String, Long] = {
     val cached = StarSchema.withKeys(enriched, deterministicKeys)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -77,6 +84,13 @@ object JdbcStar {
           .mode(SaveMode.Overwrite)
           .save()
 
+      val spark = enriched.sparkSession
+      import spark.implicits._
+      // invalidate the previous batch's completeness marker BEFORE
+      // touching any star table (see scaladoc above)
+      save(Seq.empty[(Long, Long, Int)].toDF("batch_id", "rows", "tables"),
+        manifestTable)
+
       save(star.timeDim, "D_TIME")
       save(star.paramDim, "D_WEATHER_PARAMETERS")
       save(star.tempDim, "D_TEMPERATURE")
@@ -84,9 +98,7 @@ object JdbcStar {
       save(star.fact, "F_WEATHER")
 
       // manifest last: the batch is complete iff this row exists
-      val spark = enriched.sparkSession
-      import spark.implicits._
-      save(Seq((n, 5)).toDF("rows", "tables"), manifestTable)
+      save(Seq((batchId, n, 5)).toDF("batch_id", "rows", "tables"), manifestTable)
 
       Map("F_WEATHER" -> n, "D_TIME" -> n, "D_WEATHER_PARAMETERS" -> n,
         "D_TEMPERATURE" -> n, "D_HEAT_INDEX" -> n)

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualNullSafe, EqualTo, Explode, Expression, Floor, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualNullSafe, EqualTo, Explode, Expression, Floor, If, IntegralDivide, LessThan, LessThanOrEqual, Literal, PredicateHelper, Remainder, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DoubleType, IntegerType, LongType, NumericType, ShortType}
 
 /** Optimizer rewrite for proximity (band) joins — the quadratic-join
   * trap a naive user query falls into:
@@ -31,18 +31,41 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private case class Band(leftExpr: Expression, rightExpr: Expression, delta: Double)
+  private case class Band(leftExpr: Expression, rightExpr: Expression, delta: Literal)
 
-  private def numericLit(e: Expression): Option[Double] = e match {
-    case Literal(v: Number, _: NumericType) => Some(v.doubleValue())
-    case Literal(v: org.apache.spark.sql.types.Decimal, _: NumericType) =>
-      Some(v.toDouble)
+  private def numericLit(e: Expression): Option[Literal] = e match {
+    case l @ Literal(_: Number, _: NumericType) => Some(l)
+    case l @ Literal(_: Decimal, _: NumericType) => Some(l)
+    case _ => None
+  }
+
+  private def litDouble(l: Literal): Double = l.value match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
+  /** The literal rounded UP to a Long bucket width, when that is exact
+    * and positive. `ceil` is safe: widening the bucket can only move a
+    * true pair from "one bucket apart" to "same bucket" — never out of
+    * the ±1 neighborhood the explode covers. */
+  private def litCeilLong(l: Literal): Option[Long] = l.value match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case j: Long => Some(j)
+    case d: Decimal =>
+      val bd = d.toBigDecimal.setScale(0, scala.math.BigDecimal.RoundingMode.CEILING)
+      if (bd.isValidLong) Some(bd.toLong) else None
+    case f: Float => litCeilLong(Literal(f.toDouble, DoubleType))
+    case d: Double =>
+      val c = math.ceil(d)
+      if (c >= 1 && c <= 9.2e18) Some(c.toLong) else None
     case _ => None
   }
 
   /** abs(x - y) <= d with x/y from opposite join sides. */
   private def band(p: Expression, left: LogicalPlan, right: LogicalPlan): Option[Band] = {
-    def oriented(x: Expression, y: Expression, d: Double): Option[Band] =
+    def oriented(x: Expression, y: Expression, d: Literal): Option[Band] =
       if (x.references.subsetOf(left.outputSet) &&
           y.references.subsetOf(right.outputSet)) Some(Band(x, y, d))
       else if (x.references.subsetOf(right.outputSet) &&
@@ -50,9 +73,9 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       else None
     p match {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), lit) =>
-        numericLit(lit).filter(_ > 0).flatMap(oriented(x, y, _))
+        numericLit(lit).filter(litDouble(_) > 0).flatMap(oriented(x, y, _))
       case LessThan(Abs(Subtract(x, y, _), _), lit) =>
-        numericLit(lit).filter(_ > 0).flatMap(oriented(x, y, _))
+        numericLit(lit).filter(litDouble(_) > 0).flatMap(oriented(x, y, _))
       case _ => None
     }
   }
@@ -80,10 +103,34 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  private def rewrite(j: Join, le: Expression, re: Expression, d: Double): LogicalPlan = {
-    val dLit = Literal(d, DoubleType)
-    def bucket(e: Expression): Expression =
-      Floor(Divide(Cast(e, DoubleType), dLit))
+  private def rewrite(j: Join, le: Expression, re: Expression, d: Literal): LogicalPlan = {
+    // Integral band columns must NOT take the double-division path: the
+    // Double cast rounds above 2^53, so two values truly within d could
+    // land more than one bucket apart and the equi-join would silently
+    // drop the pair (unix_micros at ~1.7e15 is only a few bits below
+    // the 9e15 limit). Exact integer floor-division instead:
+    //   floorDiv(x, w) = x div w - (1 if x % w < 0 else 0)
+    // (overflow-free for w >= 1; w = ceil(d) keeps pairs within +-1
+    // bucket). Fractional columns keep the double path — their values
+    // already live in double precision.
+    def isIntegral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val integral = isIntegral(le.dataType) && isIntegral(re.dataType)
+    val widthOpt = if (integral) litCeilLong(d) else None
+    def bucket(e: Expression): Expression = widthOpt match {
+      case Some(w) =>
+        val wLit = Literal(w, LongType)
+        val x = if (e.dataType == LongType) e else Cast(e, LongType)
+        val zero = Literal(0L, LongType)
+        Subtract(
+          IntegralDivide(x, wLit),
+          If(LessThan(Remainder(x, wLit), zero), Literal(1L, LongType), zero))
+      case None =>
+        Floor(Divide(Cast(e, DoubleType), Cast(d, DoubleType)))
+    }
+    if (integral && widthOpt.isEmpty) return j // d not representable: keep BNLJ
 
     // left: materialize the base bucket, explode to {b-1, b, b+1}
     val baseAlias = Alias(bucket(le), "__range_bucket_base")()

@@ -27,6 +27,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *      speculatively-duplicated task can never leave partial output
   *      in the target.
   *
+  * FILESYSTEM ASSUMPTION: writers stage and the driver commits through
+  * `java.nio` paths, so `path` must resolve to the SAME filesystem on
+  * driver and executors — local mode (this project's deployment) or a
+  * shared POSIX mount (NFS). On HDFS/S3 the commit protocol stands but
+  * the file ops must go through Hadoop `FileSystem` (and S3 renames
+  * are copies, so publish via manifest-listed staging paths instead of
+  * moves — the [[graft.pipeline.StarSink]] manifest pattern).
+  *
+  * Staging residue: a speculative task attempt that is still running
+  * when the driver commits can lazily recreate `_staging_<queryId>`
+  * after commit() deleted it (its own abort removes the file but
+  * leaves the directory). Staging dirs are therefore query-tagged,
+  * readers never match `_staging_*`, and the next write to the same
+  * target cleans any stale staging dirs before launching tasks.
+  *
   * Usage: `df.write.format("graft.sources.AtomicSink")
   *   .option("path", dir).mode("append").save()`
   */
@@ -65,8 +80,16 @@ class AtomicBatchWrite(path: String, queryId: String, schema: StructType)
     extends BatchWrite {
   private val staging = s"$path/_staging_$queryId"
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task launches: sweep staging dirs left by
+    // PREVIOUS queries (a late speculative attempt can recreate its
+    // staging dir after that query's commit deleted it — see class doc)
+    Option(new File(path).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("_staging_") && f.getName != s"_staging_$queryId")
+        deleteRecursively(f)
+    })
     new AtomicWriterFactory(staging, schema)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val parts = messages.map(_.asInstanceOf[AtomicCommit])

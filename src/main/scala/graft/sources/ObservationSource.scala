@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -152,13 +152,28 @@ class ObservationScanBuilder(stations: Int, ticks: Int,
         override def commit(end: Offset): Unit = ()
         override def stop(): Unit = ()
 
+        // advertised in ROWS (the engine's unit): each admitted tick
+        // yields one row per station
         override def getDefaultReadLimit: ReadLimit =
-          maxTicksPerBatch.map(m => ReadLimit.maxRows(m.toLong))
+          maxTicksPerBatch.map(m => ReadLimit.maxRows(m.toLong * stations))
             .getOrElse(ReadLimit.allAvailable())
 
+        /** Row limit → tick cap (ceil: a partial tick admits whole —
+          * offsets are tick-granular so we can't split one). */
+        private def tickCap(limit: ReadLimit): Option[Long] = limit match {
+          case r: ReadMaxRows =>
+            Some(math.max(1L, (r.maxRows() + stations - 1) / stations))
+          case c: CompositeReadLimit =>
+            c.getReadLimits.toSeq.flatMap(tickCap(_))
+              .reduceOption((a, b) => math.min(a, b))
+          case _ => None
+        }
+
+        // honor the ReadLimit the ENGINE passes (it may compose or
+        // override our default), not just our own option
         override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
           val from = start.asInstanceOf[TickOffset].tick
-          val cap = maxTicksPerBatch.map(m => math.min(ticks.toLong, from + m))
+          val cap = tickCap(limit).map(m => math.min(ticks.toLong, from + m))
             .getOrElse(ticks.toLong)
           TickOffset(cap)
         }

@@ -13,23 +13,35 @@ import graft.ext.PipelineOps
   * appended to the curated store.
   *
   * Cross-batch dedup is a `left_anti` join of the batch against the
-  * accumulated content-hash ledger (itself appended per batch inside
-  * the same foreachBatch, so the pair commits together per epoch).
-  * First-seen wins — the streaming-native keeper rule (a global
-  * min-doc_id keeper is unknowable while later batches are still
-  * arriving). At scale the ledger is a compact (hash)-only table,
-  * hash-partitioned; the anti-join is one shuffle on uniform 128-bit
-  * keys, and the batch side is micro-batch-sized. State never lives in
-  * executor memory — this is why foreachBatch + a ledger table beats
-  * `dropDuplicates` streaming state for an unbounded corpus.
+  * accumulated content-hash ledger. First-seen wins — the
+  * streaming-native keeper rule (a global min-doc_id keeper is
+  * unknowable while later batches are still arriving). At scale the
+  * ledger is a compact (hash)-only table, hash-partitioned; the
+  * anti-join is one shuffle on uniform 128-bit keys, and the batch
+  * side is micro-batch-sized. State never lives in executor memory —
+  * this is why foreachBatch + a ledger table beats `dropDuplicates`
+  * streaming state for an unbounded corpus.
+  *
+  * Exactly-once effect under retry: foreachBatch is at-least-once, so
+  * both sinks are keyed by the engine's `batchId` — each micro-batch
+  * OVERWRITES its own `batch_id=N` partition of the curated store and
+  * of the ledger, and the anti-join excludes the current batch's own
+  * ledger partition. A retried epoch therefore recomputes the same
+  * survivor set (its half-written partitions are ignored by the
+  * dedup and then atomically replaced), instead of re-appending
+  * duplicates — the failure mode a naive Append-mode pair has when a
+  * crash lands between the two writes. Batch N+1 never runs before
+  * N's checkpoint commits, so cross-batch ordering is preserved.
   */
 object CurationIngest {
 
   /** One micro-batch: score, filter, dedup (in-batch then vs ledger),
-    * append survivors to `outDir` and their hashes to `ledgerDir`.
-    * Exposed for direct testing; [[start]] wires it into foreachBatch. */
+    * then overwrite this batch's `batch_id=N` partition of `outDir`
+    * and `ledgerDir` with the survivors / their hashes (idempotent
+    * under foreachBatch retry — see class doc). Exposed for direct
+    * testing; [[start]] wires it into foreachBatch. */
   def processBatch(spark: SparkSession, batch: DataFrame,
-      outDir: String, ledgerDir: String): Unit = {
+      outDir: String, ledgerDir: String, batchId: Long): Unit = {
     val scored = PipelineOps.curationScore(batch)
       .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
     // in-batch keeper: min doc_id per hash (deterministic)
@@ -38,21 +50,36 @@ object CurationIngest {
     val inBatch = scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    val fresh = ledger(spark, ledgerDir) match {
+    // dedup against every PRIOR batch's hashes; a retry's own
+    // half-committed partition must not mask its recomputation
+    val fresh = ledger(spark, ledgerDir, excludeBatch = batchId) match {
       case Some(seen) => inBatch.join(seen, Seq("content_hash"), "left_anti")
       case None => inBatch
     }
     val out = fresh.select("doc_id", "lang", "quality", "content_hash").persist()
     try {
-      out.drop("content_hash")
-        .write.mode(SaveMode.Append).parquet(outDir)
+      // ledger first: if we crash between the writes, the hashes are
+      // already durable and the retry (or a reader) can reconcile;
+      // both writes replace the batch partition, so replays converge
       out.select("content_hash")
-        .write.mode(SaveMode.Append).parquet(ledgerDir)
+        .write.mode(SaveMode.Overwrite).parquet(batchPath(ledgerDir, batchId))
+      out.drop("content_hash")
+        .write.mode(SaveMode.Overwrite).parquet(batchPath(outDir, batchId))
     } finally out.unpersist()
   }
 
-  private def ledger(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(dir).exists()) Some(spark.read.parquet(dir)) else None
+  private def batchPath(dir: String, batchId: Long) = s"$dir/batch_id=$batchId"
+
+  private def ledger(spark: SparkSession, dir: String,
+      excludeBatch: Long): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    // partition discovery needs >=1 committed batch dir under the root
+    if (root.exists() && root.listFiles().exists(_.getName.startsWith("batch_id=")))
+      Some(spark.read.option("basePath", dir).parquet(dir)
+        .filter(col("batch_id") =!= excludeBatch)
+        .select("content_hash"))
+    else None
+  }
 
   /** File-stream ingest over a parquet directory (AvailableNow for
     * replay harnesses; a production run would use a continuous
@@ -65,8 +92,8 @@ object CurationIngest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, outDir, ledgerDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, outDir, ledgerDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir-__checkpoint")

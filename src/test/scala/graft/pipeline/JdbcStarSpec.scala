@@ -30,16 +30,17 @@ class JdbcStarSpec extends SparkSpec {
   }
 
   test("star schema round-trips through JDBC; manifest commits last") {
-    val counts = JdbcStar.writeStar(enriched, url, driver, maxConnections = 2)
+    val counts = JdbcStar.writeStar(enriched, url, driver, maxConnections = 2,
+      batchId = 7L)
     assert(counts.values.toSet === Set(2L))
 
     def read(table: String) =
       JdbcStar.readTable(spark, url, table, driver)
 
-    // manifest present (written last => batch complete)
-    val manifest = read(JdbcStar.manifestTable).collect()
-    assert(manifest.length === 1)
-    assert(manifest.head.getLong(0) === 2L)
+    // manifest present (written last => batch complete), batch stamped
+    val manifest = read(JdbcStar.manifestTable)
+      .select("batch_id", "rows").as[(Long, Long)].collect()
+    assert(manifest.toSeq === Seq((7L, 2L)))
 
     // every fact row joins back to all four dims with intact values
     val joined = read("F_WEATHER")
@@ -55,6 +56,16 @@ class JdbcStarSpec extends SparkSpec {
     val star = StarSchema.split(enriched)
     assert(read("D_TIME").orderBy("time_id").collect().toSeq ===
       star.timeDim.orderBy("time_id").collect().toSeq)
+  }
+
+  test("rewriting a batch replaces the manifest (no stale complete marker)") {
+    JdbcStar.writeStar(enriched, url, driver, maxConnections = 2, batchId = 8L)
+    JdbcStar.writeStar(enriched, url, driver, maxConnections = 2, batchId = 9L)
+    val manifest = JdbcStar.readTable(spark, url, JdbcStar.manifestTable, driver)
+      .select("batch_id").as[Long].collect()
+    // exactly one row, and it names the LATEST batch: the previous
+    // batch's marker was cleared before any star table was touched
+    assert(manifest.toSeq === Seq(9L))
   }
 
   test("station seed read pushes the enabled=1 predicate down (O-1)") {

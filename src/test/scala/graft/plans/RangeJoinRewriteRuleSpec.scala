@@ -52,6 +52,33 @@ class RangeJoinRewriteRuleSpec extends SparkSpec {
     assert(joined.select("k").as[Long].collect().toSeq.sorted === Seq(1L))
   }
 
+  test("long values above 2^53 bucket exactly (no double rounding)") {
+    // Above 2^53 a Double cast rounds to multiples of >=2: with the old
+    // floor(x/d) double bucketing these neighbors could land more than
+    // one bucket apart and the pair silently vanished from the result.
+    val base = (1L << 60) + 12345L // unrepresentable in Double
+    val l = Seq((1L, base), (2L, base + 1000L)).toDF("id", "x")
+    val r = Seq((10L, base + 3L), (11L, base + 999L), (12L, base + 5000L))
+      .toDF("id2", "y")
+    val joined = l.join(r, abs(col("x") - col("y")) <= 7)
+    val optimized = joined.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("__range_bucket"), optimized) // rewrite fired
+    val got = joined.select("id", "id2").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got === Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("fractional delta over integer columns still buckets exactly") {
+    val base = (1L << 60) + 777L
+    val l = Seq((1L, base)).toDF("id", "x")
+    val r = Seq((10L, base + 2L), (11L, base + 9L)).toDF("id2", "y")
+    // ceil(2.5) = 3 becomes the integer bucket width; predicate keeps
+    // exactness
+    val got = l.join(r, abs(col("x") - col("y")) <= 2.5)
+      .select("id", "id2").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10L)))
+  }
+
   test("double-typed band columns work") {
     val l = Seq((1L, 1.05), (2L, 2.0)).toDF("id", "x")
     val r = Seq((10L, 1.1), (11L, 5.0)).toDF("id2", "y")

@@ -32,6 +32,23 @@ class AtomicSinkSpec extends SparkSpec {
     assert(back.agg(sum("id")).first().getLong(0) === 5050L)
   }
 
+  test("stale staging dirs from earlier queries are swept by the next write") {
+    val dir = Files.createTempDirectory("atomic_sweep").toString + "/out"
+    // simulate a late speculative attempt recreating its staging dir
+    // after that query's commit already deleted it
+    Files.createDirectories(Paths.get(s"$dir/_staging_deadbeef"))
+    Files.write(Paths.get(s"$dir/_staging_deadbeef/part-00001-9"),
+      "leftover".getBytes("UTF-8"))
+
+    Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+      .write.format("graft.sources.AtomicSink")
+      .option("path", dir).mode("append").save()
+
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(!names.exists(_.startsWith("_staging")), names.toSeq)
+    assert(names.contains("_SUCCESS"))
+  }
+
   test("failed job aborts: no partial output, no staging residue") {
     val dir = Files.createTempDirectory("atomic_abort").toString + "/out"
     val poison = udf((i: Long) => {

@@ -20,6 +20,9 @@ class CurationIngestSpec extends SparkSpec {
       .select(col("doc_id"), col("text"), col("lang"),
         lit("src").as("source"), length(col("text")).as("n_chars"))
 
+  private def ingestedIds(out: String): Seq[Long] =
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+
   test("per-batch processing dedups in-batch and against the ledger") {
     val base = Files.createTempDirectory("curation").toString
     val (out, ledger) = (s"$base/out", s"$base/ledger")
@@ -28,10 +31,9 @@ class CurationIngestSpec extends SparkSpec {
     CurationIngest.processBatch(spark,
       docs((1L, goodText, "en"), (2L, goodText + " extra words here", "en"),
         (3L, goodText, "en")),
-      out, ledger)
-    val after1 = spark.read.parquet(out).as[(Long, String, Double)]
-      .collect().map(_._1).sorted.toSeq
-    assert(after1 === Seq(1L, 2L)) // 3 collapsed into 1 (same normalized text)
+      out, ledger, batchId = 0L)
+    // 3 collapsed into 1 (same normalized text)
+    assert(ingestedIds(out) === Seq(1L, 2L))
 
     // batch 2: cross-batch duplicate of doc 1 (punctuation differs but
     // normalizes identically) + one genuinely new doc + one low-quality
@@ -39,10 +41,29 @@ class CurationIngestSpec extends SparkSpec {
       docs((10L, goodText + "!!!", "en"),
         (11L, goodText + " completely new tail of the second batch", "en"),
         (12L, "short low quality", "en")),
-      out, ledger)
-    val after2 = spark.read.parquet(out).as[(Long, String, Double)]
-      .collect().map(_._1).sorted.toSeq
-    assert(after2 === Seq(1L, 2L, 11L)) // 10 deduped vs ledger; 12 filtered
+      out, ledger, batchId = 1L)
+    // 10 deduped vs ledger; 12 filtered
+    assert(ingestedIds(out) === Seq(1L, 2L, 11L))
+  }
+
+  test("a retried micro-batch replaces its partition instead of duplicating") {
+    val base = Files.createTempDirectory("curation_retry").toString
+    val (out, ledger) = (s"$base/out", s"$base/ledger")
+
+    CurationIngest.processBatch(spark,
+      docs((1L, goodText, "en")), out, ledger, batchId = 0L)
+    val b1 = docs((2L, goodText + " second batch text", "en"),
+      (3L, goodText, "en")) // 3 duplicates batch 0's doc 1
+
+    // foreachBatch is at-least-once: the same epoch can run twice
+    // (e.g. crash after the writes but before the checkpoint commit)
+    CurationIngest.processBatch(spark, b1, out, ledger, batchId = 1L)
+    CurationIngest.processBatch(spark, b1, out, ledger, batchId = 1L)
+
+    // no duplicates: the replay overwrote batch 1's partition
+    assert(ingestedIds(out) === Seq(1L, 2L))
+    assert(spark.read.parquet(ledger).select("content_hash")
+      .distinct().count() === 2)
   }
 
   test("file-stream ingest (AvailableNow) processes batches incrementally") {
@@ -58,12 +79,12 @@ class CurationIngestSpec extends SparkSpec {
     val q = CurationIngest.start(spark, src, out, ledger)
     q.awaitTermination(120000)
 
-    val ingested = spark.read.parquet(out).select("doc_id")
-      .as[Long].collect().sorted.toSeq
+    val ingested = ingestedIds(out)
     // exactly one keeper per distinct normalized text, across all files
     assert(ingested.length === 3)
     assert(ingested.toSet.intersect(Set(1L, 5L)).size === 1)
     // the ledger holds one hash per distinct text
-    assert(spark.read.parquet(ledger).distinct().count() === 3)
+    assert(spark.read.parquet(ledger).select("content_hash")
+      .distinct().count() === 3)
   }
 }
