@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE size post-shuffle partitions by bytes (advisory 64MB)
+      // instead of padding to full parallelism — the Spark docs'
+      // recommended production setting; locally it also stops tiny
+      // shuffles from paying 32 tasks of scheduling overhead per stage
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

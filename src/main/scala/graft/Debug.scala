@@ -2,23 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: run one named query and print result/plan/exception. */
+/** Dev-only: run one named query and print result/plan/exception.
+  *
+  * `--time` switches to the Bench session shape (local[N], AQE on)
+  * and prints per-run wall times instead of rows — for profiling a
+  * single query without a full bench pass.
+  */
 object Debug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val sfDir = args.drop(1).find(_.startsWith("/"))
+      .getOrElse("/root/testdata/sf0.001")
+    val timing = args.contains("--time")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (timing) "32" else "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", timing.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (args.contains("--explain")) df.explain("formatted")
-      df.show(10, truncate = false)
-      println(s"rows: ${df.count()}")
+      if (timing) {
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() // warm
+        spark.catalog.clearCache()
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(spark, sfDir).count()
+          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          spark.catalog.clearCache()
+        }
+      } else {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (args.contains("--explain")) df.explain("formatted")
+        df.show(10, truncate = false)
+        println(s"rows: ${df.count()}")
+      }
     } catch {
       case e: Throwable =>
         e.printStackTrace()
