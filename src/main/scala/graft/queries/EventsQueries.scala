@@ -45,6 +45,30 @@ object EventsQueries extends QueryModule {
         |       CAST(SUM(n) AS BIGINT) AS n_events
         |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // ---- Interval join (stream-stream join's batch twin): purchases
+    // attributed to same-user clicks in the preceding 10 minutes. The
+    // user_id equality keys the join (hash/sort-merge, never a nested
+    // loop); the time bounds filter post-join. The SAME definition
+    // runs as a watermarked stream-stream join (EventsStreamSpec
+    // parity test).
+    "q_click_attribution" -> QueryDef(
+      fn = (spark, dir) => {
+        val ev = Tables(spark, dir, "events")
+        EventsStream.clickAttribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+          .orderBy("click_id", "purchase_id")
+      },
+      oracle = Some("""
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS micros_after
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+        |ORDER BY click_id, purchase_id""".stripMargin),
+      bench = true),
+
     // ---- Session windows: 30-minute-gap sessionization per user.
     // Spark: built-in session_window. DuckDB: classic gaps-and-islands
     // (new session when the gap since the previous event is >= 30 min —

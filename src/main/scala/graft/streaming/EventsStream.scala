@@ -41,6 +41,58 @@ object EventsStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"))
 
+  /** Interval join (click→purchase attribution): pair each purchase
+    * with every click by the SAME user in the preceding 10 minutes.
+    * One definition serves batch (oracle-checked as
+    * `q_click_attribution`) and the watermarked stream-stream join
+    * ([[streamingClickAttribution]]).
+    *
+    * Scale shape: the user_id equality is the join KEY, so this plans
+    * as a shuffle hash/sort-merge equi-join with the time bounds as a
+    * post-join filter — never a nested loop. Per-key work is
+    * |clicks_u| x |purchases_u| only within one user; a pathological
+    * hot user calls for salting ([[graft.ops.ScaleJoins.saltedJoin]])
+    * or time-bucket banding ([[graft.plans.RangeJoinRewriteRule]]'s
+    * construction) on top of the same definition. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("c_user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user_id").as("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("micros_after"))
+  }
+
+  /** Stream-stream form of [[clickAttribution]]: both sides watermarked
+    * 30 minutes, so the join state for a click is dropped once the
+    * purchase-side watermark passes click_ts + 10 minutes — bounded
+    * state, append-mode output (rows emit when matched; an inner
+    * time-interval join needs no end-of-window wait). */
+  def streamingClickAttribution(
+      spark: SparkSession,
+      sourceDir: String,
+      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    def src = spark.readStream.schema(schema).parquet(sourceDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .withWatermark("ts", "30 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "30 minutes")
+    clickAttribution(clicks, purchases)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming variant: watermarked, exactly-once per (event_id) within
     * the watermark horizon. `sourceDir` is a parquet directory treated
     * as a file stream (the standard replay harness). */

@@ -54,6 +54,36 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum === 6)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val dir = Files.createTempDirectory("events_ssjoin").toString
+    val events = Seq(
+      (1L, 10L, "click", 0.0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 10L, "purchase", 9.0, Timestamp.valueOf("2024-01-01 10:04:00")), // within 10m of 1
+      (3L, 10L, "purchase", 5.0, Timestamp.valueOf("2024-01-01 10:15:00")), // outside
+      (4L, 11L, "click", 0.0, Timestamp.valueOf("2024-01-01 10:03:00")),
+      (5L, 11L, "purchase", 2.0, Timestamp.valueOf("2024-01-01 10:03:30")), // within
+      (6L, 12L, "purchase", 1.0, Timestamp.valueOf("2024-01-01 10:02:00")), // no click
+      (7L, 10L, "click", 0.0, Timestamp.valueOf("2024-01-01 10:10:00")),    // 3 within 10m
+      (8L, 13L, "view", 0.0, Timestamp.valueOf("2024-01-01 12:00:00"))      // advances watermark
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    events.write.mode("overwrite").parquet(dir)
+
+    val q = EventsStream.streamingClickAttribution(spark, dir, "t_attrib")
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("t_attrib")
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batch = EventsStream.clickAttribution(
+        events.filter($"event_type" === "click"),
+        events.filter($"event_type" === "purchase"))
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(r => (r._1, r._2)) === Seq((1L, 2L), (4L, 5L), (7L, 3L)))
+    assert(streamed.map(_._4) === Seq(240000000L, 30000000L, 300000000L))
+  }
+
   test("batch hourlyRollup buckets by event-time hour") {
     val out = EventsStream.hourlyRollup(mkEvents.dropDuplicates("event_id"))
       .orderBy("hour_start", "event_type")
