@@ -15,6 +15,43 @@ object AnalyticsQueries extends QueryModule {
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
+    // ---- Data-contract report (ops/QualityChecks): nullability +
+    // domain checks fold into ONE conditional-aggregation pass per
+    // table; duplicate keys are a count-distinct; FK orphans are
+    // anti-join counts. The report is a handful of rows at any scale.
+    "q_dq_report" -> QueryDef(
+      fn = (spark, dir) => {
+        import graft.ops.QualityChecks._
+        val orders = Tables(spark, dir, "orders")
+        val lineitem = Tables(spark, dir, "lineitem")
+        val customer = Tables(spark, dir, "customer")
+        report(
+          columnChecks(orders,
+            "null_custkey" -> col("o_custkey").isNull,
+            "nonpositive_totalprice" -> (col("o_totalprice") <= 0),
+            "bad_orderstatus" -> !col("o_orderstatus").isin("O", "F", "P")),
+          duplicateKeys(orders, "dup_orderkey", "o_orderkey"),
+          orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+            "orphan_lineitem"),
+          orphans(orders, "o_custkey", customer, "c_custkey",
+            "orphan_orders_customer"))
+      },
+      oracle = Some("""
+        |SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad FROM (
+        |  SELECT 'null_custkey' AS check_name,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_bad FROM orders
+        |  UNION ALL SELECT 'nonpositive_totalprice',
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'bad_orderstatus',
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'dup_orderkey',
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'orphan_lineitem', COUNT(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'orphan_orders_customer', COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |) ORDER BY check_name""".stripMargin)),
+
     // ---- Gap-fill: hourly per-type event-count series with missing
     // hours filled by carry-forward (a date spine from sequence() +
     // cross join with the type dimension + last(ignoreNulls) window).
