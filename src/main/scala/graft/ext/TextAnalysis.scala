@@ -59,6 +59,35 @@ object TextFunctions {
       .when(fr >= de, "fr")
       .otherwise("de")
   }
+
+  /** Two-pass exact heavy hitters: tokens with frequency >
+    * total/denom, with exact counts.
+    *
+    * Pass 1 (sketch): [[graft.functions.MisraGries]] keeps at most `k`
+    * counters per partition, so the full token multiset is NEVER
+    * shuffled — only k-counter sketches merge. The result (candidate
+    * superset + exact total) is one tiny driver-side row: sketch
+    * metadata, like AQE's runtime stats, not data. Pass 2 (verify):
+    * exact counts for candidates only — the pre-shuffle filter means
+    * the groupBy shuffles <= k distinct tokens. Output is exact and
+    * deterministic regardless of partitioning (k >= denom makes the
+    * sketch's n/(k+1) error smaller than the n/denom threshold, so no
+    * true hitter can be missed). */
+  def heavyHitters(docs: DataFrame, denom: Int, k: Int = 256): DataFrame = {
+    require(k >= denom, s"sketch width $k cannot guarantee n/$denom hitters")
+    val tokens = docs
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = tokens
+      .select(graft.functions.MisraGries.sketch(col("token"), k).as("s"))
+      .select(col("s.candidates"), col("s.total"))
+      .head()
+    val (cands, total) = (sketch.getSeq[String](0), sketch.getLong(1))
+    tokens.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > lit(total))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 }
 
 object TextQueries extends QueryModule {
@@ -68,6 +97,23 @@ object TextQueries extends QueryModule {
   private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Heavy hitters: tokens above a 1/64 frequency share, via
+    // Misra-Gries sketch + exact verify (the full token multiset is
+    // never shuffled — see TextFunctions.heavyHitters).
+    "q_heavy_hitters" -> QueryDef(
+      fn = (spark, dir) =>
+        heavyHitters(Tables(spark, dir, "documents"), denom = 64),
+      oracle = Some("""
+        |WITH t AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token != ''),
+        |tot AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT token, COUNT(*) AS cnt FROM t, tot
+        |GROUP BY token, tot.n HAVING COUNT(*) * 64 > tot.n
+        |ORDER BY cnt DESC, token""".stripMargin)),
 
     // ---- Token counting + quality signals per document.
     "q_text_stats" -> QueryDef(
