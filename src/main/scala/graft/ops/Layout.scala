@@ -36,6 +36,23 @@ object Layout {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Point-lookup layout: a parquet BLOOM FILTER on `bloomCol` for the
+    * access pattern range layout can't serve — equality probes on a
+    * high-cardinality column whose values are scattered across every
+    * file (doc ids, content hashes, user ids). Footer min/max can't
+    * prune scattered values; the bloom filter excludes a row group
+    * unless it (probably) contains the probed value, so a point query
+    * reads ~1 row group instead of the table. Orthogonal to
+    * [[writeRangeLayout]] — sort for ranges, bloom for point probes;
+    * both compose with the same write. */
+  def writeBloomLayout(df: DataFrame, path: String, bloomCol: String,
+      numFiles: Int, expectedNdv: Long): Unit =
+    df.repartition(numFiles)
+      .write
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", expectedNdv.toString)
+      .mode(SaveMode.Overwrite).parquet(path)
+
   /** Rows the parquet reader actually MATERIALIZED for `df`'s last
     * execution (the leaf scan's numOutputRows metric, i.e. rows
     * surviving row-group/page pruning — run an action first). */

@@ -37,6 +37,28 @@ class LayoutSpec extends SparkSpec {
     assert(scannedRanged <= 20000L, s"ranged scanned $scannedRanged")
   }
 
+  test("bloom layout prunes row groups for point lookups on scattered values") {
+    val base = Files.createTempDirectory("layout_bloom").toString
+    val rows = spark.range(100000)
+      .select((col("id") * 48271 % 100000).as("v"), col("id").as("payload"))
+
+    rows.repartition(10).write.parquet(s"$base/plain")
+    Layout.writeBloomLayout(rows, s"$base/bloomed", "v",
+      numFiles = 10, expectedNdv = 100000L)
+
+    def probe(dir: String) = {
+      val df = spark.read.parquet(dir).filter(col("v") === 12345)
+      assert(df.collect().length === 1)
+      Layout.scannedRows(df)
+    }
+    val plain = probe(s"$base/plain")
+    val bloomed = probe(s"$base/bloomed")
+    // no layout sorts v, so min/max can't prune the plain files; the
+    // bloom filter rules out row groups that can't contain the value
+    assert(plain === 100000L, s"plain scanned $plain")
+    assert(bloomed <= 30000L, s"bloomed scanned $bloomed")
+  }
+
   test("files are range-disjoint and internally sorted") {
     val base = Files.createTempDirectory("layout_sorted").toString
     val rows = spark.range(10000)

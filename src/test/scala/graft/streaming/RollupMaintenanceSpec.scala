@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RollupMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, typ: String, v: Double, t: String) =
+    (id, 10L, typ, v, Timestamp.valueOf(t))
+
+  test("incrementally maintained rollup converges to the batch rollup") {
+    val base = Files.createTempDirectory("rollup_maint").toString
+    val (src, store) = (s"$base/src", s"$base/store")
+
+    // file 1: two hours of clicks + a view
+    val f1 = Seq(
+      ev(1, "click", 5.0, "2024-01-01 10:05:00"),
+      ev(2, "click", 3.0, "2024-01-01 10:40:00"),
+      ev(3, "view", 1.0, "2024-01-01 11:10:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    // file 2 (arrives later): a LATE click into hour 10 — must correct
+    // the already-written (10, click) partition without touching
+    // (11, view) — plus a new hour-12 event
+    val f2 = Seq(
+      ev(4, "click", 2.0, "2024-01-01 10:50:00"),
+      ev(5, "view", 7.0, "2024-01-01 12:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+
+    f1.write.parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    val q = RollupMaintenance.start(spark, src, store)
+    q.awaitTermination(120000)
+
+    val all = f1.unionByName(f2)
+    val expected = EventsStream.hourlyRollup(all)
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val got = RollupMaintenance.read(spark, store)
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // the corrected click hour holds all 3 clicks
+    assert(got.contains(("2024-01-01 10:00:00", "click", 3L, 10.0)))
+  }
+
+  test("a replayed batch overwrites its partitions (no double counting)") {
+    val base = Files.createTempDirectory("rollup_retry").toString
+    val store = s"$base/store"
+    val batch = Seq(
+      ("2024-01-01-10", "click", 2L, 8.0),
+      ("2024-01-01-11", "view", 1L, 1.0))
+      .toDF("hour", "event_type", "n_events", "total_value")
+
+    RollupMaintenance.upsertBatch(batch, store)
+    RollupMaintenance.upsertBatch(batch, store) // foreachBatch retry
+
+    val got = spark.read.parquet(store)
+      .groupBy("hour", "event_type").agg(sum("n_events").as("n"))
+      .select("n").as[Long].collect().toSeq
+    assert(got.sorted === Seq(1L, 2L)) // counts unchanged, rows not doubled
+  }
+}
