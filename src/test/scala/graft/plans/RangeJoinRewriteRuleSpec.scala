@@ -79,6 +79,30 @@ class RangeJoinRewriteRuleSpec extends SparkSpec {
     assert(got === Seq((1L, 10L)))
   }
 
+  test("randomized equivalence: rewritten join == brute force, all regimes") {
+    val rnd = new scala.util.Random(42)
+    // value regimes: small, negative, near-2^53, near-2^62
+    val regimes = Seq(
+      () => rnd.nextLong() % 1000L,
+      () => (1L << 53) + rnd.nextLong() % 1000L,
+      () => (1L << 62) + rnd.nextLong() % 1000L)
+    for ((gen, i) <- regimes.zipWithIndex; d <- Seq(1L, 7L, 63L)) {
+      val xs = Seq.fill(60)(gen()).distinct
+      val ys = Seq.fill(60)(gen()).distinct
+      val l = xs.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("lid", "x")
+      val r = ys.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("rid", "y")
+      val got = l.join(r, abs(col("x") - col("y")) <= d)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      // brute force in Scala over the same values (abs-free, no overflow:
+      // compare via BigInt)
+      val want = (for {
+        (x, lj) <- xs.zipWithIndex; (y, rj) <- ys.zipWithIndex
+        if (BigInt(x) - BigInt(y)).abs <= d
+      } yield (lj.toLong, rj.toLong)).sorted
+      assert(got === want, s"regime=$i d=$d")
+    }
+  }
+
   test("double-typed band columns work") {
     val l = Seq((1L, 1.05), (2L, 2.0)).toDF("id", "x")
     val r = Seq((10L, 1.1), (11L, 5.0)).toDF("id2", "y")
