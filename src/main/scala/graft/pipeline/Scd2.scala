@@ -78,6 +78,32 @@ object Scd2 {
     dim.filter(col("valid_from") <= ts &&
       (col("valid_to").isNull || col("valid_to") > ts))
 
+  /** Rebuild the full SCD2 dimension from a CHANGE LOG in one windowed
+    * pass — the backfill twin of the incremental [[apply]] (which
+    * folds one batch at a time). No-op log entries (attrs equal to the
+    * key's previous state) are skipped, exactly as [[apply]] skips
+    * them; `valid_to` chains to the next version's `valid_from`.
+    * Contract: at most one log row per (key, effective_ts) — dedupe
+    * upstream.
+    *
+    * Scale shape: two window functions over ONE shuffle on the key
+    * (lag to drop no-ops, lead to chain validity) — a linear pass at
+    * any history size. [[Scd2Spec]] proves apply-per-batch and rebuild
+    * produce identical dimensions on the same log. */
+  def rebuild(log: DataFrame, key: String, attrs: Seq[String],
+      effectiveCol: String = "effective_ts"): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(effectiveCol)
+    val state = struct(attrs.map(col): _*)
+    val changes = log
+      .withColumn("__prev", lag(state, 1).over(byKey))
+      .filter(col("__prev").isNull || !(col("__prev") <=> state))
+    changes
+      .withColumn("valid_from", col(effectiveCol))
+      .withColumn("valid_to", lead(col(effectiveCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", effectiveCol)
+  }
+
   /** Initialize a dimension frame from a plain attribute table. */
   def init(seed: DataFrame, effectiveCol: String = "effective_ts"): DataFrame =
     seed.select(

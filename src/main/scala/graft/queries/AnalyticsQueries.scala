@@ -15,6 +15,51 @@ object AnalyticsQueries extends QueryModule {
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
+    // ---- SCD2 rebuild from a change log (pipeline/Scd2.rebuild):
+    // orders as a fake priority-change log per customer; no-op
+    // changes dropped via lag, validity chained via lead — two
+    // windows over ONE shuffle on the key. The incremental
+    // Scd2.apply path is differentially tested against this rebuild
+    // in Scd2Spec.
+    "q_scd2_rebuild" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy("o_orderkey")
+        val log = Tables(spark, dir, "orders")
+          .filter(col("o_custkey") < 200)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderpriority"),
+            col("o_orderdate").as("effective_ts"))
+        graft.pipeline.Scd2.rebuild(log, "o_custkey", Seq("o_orderpriority"))
+          .select(col("o_custkey"), col("o_orderpriority"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+              lit("open")).as("valid_to"),
+            col("is_current").cast("long").as("is_current"))
+          .orderBy("o_custkey", "valid_from")
+      },
+      oracle = Some("""
+        |WITH log AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate FROM (
+        |    SELECT o_custkey, o_orderpriority, o_orderdate,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey) AS rn
+        |    FROM orders WHERE o_custkey < 200) WHERE rn = 1),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderpriority, o_orderdate,
+        |      LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate) AS prev
+        |    FROM log)
+        |  WHERE prev IS NULL OR o_orderpriority != prev)
+        |SELECT o_custkey, o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  COALESCE(strftime(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate), '%Y-%m-%d %H:%M:%S'), 'open') AS valid_to,
+        |  CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate) IS NULL AS BIGINT) AS is_current
+        |FROM chg ORDER BY o_custkey, valid_from""".stripMargin)),
+
     // ---- Data-contract report (ops/QualityChecks): nullability +
     // domain checks fold into ONE conditional-aggregation pass per
     // table; duplicate keys are a count-distinct; FK orphans are

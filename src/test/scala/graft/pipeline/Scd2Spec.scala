@@ -64,6 +64,43 @@ class Scd2Spec extends SparkSpec {
       .groupBy("station_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("incremental apply equals one-shot rebuild on the same change log") {
+    // randomized log: 12 keys x up to 8 timestamped changes drawn from
+    // 3 attribute values (guaranteeing plenty of no-op entries)
+    val rnd = new scala.util.Random(7)
+    val log = (for {
+      k <- 1L to 12L
+      (t, i) <- (1 to rnd.nextInt(8) + 1).map(i => (ts(f"2023-${i}%02d-01 00:00:00"), i))
+    } yield (k, s"city_${rnd.nextInt(3)}", "ca", rnd.nextInt(2), t))
+      .toDF("station_id", "city", "country_code", "enabled", "effective_ts")
+
+    // incremental: fold one batch per distinct effective_ts, in order
+    val batches = log.select("effective_ts").distinct()
+      .orderBy("effective_ts").as[Timestamp].collect()
+    var dim = Scd2.init(log.filter(col("effective_ts") === batches.head)
+      .filter(lit(false))) // empty seed with the right schema
+    for (b <- batches) {
+      dim = Scd2.apply(dim, log.filter(col("effective_ts") === b),
+        "station_id", attrs)
+      // materialize between folds (a real pipeline reads the dim store
+      // back each batch; without this the 8-fold nested plan dominates
+      // the test's runtime)
+      dim = spark.createDataFrame(
+        java.util.Arrays.asList(dim.collect(): _*), dim.schema)
+    }
+
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getInt(3), Option(r.get(4)).map(_.toString),
+      Option(r.get(5)).map(_.toString), r.getBoolean(6))
+    val cols = Seq("station_id", "city", "country_code", "enabled",
+      "valid_from", "valid_to", "is_current")
+    val applied = dim.select(cols.map(col): _*).collect().map(key).sorted
+    val rebuilt = Scd2.rebuild(log, "station_id", attrs)
+      .select(cols.map(col): _*).collect().map(key).sorted
+    assert(applied.toSeq === rebuilt.toSeq)
+    assert(applied.nonEmpty)
+  }
+
   test("repeated batches accumulate history with one open version per key") {
     var dim = Scd2.init(seed)
     for ((city, month) <- Seq(("v2", "02"), ("v3", "03"), ("v4", "04"))) {
