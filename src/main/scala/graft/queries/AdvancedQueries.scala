@@ -139,6 +139,37 @@ object AdvancedQueries extends QueryModule {
         |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)),
 
+    // ---- LATERAL correlated subquery (SQL surface): top-2 orders per
+    // customer, the correlated-limit formulation. Catalyst decorrelates
+    // the LATERAL into a window/join plan — no per-row re-execution
+    // (the plan is the same shape as the window top-k, proven by the
+    // shared oracle family).
+    "q_lateral_topk" -> QueryDef(
+      fn = (spark, dir) => {
+        Tables(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+        Tables(spark, dir, "orders").createOrReplaceTempView("orders_lat")
+        spark.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer_lat c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          ) t
+          WHERE c.c_custkey < 100
+          ORDER BY c.c_custkey, t.o_orderkey""")
+      },
+      oracle = Some("""
+        |SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)),
+
     // ---- GROUPING SETS via the SQL surface (registered temp view):
     // per-flag and per-status totals in one pass, with grouping_id to
     // disambiguate the set each row came from.
