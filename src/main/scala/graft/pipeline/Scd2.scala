@@ -32,6 +32,13 @@ object Scd2 {
     * Row fates: unchanged-attr rows and absent keys pass through;
     * changed keys yield (closed old version, open new version); brand
     * new keys insert as open versions.
+    *
+    * Batches must be applied in effective-time ORDER (each batch's
+    * `effective_ts` at or after every previously applied one) — the
+    * close step stamps the open version's `valid_to` unconditionally,
+    * so an out-of-order batch would write a version interval that ends
+    * before it starts. Backfilling history out of order is [[rebuild]]
+    * from the full change log.
     */
   def apply(dim: DataFrame, updates: DataFrame, key: String,
       attrs: Seq[String], effectiveCol: String = "effective_ts"): DataFrame = {

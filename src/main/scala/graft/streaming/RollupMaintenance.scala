@@ -39,16 +39,15 @@ object RollupMaintenance {
     * event_type): overwrite granularity must match group granularity,
     * or a batch carrying only one changed type would wipe the hour's
     * other types. */
-  def upsertBatch(changed: DataFrame, storeDir: String): Unit = {
-    val spark = changed.sparkSession
-    // dynamic mode: Overwrite replaces only partitions present in the
-    // batch — the incremental contract
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def upsertBatch(changed: DataFrame, storeDir: String): Unit =
     changed.write
       .mode(SaveMode.Overwrite)
+      // dynamic mode (per-write option, not session config): Overwrite
+      // replaces only partitions present in the batch — the
+      // incremental contract
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("hour", "event_type")
       .parquet(storeDir)
-  }
 
   /** Start maintaining `storeDir` from the parquet event stream at
     * `sourceDir`. */
