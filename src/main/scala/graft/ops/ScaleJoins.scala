@@ -35,6 +35,43 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Sketch-driven salting: salt ONLY the hot keys.
+    *
+    * [[saltedJoin]] replicates the whole right side `salts` times —
+    * correct, but at 100 TB the replication tax is paid for every
+    * cold key too. The production pattern detects the hot keys first
+    * and splits only them:
+    *
+    *   1. a [[graft.functions.MisraGries]] sketch pass over the left
+    *      join key finds every key holding > 1/denom of the rows
+    *      (<= k counters per partition shuffle — the key multiset
+    *      itself is never shuffled; the result is a tiny driver-side
+    *      candidate list, like AQE's runtime statistics);
+    *   2. left rows with a hot key get a deterministic salt in
+    *      [0, salts); cold rows salt 0;
+    *   3. right rows with a hot key are replicated `salts` times;
+    *      cold rows once — the replication factor applies only to
+    *      the handful of hot keys.
+    *
+    * Same result set as the plain equi-join (oracle-checked as
+    * `q_adaptive_salted_join`); no reducer receives a whole hot key.
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      leftUniqueCol: String, salts: Int, denom: Int = 64): DataFrame = {
+    val sketch = left
+      .select(graft.functions.MisraGries
+        .sketch(col(key).cast("string"), math.max(denom, 64)).as("s"))
+      .select(col("s.candidates")).head().getSeq[String](0)
+    val isHot = col(key).cast("string").isin(sketch: _*)
+    val salted = left.withColumn("__salt",
+      when(isHot, pmod(xxhash64(col(leftUniqueCol)), lit(salts)).cast("int"))
+        .otherwise(lit(0)))
+    val replicated = right.withColumn("__salt",
+      explode(when(isHot, sequence(lit(0), lit(salts - 1)))
+        .otherwise(sequence(lit(0), lit(0)))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-sided salting for skewed x skewed self-proximity joins is a
     * cross-replication (salts^2) — not provided on purpose: block by a
     * content key instead (see the LSH/IVF operators). */

@@ -239,6 +239,29 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       bench = true),
 
+    // ---- Sketch-driven adaptive salting: lang is a 5-value key
+    // holding ~20% of documents each — a classic hot-key join. The
+    // MisraGries sketch detects the hot keys, only they are salted,
+    // and the result hash-matches the plain join (which is exactly
+    // what the oracle runs).
+    "q_adaptive_salted_join" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val byLang = docs.groupBy("lang")
+          .agg(count(lit(1)).as("lang_total"))
+        graft.ops.ScaleJoins.adaptiveSaltedJoin(
+          docs.select(col("doc_id"), col("lang")), byLang,
+          key = "lang", leftUniqueCol = "doc_id", salts = 4)
+          .select("doc_id", "lang", "lang_total")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |SELECT d.doc_id, d.lang, l.lang_total
+        |FROM documents d
+        |JOIN (SELECT lang, COUNT(*) AS lang_total
+        |      FROM documents GROUP BY lang) l USING (lang)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- Map-type scalar surface: construct, extract, count, and
     // enumerate keys (scalar outputs only — map columns themselves
     // don't survive the driver's column-wise hash compare).

@@ -30,6 +30,30 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(buckets.map(_.getLong(1)).max < 1000 * 0.3) // no bucket dominates
   }
 
+  test("adaptiveSaltedJoin salts only the sketch-detected hot keys") {
+    // one hot key (10k rows, ~95% share) + a uniform tail
+    val left = (Seq.tabulate(10000)(i => (1L, i.toLong)) ++
+      Seq.tabulate(500)(i => ((i % 50 + 2).toLong, (10000 + i).toLong)))
+      .toDF("k", "row_id")
+    val right = (1L to 51L).map(k => (k, s"dim_$k")).toDF("k", "payload")
+
+    val plain = left.join(right, "k")
+    val adaptive = ScaleJoins.adaptiveSaltedJoin(
+      left, right, "k", "row_id", salts = 8, denom = 16)
+
+    // result parity with the plain join
+    assert(adaptive.count() === plain.count())
+    assert(adaptive.except(plain).isEmpty && plain.except(adaptive).isEmpty)
+
+    // replication tax is paid ONLY by hot keys: the hot key's dim row
+    // is replicated 8x, cold keys once (vs 51 x 8 under blanket
+    // salting)
+    val replicated = right.withColumn("__salt",
+      explode(when(col("k").cast("string").isin("1"),
+        sequence(lit(0), lit(7))).otherwise(sequence(lit(0), lit(0)))))
+    assert(replicated.count() === 50 + 8)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf — the session default
     // (spark-warehouse/, gitignored) is used; tables are dropped after
