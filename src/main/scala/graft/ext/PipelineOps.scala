@@ -71,6 +71,38 @@ object PipelineQueries extends QueryModule {
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
+    // ---- Training-shard assignment: deterministic pseudo-random
+    // shard via an md5-derived hex digit (hash assignment — NO global
+    // sort/row_number, which would funnel 100 TB through one
+    // partition), position within shard via a PARTITIONED window.
+    // Every engine computes the same md5, so the oracle reproduces
+    // the exact assignment.
+    "q_train_shards" -> QueryDef(
+      fn = (spark, dir) => {
+        val h = md5(col("doc_id").cast("string"))
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), h.as("__h"))
+          .withColumn("shard",
+            (expr("locate(substring(__h, 1, 1), '0123456789abcdef')") - 1)
+              .cast("long") % 8)
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("shard").orderBy("__h", "doc_id"))
+            .cast("long") - 1)
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |s AS (
+        |  SELECT doc_id, hh,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ---- Duplicate clusters: exact-Jaccard near-dup pairs as edges,
     // connected components, one keeper (min doc_id) per cluster.
     // Oracle: DuckDB recursive CTE computing min reachable label over

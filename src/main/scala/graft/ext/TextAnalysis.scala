@@ -60,6 +60,32 @@ object TextFunctions {
       .otherwise("de")
   }
 
+  /** Token-window document chunking — the context-length preprocessing
+    * step of a training pipeline: each document splits into windows of
+    * `window` tokens advancing by `stride` (overlap = window - stride),
+    * so no token span longer than the model context is lost at chunk
+    * boundaries. One narrow pass (split + explode of a per-row
+    * sequence) — no shuffle, scales linearly. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= window, s"stride $stride vs window $window")
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    // starts: 0, stride, 2*stride, ... last one < n (a doc shorter than
+    // one window still yields its single partial chunk)
+    val nChunks = greatest(ceil((n - lit(window)).cast("double") / stride)
+      .cast("int") + 1, lit(1))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_idx") * stride, lit(window))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Two-pass exact heavy hitters: tokens with frequency >
     * total/denom, with exact counts.
     *
@@ -97,6 +123,29 @@ object TextQueries extends QueryModule {
   private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Context-window chunking: 50-token windows, stride 40
+    // (10-token overlap). Narrow explode — no shuffle.
+    "q_doc_chunks" -> QueryDef(
+      fn = (spark, dir) =>
+        chunkDocs(Tables(spark, dir, "documents")
+          .filter(col("doc_id") < 100), window = 50, stride = 40)
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      GREATEST(CAST(CEIL((len(toks) - 50) / 40.0) AS BIGINT), 0)))
+        |      AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+        |    AS chunk_text,
+        |  LEAST(len(toks) - chunk_idx * 40, 50) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // ---- Heavy hitters: tokens above a 1/64 frequency share, via
     // Misra-Gries sketch + exact verify (the full token multiset is

@@ -42,6 +42,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs covers every token with the configured overlap") {
+    def doc(n: Int) = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def chunks(n: Int, window: Int, stride: Int) =
+      TextFunctions.chunkDocs(doc(n), window, stride)
+        .orderBy("chunk_idx")
+        .select("chunk_text", "n_chunk_tokens")
+        .as[(String, Long)].collect().toSeq
+
+    // shorter than one window -> exactly one partial chunk
+    assert(chunks(7, 50, 40) === Seq(((1 to 7).map(i => s"t$i").mkString(" "), 7L)))
+    // exactly one window -> one full chunk
+    assert(chunks(50, 50, 40).map(_._2) === Seq(50L))
+    // 90 tokens, window 50 stride 40: chunks at 0 and 40 (last is full)
+    assert(chunks(90, 50, 40).map(_._2) === Seq(50L, 50L))
+    // 91 tokens: a third chunk catches the tail beyond 80
+    val c91 = chunks(91, 50, 40)
+    assert(c91.map(_._2) === Seq(50L, 50L, 11L))
+    // overlap: chunk 1 starts at token 41 (stride 40), not 51
+    assert(c91(1)._1.startsWith("t41 "))
+    // every token appears in at least one chunk
+    val covered = c91.flatMap(_._1.split(" ")).toSet
+    assert(covered === (1 to 91).map(i => s"t$i").toSet)
+  }
+
   test("quality score is bounded and monotone in reasonable signals") {
     val hi = Seq("the quick brown fox jumps over the lazy dog and runs to the hills " * 8)
       .toDF("text")
