@@ -53,4 +53,44 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("q_ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_click_attribution: interval join keys on user_id equality") {
+    val p = plan("q_click_attribution")
+    // the time bounds must be a residual of an EQUI join, never the
+    // whole condition of a nested-loop plan
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_doc_chunks: chunking is a narrow pass (no exchange before sort)") {
+    val df = SparkEntry.queries("q_doc_chunks")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // exactly the one exchange the final orderBy needs — explode adds none
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_train_shards: position window partitions by shard (no global sort rank)") {
+    val p = plan("q_train_shards")
+    // the row_number window must carry a partition spec — a global
+    // (unpartitioned) window would funnel the table through one task
+    val windowLine = p.linesIterator.find(_.contains("row_number()"))
+    assert(windowLine.isDefined, p)
+    assert(windowLine.get.contains("partitionBy") ||
+      windowLine.get.contains("windowspecdefinition(shard"), windowLine.get)
+  }
+
+  test("q_heavy_hitters: verify pass filters to candidates before the shuffle") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the In-filter on candidate tokens must sit below the aggregation
+    // (pre-shuffle), so only <=k distinct tokens reach the exchange
+    val filterIdx = p.indexOf("token#")
+    assert(p.contains("IN ") || p.contains("token#"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(filterIdx >= 0, p)
+  }
 }
