@@ -38,6 +38,17 @@ object VectorFunctions {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 }
 
+object Similarity {
+  /** Bucket-id XOR deltas reaching every 8-bit bucket within Hamming
+    * distance 2: the identity, all single flips, all pairs (1+8+28). */
+  val hamming2Deltas: Seq[Long] = {
+    val singles = (0 until 8).map(j => 1L << j)
+    val pairs = for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (1L << i) | (1L << j)
+    0L +: (singles ++ pairs)
+  }
+}
+
 object SimilarityQueries extends QueryModule {
   import VectorFunctions._
 
@@ -275,8 +286,18 @@ object SimilarityQueries extends QueryModule {
           .groupBy(col("vec_id"), col("v").as("vv"))
           .agg(sum(col("bit")).as("bucket"))
           .select(col("vec_id"), col("vv").as("v"), col("bucket"))
+        // multi-probe: each query searches its own bucket AND every
+        // bucket within Hamming distance 2 (<=2 sign bits flipped) —
+        // a single-bucket probe on weakly-correlated vectors has
+        // near-zero recall (one wrong sign of 8 hides the neighbor).
+        // 37 of 256 buckets ~ 14% of the corpus per query: the
+        // explicit recall/cost dial (AnnRecallSpec measures it)
+        val probeDeltas = array(Similarity.hamming2Deltas.map(lit(_)): _*)
         val queries = signed.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+          .withColumn("__d", explode(probeDeltas))
+          .withColumn("bucket", col("bucket").bitwiseXOR(col("__d")))
+          .drop("__d")
         val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
         broadcast(queries)
           .join(signed.select(col("vec_id").as("n_id"), col("v").as("n_v"),
@@ -288,7 +309,7 @@ object SimilarityQueries extends QueryModule {
           .select("q_id", "rank", "n_id", "sim")
           .orderBy("q_id", "rank")
       },
-      oracle = Some(embCte + """,
+      oracle = Some(embCte + s""",
         |planes AS (
         |  SELECT CAST(floor(vec_id / 2) AS BIGINT) AS pair,
         |         MIN(vec_id) AS lo, MAX(vec_id) AS hi
@@ -304,14 +325,19 @@ object SimilarityQueries extends QueryModule {
         |    SUM(CASE WHEN list_inner_product(e.v, p.h) >= 0
         |             THEN CAST(power(2.0, p.pair) AS BIGINT) ELSE 0 END) AS bucket
         |  FROM emb e CROSS JOIN plane_vecs p
-        |  GROUP BY e.vec_id)
+        |  GROUP BY e.vec_id),
+        |probes AS (
+        |  SELECT vec_id, v, xor(bucket, d.d) AS bucket
+        |  FROM signed,
+        |    (SELECT unnest([${graft.ext.Similarity.hamming2Deltas.mkString(",")}]) AS d) d
+        |  WHERE vec_id < 20)
         |SELECT q_id, rank, n_id, sim FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
         |    list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) AS sim,
         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) DESC, n.vec_id) AS rank
-        |  FROM signed q JOIN signed n ON q.bucket = n.bucket
-        |  WHERE q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  FROM probes q JOIN signed n ON q.bucket = n.bucket
+        |  WHERE n.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }
