@@ -60,6 +60,26 @@ object TextFunctions {
       .otherwise("de")
   }
 
+  /** Benchmark decontamination — flag corpus documents sharing any
+    * `n`-token shingle with an evaluation set (the standard exact
+    * n-gram-collision rule for keeping eval data out of training
+    * data).
+    *
+    * Scale shape: the eval set is small by construction, so its
+    * distinct shingles BROADCAST; the corpus side is one narrow
+    * shingle explode + a broadcast semi-join — the corpus is never
+    * shuffled. Contamination at 100 TB costs one pass. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(graft.functions.ShingleSet.shingleSet(col("text"), n)).as("g"))
+      .distinct()
+    corpus
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleSet.shingleSet(col("text"), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Token-window document chunking — the context-length preprocessing
     * step of a training pipeline: each document splits into windows of
     * `window` tokens advancing by `stride` (overlap = window - stride),
@@ -123,6 +143,45 @@ object TextQueries extends QueryModule {
   private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Decontamination: corpus docs sharing any 8-token shingle
+    // with the eval set (docs 0-9). Five contaminated docs are
+    // planted (eval texts re-id'd with a prefix token — the 8-grams
+    // survive). Eval shingles broadcast; the corpus is never
+    // shuffled.
+    "q_decontaminate" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val eval = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text"))
+          .unionByName(eval.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 900000).as("doc_id"),
+              concat(lit("planted_prefix "), col("text")).as("text")))
+        decontaminate(corpus, eval, n = 8).orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, 'planted_prefix ' || text AS text
+        |  FROM documents WHERE doc_id < 5),
+        |eval_grams AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 8, 0)),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |    FROM (SELECT string_split_regex(text, '\s+') AS toks
+        |          FROM documents WHERE doc_id < 10))),
+        |corpus_grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(len(toks) - 8, 0)),
+        |    i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM corpus))
+        |SELECT DISTINCT doc_id FROM corpus_grams
+        |WHERE g IN (SELECT g FROM eval_grams)
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- Context-window chunking: 50-token windows, stride 40
     // (10-token overlap). Narrow explode — no shuffle.
