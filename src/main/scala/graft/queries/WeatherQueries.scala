@@ -61,6 +61,49 @@ object WeatherQueries extends QueryModule {
         |FROM enriched ORDER BY obs_id""".stripMargin),
       bench = true),
 
+    // ---- Regression analytics: per-station temperature trend
+    // (least-squares slope of temp vs time). All moment sums
+    // accumulate as EXACT integers (epoch seconds x temp-in-
+    // centidegrees, decimal(38,0) / HUGEINT) so the only floating
+    // ops are the two final double casts and one IEEE division —
+    // bit-identical on both engines regardless of partitioning.
+    // (Spark's regr_slope/corr builtins accumulate in doubles, whose
+    // merge order is partition-dependent — unusable under a
+    // hash-equality gate.)
+    "q_weather_trend" -> QueryDef(
+      fn = (spark, dir) => {
+        def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        obs(spark, dir)
+          .select(col("station_id"), col("timestamp").as("x"),
+            floor(col("temp") * 100 + 0.5).as("y100"))
+          .groupBy("station_id")
+          .agg(count(lit(1)).as("n"),
+            sum(d(col("x"))).as("sx"),
+            sum(d(col("y100"))).as("sy"),
+            sum(d(col("x")) * d(col("y100"))).as("sxy"),
+            sum(d(col("x")) * d(col("x"))).as("sxx"))
+          .select(col("station_id"), col("n"),
+            ((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope_e2_per_sec"))
+          .orderBy("station_id")
+      },
+      oracle = Some(Observations.oracleCte + """,
+        |t AS (
+        |  SELECT station_id, "timestamp" AS x,
+        |    CAST(floor(temp * 100 + 0.5) AS HUGEINT) AS y100
+        |  FROM obs),
+        |s AS (
+        |  SELECT station_id, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(y100) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y100) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM t GROUP BY station_id)
+        |SELECT station_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    AS slope_e2_per_sec
+        |FROM s ORDER BY station_id""".stripMargin)),
+
     // O-17..O-19: calculated-metrics branch (dew point + heat index).
     "q_weather_derived" -> QueryDef(
       fn = (spark, dir) => obs(spark, dir).select(
