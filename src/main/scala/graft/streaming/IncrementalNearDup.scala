@@ -99,8 +99,12 @@ object IncrementalNearDup {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/bands/batch_id=$batchId")
 
+    // release both per-batch caches NOW (a long-running stream would
+    // otherwise accumulate one pinned frame per epoch); the returned
+    // ids read back from the partition this batch just committed
     sigs.unpersist()
-    admitted.select("doc_id")
+    admitted.unpersist()
+    spark.read.parquet(s"$indexDir/sigs/batch_id=$batchId").select("doc_id")
   }
 
   private def readPart(spark: SparkSession, dir: String,
