@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
 object Debug {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = args.drop(1).find(_.startsWith("/"))
+    // first non-flag argument after the query name (absolute OR
+    // relative — silently ignoring a relative path would measure the
+    // wrong dataset)
+    val sfDir = args.drop(1).find(!_.startsWith("--"))
       .getOrElse("/root/testdata/sf0.001")
     val timing = args.contains("--time")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (timing) "32" else "8")
@@ -25,7 +28,7 @@ object Debug {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       if (timing) {
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() // warm
+        SparkEntry.queries(name)(spark, sfDir).count() // warm (JIT + data)
         spark.catalog.clearCache()
         for (i <- 1 to 3) {
           val t0 = System.nanoTime()

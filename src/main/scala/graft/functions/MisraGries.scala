@@ -57,7 +57,8 @@ class MisraGries(k: Int)
     Buf(trimmed, x.total + y.total)
   }
 
-  override def finish(b: Buf): Out = Out(b.counters.keys.toSeq.sorted, b.total)
+  override def finish(b: Buf): Out =
+    Out(b.counters.keys.toSeq.sorted, b.counters, b.total)
 
   override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
   override def outputEncoder: Encoder[Out] = Encoders.product[Out]
@@ -66,8 +67,11 @@ class MisraGries(k: Int)
 object MisraGries {
   case class Buf(counters: Map[String, Long], total: Long)
 
-  /** `candidates` ⊇ every token with frequency > total/(k+1). */
-  case class Out(candidates: Seq[String], total: Long)
+  /** `candidates` ⊇ every token with frequency > total/(k+1);
+    * `counts` are the surviving counters, each UNDERestimating its
+    * token's true frequency by at most total/(k+1) — so
+    * `count + total/(k+1)` is a safe upper bound for thresholding. */
+  case class Out(candidates: Seq[String], counts: Map[String, Long], total: Long)
 
   /** Column entry point over a string column. */
   def sketch(tokens: Column, k: Int): Column =

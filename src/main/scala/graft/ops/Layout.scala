@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions.col
 
 /** Range-clustered data layout — the scan-pruning counterpart of
@@ -60,6 +60,10 @@ object Layout {
     def leafScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
       p match {
         case a: AdaptiveSparkPlanExec => leafScans(a.executedPlan)
+        // AQE stages are LEAF nodes wrapping the real subtree in
+        // .plan — without this case any plan with a shuffle/broadcast
+        // stage would silently report 0
+        case q: QueryStageExec => leafScans(q.plan)
         case s: FileSourceScanExec => Seq(s)
         case other => other.children.flatMap(leafScans)
       }

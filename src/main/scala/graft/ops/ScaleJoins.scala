@@ -56,13 +56,27 @@ object ScaleJoins {
     * Same result set as the plain equi-join (oracle-checked as
     * `q_adaptive_salted_join`); no reducer receives a whole hot key.
     */
+  /** The sketch-detected hot keys of `df(key)`: keys that MAY hold
+    * more than 1/denom of the rows. Misra–Gries counts underestimate
+    * by at most total/(k+1), so `count + total/(k+1) > total/denom`
+    * keeps every true hot key and discards every key at or below
+    * `total/denom - total/(k+1)` — without this threshold, any key
+    * surviving the sketch (ALL keys when distinct keys <= k) would be
+    * treated as hot and salting would degenerate to the blanket form. */
+  def hotKeys(df: DataFrame, key: String, denom: Int, k: Int): Set[String] = {
+    val out = df
+      .select(graft.functions.MisraGries.sketch(col(key).cast("string"), k).as("s"))
+      .select(col("s.counts"), col("s.total")).head()
+    val (counts, total) = (out.getMap[String, Long](0), out.getLong(1))
+    val slack = total.toDouble / (k + 1)
+    counts.filter { case (_, c) => c + slack > total.toDouble / denom }
+      .keys.toSet
+  }
+
   def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
       leftUniqueCol: String, salts: Int, denom: Int = 64): DataFrame = {
-    val sketch = left
-      .select(graft.functions.MisraGries
-        .sketch(col(key).cast("string"), math.max(denom, 64)).as("s"))
-      .select(col("s.candidates")).head().getSeq[String](0)
-    val isHot = col(key).cast("string").isin(sketch: _*)
+    val hot = hotKeys(left, key, denom, math.max(denom, 64)).toSeq.sorted
+    val isHot = col(key).cast("string").isin(hot: _*)
     val salted = left.withColumn("__salt",
       when(isHot, pmod(xxhash64(col(leftUniqueCol)), lit(salts)).cast("int"))
         .otherwise(lit(0)))

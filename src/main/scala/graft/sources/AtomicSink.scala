@@ -83,9 +83,16 @@ class AtomicBatchWrite(path: String, queryId: String, schema: StructType)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // driver-side, before any task launches: sweep staging dirs left by
     // PREVIOUS queries (a late speculative attempt can recreate its
-    // staging dir after that query's commit deleted it — see class doc)
+    // staging dir after that query's commit deleted it — see class
+    // doc). Age-gated: a fresh staging dir may belong to a CONCURRENT
+    // in-flight write to the same path, whose staged data must not be
+    // destroyed; only dirs idle past the threshold are stale.
+    val staleMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
     Option(new File(path).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("_staging_") && f.getName != s"_staging_$queryId")
+      if (f.getName.startsWith("_staging_") &&
+          f.getName != s"_staging_$queryId" &&
+          now - f.lastModified() > staleMs)
         deleteRecursively(f)
     })
     new AtomicWriterFactory(staging, schema)

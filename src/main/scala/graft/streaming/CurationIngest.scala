@@ -52,7 +52,8 @@ object CurationIngest {
       .filter(col("rn") === 1).drop("rn")
     // dedup against every PRIOR batch's hashes; a retry's own
     // half-committed partition must not mask its recomputation
-    val fresh = ledger(spark, ledgerDir, excludeBatch = batchId) match {
+    val fresh = BatchLedger.readOtherBatches(spark, ledgerDir, batchId)
+      .map(_.select("content_hash")) match {
       case Some(seen) => inBatch.join(seen, Seq("content_hash"), "left_anti")
       case None => inBatch
     }
@@ -69,17 +70,6 @@ object CurationIngest {
   }
 
   private def batchPath(dir: String, batchId: Long) = s"$dir/batch_id=$batchId"
-
-  private def ledger(spark: SparkSession, dir: String,
-      excludeBatch: Long): Option[DataFrame] = {
-    val root = new java.io.File(dir)
-    // partition discovery needs >=1 committed batch dir under the root
-    if (root.exists() && root.listFiles().exists(_.getName.startsWith("batch_id=")))
-      Some(spark.read.option("basePath", dir).parquet(dir)
-        .filter(col("batch_id") =!= excludeBatch)
-        .select("content_hash"))
-    else None
-  }
 
   /** File-stream ingest over a parquet directory (AvailableNow for
     * replay harnesses; a production run would use a continuous

@@ -61,9 +61,9 @@ object IncrementalNearDup {
     // vs the accumulated index (excluding a retry's own half-written
     // partition), resolved to signatures for the agreement estimate
     val agree = SigAgreement.sigAgreement(col("sig"), col("idx_sig")) >= tau
-    val vsIndex = readPart(spark, s"$indexDir/bands", batchId) match {
+    val vsIndex = BatchLedger.readOtherBatches(spark, s"$indexDir/bands", batchId) match {
       case Some(idxBands) =>
-        val idxSigs = readPart(spark, s"$indexDir/sigs", batchId).get
+        val idxSigs = BatchLedger.readOtherBatches(spark, s"$indexDir/sigs", batchId).get
           .select(col("doc_id").as("idx_doc_id"), col("sig").as("idx_sig"))
         bands
           .join(idxBands.select(col("band_idx"), col("band_hash"),
@@ -105,16 +105,6 @@ object IncrementalNearDup {
     sigs.unpersist()
     admitted.unpersist()
     spark.read.parquet(s"$indexDir/sigs/batch_id=$batchId").select("doc_id")
-  }
-
-  private def readPart(spark: SparkSession, dir: String,
-      excludeBatch: Long): Option[DataFrame] = {
-    val root = new java.io.File(dir)
-    if (root.exists() && root.listFiles().exists(_.getName.startsWith("batch_id=")))
-      Some(spark.read.option("basePath", dir).parquet(dir)
-        .filter(col("batch_id") =!= excludeBatch)
-        .drop("batch_id"))
-    else None
   }
 
   /** File-stream form over a parquet directory of documents. */

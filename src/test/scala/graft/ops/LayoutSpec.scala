@@ -37,6 +37,20 @@ class LayoutSpec extends SparkSpec {
     assert(scannedRanged <= 20000L, s"ranged scanned $scannedRanged")
   }
 
+  test("scannedRows sees through AQE query stages (shuffled plans)") {
+    val base = Files.createTempDirectory("layout_aqe").toString
+    spark.range(10000).select((col("id") % 100).as("g"), col("id").as("v"))
+      .write.parquet(s"$base/t")
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // aggregation => Exchange => AQE wraps the scan in a query stage
+      val df = spark.read.parquet(s"$base/t").groupBy("g").count()
+      assert(df.collect().length === 100)
+      assert(Layout.scannedRows(df) === 10000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("bloom layout prunes row groups for point lookups on scattered values") {
     val base = Files.createTempDirectory("layout_bloom").toString
     val rows = spark.range(100000)

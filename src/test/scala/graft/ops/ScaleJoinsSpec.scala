@@ -45,13 +45,11 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(adaptive.count() === plain.count())
     assert(adaptive.except(plain).isEmpty && plain.except(adaptive).isEmpty)
 
-    // replication tax is paid ONLY by hot keys: the hot key's dim row
-    // is replicated 8x, cold keys once (vs 51 x 8 under blanket
-    // salting)
-    val replicated = right.withColumn("__salt",
-      explode(when(col("k").cast("string").isin("1"),
-        sequence(lit(0), lit(7))).otherwise(sequence(lit(0), lit(0)))))
-    assert(replicated.count() === 50 + 8)
+    // the sketch's thresholded detection finds EXACTLY the hot key:
+    // the 50 cold keys (each ~0.1% of rows) must NOT be salted even
+    // though all 51 keys survive in the sketch's counter set (k=64 >
+    // distinct keys, so nothing is ever evicted)
+    assert(ScaleJoins.hotKeys(left, "k", denom = 16, k = 64) === Set("1"))
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -86,11 +86,15 @@ class PlanAssertionsSpec extends SparkSpec {
   test("q_heavy_hitters: verify pass filters to candidates before the shuffle") {
     val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
-    // the In-filter on candidate tokens must sit below the aggregation
-    // (pre-shuffle), so only <=k distinct tokens reach the exchange
-    val filterIdx = p.indexOf("token#")
-    assert(p.contains("IN ") || p.contains("token#"), p)
-    assert(p.contains("HashAggregate"), p)
-    assert(filterIdx >= 0, p)
+    // the candidate membership filter (IN/INSET over the sketch's
+    // tokens) must sit BELOW the count aggregation's exchange — the
+    // tree prints top-down, so its offset must be greater: only <=k
+    // distinct tokens may reach the shuffle
+    val inIdx = Seq(p.indexOf(" INSET "), p.indexOf(" IN (")).filter(_ >= 0)
+    assert(inIdx.nonEmpty, p)
+    val exIdx = p.indexOf("Exchange")
+    assert(exIdx >= 0, p)
+    assert(inIdx.max > exIdx,
+      s"candidate filter above the exchange:\n$p")
   }
 }

@@ -32,20 +32,27 @@ class AtomicSinkSpec extends SparkSpec {
     assert(back.agg(sum("id")).first().getLong(0) === 5050L)
   }
 
-  test("stale staging dirs from earlier queries are swept by the next write") {
+  test("stale staging dirs are swept; fresh (possibly in-flight) ones are kept") {
     val dir = Files.createTempDirectory("atomic_sweep").toString + "/out"
-    // simulate a late speculative attempt recreating its staging dir
-    // after that query's commit already deleted it
-    Files.createDirectories(Paths.get(s"$dir/_staging_deadbeef"))
-    Files.write(Paths.get(s"$dir/_staging_deadbeef/part-00001-9"),
-      "leftover".getBytes("UTF-8"))
+    // a late speculative attempt recreated its staging dir hours ago
+    // (stale) vs a staging dir of a write that may still be in flight
+    val stale = Paths.get(s"$dir/_staging_deadbeef")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-00001-9"), "leftover".getBytes("UTF-8"))
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3L * 60 * 60 * 1000))
+    val fresh = Paths.get(s"$dir/_staging_cafe")
+    Files.createDirectories(fresh)
+    Files.write(fresh.resolve("part-00000-1"), "inflight".getBytes("UTF-8"))
 
     Seq((1L, "a", 1.0)).toDF("id", "name", "score")
       .write.format("graft.sources.AtomicSink")
       .option("path", dir).mode("append").save()
 
     val names = new java.io.File(dir).listFiles().map(_.getName).sorted
-    assert(!names.exists(_.startsWith("_staging")), names.toSeq)
+    assert(!names.contains("_staging_deadbeef"), names.toSeq) // stale swept
+    assert(names.contains("_staging_cafe"), names.toSeq)      // in-flight kept
     assert(names.contains("_SUCCESS"))
   }
 
