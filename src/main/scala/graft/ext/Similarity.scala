@@ -144,15 +144,19 @@ object SimilarityQueries extends QueryModule {
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         val centroids = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-        // assign: nearest centroid per corpus vector (rank 1 of 16)
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("c_sim").desc, col("c_id"))
+        // assign: nearest centroid per corpus vector, as a max_by
+        // AGGREGATION (map-side partial reduce: ~1 row per vec_id per
+        // partition reaches the exchange; a window over the
+        // corpus x nlist cross join would shuffle nlist copies of
+        // every vector). Tie-break (c_sim desc, c_id asc) matches the
+        // oracle's ROW_NUMBER via the (c_sim, -c_id) struct order.
         val assigned = emb.join(broadcast(centroids))
           .withColumn("c_sim", cosine(col("v"), col("c_v")))
-          .withColumn("c_rank", row_number().over(wAssign))
-          .filter(col("c_rank") === 1)
-          .select(col("vec_id").as("n_id"), col("v").as("n_v"),
-            col("c_id").as("bucket"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+              struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+            first(col("v")).as("n_v")) // v constant per vec_id
+          .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
         // queries probe their nprobe=2 nearest centroids
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed storage for shuffle-free co-located joins — the third leg
   * of the scale-join toolkit next to [[ScaleJoins.saltedJoin]] and AQE
@@ -23,10 +24,18 @@ object Bucketing {
 
   /** Write `df` bucketed (and per-bucket sorted) by `key` as catalog
     * table `table`. Buckets per table must MATCH on both sides of an
-    * intended join. */
+    * intended join.
+    *
+    * The frame is repartitioned onto the bucket hash FIRST: without
+    * it, every input task writes one file per bucket it touches — up
+    * to tasks x buckets small files on a wide frame, and a bucket
+    * split across many files carries only per-file sort guarantees,
+    * so downstream sort-merge joins re-sort anyway. One shuffle at
+    * write time buys one file per bucket and a sort-free read. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)

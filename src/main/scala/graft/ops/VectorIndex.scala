@@ -22,18 +22,25 @@ object VectorIndex {
 
   /** Assign every corpus vector to its nearest centroid and write the
     * index partitioned by the centroid id. `centroids` must be small
-    * (it is broadcast: nlist rows). */
-  def build(emb: DataFrame, centroids: DataFrame, dir: String): Unit = {
-    val w = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("c_id"))
+    * (it is broadcast: nlist rows).
+    *
+    * The argmax is a `max_by` AGGREGATION, not a window: an
+    * aggregation partially reduces map-side, so ~1 row per vec_id per
+    * partition reaches the exchange — a window over the corpus×nlist
+    * cross join would shuffle nlist expanded copies of every vector.
+    * Tie-break (equal c_sim → smallest c_id) matches the query-side
+    * ROW_NUMBER formulation via the (c_sim, -c_id) struct order. */
+  def build(emb: DataFrame, centroids: DataFrame, dir: String): Unit =
     emb.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("v"), col("c_v")))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("bucket"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+        first(col("v")).as("v")) // v is constant per vec_id
+      .select(col("vec_id"), col("v"), col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(dir)
-  }
 
   /** Top-k neighbors for each query vector, reading ONLY the probed
     * buckets (partition pruning: `bucket` is a partition column and the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, Attribut
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DoubleType, IntegerType, LongType, NumericType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Optimizer rewrite for proximity (band) joins — the quadratic-join
   * trap a naive user query falls into:
@@ -117,7 +117,14 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    def isFractional(t: DataType) = t == DoubleType || t == FloatType
     val integral = isIntegral(le.dataType) && isIntegral(re.dataType)
+    // DecimalType (and mixed/other numeric) inputs get NO rewrite: a
+    // decimal is an exact type whose values can exceed 2^53, so the
+    // double-division bucket has the same silent-row-loss hazard the
+    // integral path was fixed for — and no exact shortcut exists for
+    // arbitrary scales. The unrewritten join stays correct (BNLJ).
+    val fractional = isFractional(le.dataType) && isFractional(re.dataType)
     val widthOpt = if (integral) litCeilLong(d) else None
     def bucket(e: Expression): Expression = widthOpt match {
       case Some(w) =>
@@ -131,13 +138,22 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         Floor(Divide(Cast(e, DoubleType), Cast(d, DoubleType)))
     }
     if (integral && widthOpt.isEmpty) return j // d not representable: keep BNLJ
+    if (!integral && !fractional) return j // decimal/mixed: keep exact BNLJ
 
-    // left: materialize the base bucket, explode to {b-1, b, b+1}
+    // left: materialize the base bucket and explode its probe
+    // neighborhood. Integral buckets are EXACT, so +-1 suffices (a
+    // pair within d differs by at most one bucket). Fractional
+    // buckets carry quotient rounding: fl(x/d) errs by <= 0.5 ulp,
+    // which for quotients below 2^53 is <= 1.0 absolute, so computed
+    // buckets of a true pair can differ by up to 2 — probe +-2.
+    // (Quotients >= 2^53 imply ulp(x) > d, where distinct values
+    // within d cannot exist and equal values share a bucket.)
+    val radius = if (integral) 1 else 2
     val baseAlias = Alias(bucket(le), "__range_bucket_base")()
     val leftProj = Project(j.left.output :+ baseAlias, j.left)
     val base = baseAlias.toAttribute
-    val one = Literal(1L, LongType)
-    val gen = Explode(CreateArray(Seq(Subtract(base, one), base, Add(base, one))))
+    val gen = Explode(CreateArray(
+      (-radius to radius).map(i => Add(base, Literal(i.toLong, LongType)))))
     val genOut = gen.elementSchema.fields.toSeq.map(f =>
       AttributeReference("__range_bucket_l", f.dataType, f.nullable)())
     val leftGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,

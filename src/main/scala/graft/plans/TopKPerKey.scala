@@ -73,8 +73,17 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new PriorityQueue[InternalRow](kLocal + 1, reverse))
+        // probe with the projection's reused row; copy the key ONLY on
+        // first sight of it (getOrElseUpdate's key param is strict, so
+        // passing key.copy() would allocate per input row in this hot
+        // loop — one copy per DISTINCT key is all that's needed)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = new PriorityQueue[InternalRow](kLocal + 1, reverse)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.add(row.copy())
         else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll()

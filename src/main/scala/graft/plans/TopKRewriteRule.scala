@@ -39,8 +39,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       val rank = w.windowOutputSet.head
       val projRefs = AttributeSet(projectList.flatMap(_.references))
       rankLimit(cond, rank) match {
+        // partitionSpec must be NON-empty: a global top-k (empty
+        // PARTITION BY) would build TopKPerKey(keys = Nil), whose
+        // final exec demands ClusteredDistribution(Nil) — rejected by
+        // Spark at planning. Global top-k is TakeOrdered's job anyway.
         case Some(k) if k >= 1 && !projRefs.contains(rank) &&
-            orderSpec.nonEmpty && partitionSpec.forall(_.deterministic) =>
+            orderSpec.nonEmpty && partitionSpec.nonEmpty &&
+            partitionSpec.forall(_.deterministic) =>
           // Spark's own InferWindowGroupLimit may already have inserted
           // a per-partition rank limit below the Window; TopKPerKey's
           // partial pass subsumes it, so strip it.

@@ -67,14 +67,22 @@ object StatefulSessions {
       return out
     }
     val (closed, open) = foldEvents(batch, state.getOption)
+    // a timeout must be registered for EVERY open session — including
+    // during the first micro-batch, when the watermark is still 0: a
+    // key whose last event is in batch 1 is otherwise never revisited
+    // (no data, no timeout), so its trailing session would never emit
+    // and its state would leak forever. The one illegal case is a
+    // timeout at or before the current watermark (all-late batch):
+    // that session is already expired in event time — close it now.
+    val expiredNow = open.filter(s =>
+      state.getCurrentWatermarkMs() >= s.end + GapMs)
     open match {
-      case Some(s) =>
+      case Some(s) if expiredNow.isEmpty =>
         state.update(s)
-        if (state.getCurrentWatermarkMs() > 0)
-          state.setTimeoutTimestamp(s.end + GapMs)
-      case None => state.remove()
+        state.setTimeoutTimestamp(s.end + GapMs)
+      case _ => state.remove()
     }
-    closed.iterator.map(toOut(userId, _))
+    (closed ++ expiredNow).iterator.map(toOut(userId, _))
   }
 
   /** Wire the updater onto a (streaming or batch) typed event Dataset. */

@@ -27,6 +27,45 @@ class CompactionSpec extends SparkSpec {
       .agg(sum("id"), count(lit(1))).first() === checksum)
   }
 
+  test("compaction preserves hive partition layout (pruning survives)") {
+    val dir = Files.createTempDirectory("compact_part").toString + "/fact"
+    val df = (1 to 400).map(i => (i.toLong, s"2024-01-0${i % 4 + 1}"))
+      .toDF("id", "record_date")
+    df.repartition(10).write.partitionBy("record_date").parquet(dir)
+    assert(Compaction.partitionColumns(spark, dir) === Seq("record_date"))
+
+    Compaction.compact(spark, dir, targetBytes = 1L << 30)
+
+    // partition dirs still exist -> partition pruning still works
+    assert(Compaction.partitionColumns(spark, dir) === Seq("record_date"))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("record_date") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(record_date"), plan)
+    assert(pruned.count() === 100)
+    assert(spark.read.parquet(dir).count() === 400)
+  }
+
+  test("compaction aborts cleanly if the directory changes mid-rewrite") {
+    val dir = Files.createTempDirectory("compact_race").toString + "/t"
+    (1 to 100).toDF("id").repartition(4).write.parquet(dir)
+    // a concurrent micro-batch append races the compaction; whichever
+    // way the race lands (append before the read pass, mid-rewrite —
+    // where the changed-file-set detector must ABORT with the
+    // original intact — or after the swap), no committed row may be
+    // lost. Without the detector, a mid-rewrite append was swapped
+    // into the backup and deleted.
+    val t = new Thread(() => {
+      Thread.sleep(150)
+      (101 to 110).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    })
+    t.start()
+    try Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    catch { case _: java.io.IOException => () } // abort is acceptable
+    t.join()
+    assert(spark.read.parquet(dir).count() === 110L)
+  }
+
   test("compaction plan has no shuffle (coalesce, not repartition)") {
     val dir = Files.createTempDirectory("compact2").toString + "/t"
     (1 to 100).toDF("id").repartition(8).write.parquet(dir)

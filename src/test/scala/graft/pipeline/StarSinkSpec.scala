@@ -47,4 +47,32 @@ class StarSinkSpec extends SparkSpec {
     val pruned = fact.filter(col("record_date") === partDirs.head.stripPrefix("record_date="))
     assert(pruned.count() === 1)
   }
+
+  test("uuid keys stay consistent across tables (durable staging barrier)") {
+    val dir = Files.createTempDirectory("star_sink_uuid").toString
+    StarSink.write(enriched, dir, deterministicKeys = false)
+
+    // fresh uuids per run, but fact and dims must reference the SAME
+    // key values: all four FK joins resolve for every fact row (a
+    // cache-recompute between table writes would break this)
+    val fact = spark.read.parquet(s"$dir/fact")
+    val joined = fact
+      .join(spark.read.parquet(s"$dir/time_dim"), "time_id")
+      .join(spark.read.parquet(s"$dir/param_dim"), "parameter_id")
+      .join(spark.read.parquet(s"$dir/temp_dim"), "temp_id")
+      .join(spark.read.parquet(s"$dir/heat_index_dim"), "heat_index_id")
+    assert(joined.count() === 2)
+    // the staging barrier cleans up after itself
+    assert(!Files.exists(Paths.get(s"$dir/_keyed_staging")))
+  }
+
+  test("the fact write plans with no shuffle (no join back to time_dim)") {
+    val keyed = StarSchema.withKeys(enriched)
+    val star = StarSchema.splitKeyed(keyed)
+    val factWithDate = keyed.select(
+      (star.fact.columns.map(col) :+
+        col("recorded_date_local").as("record_date")): _*)
+    val plan = factWithDate.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }

@@ -33,6 +33,36 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(open1.map(_.n) === Some(2L))
   }
 
+  test("first micro-batch (watermark 0) still registers an event-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // regression: the old `watermark > 0` gate skipped the timeout in
+    // batch 1, so a key seen only there never emitted its trailing
+    // session and its state leaked
+    val state = TestGroupState.create[StatefulSessions.SessionState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out = StatefulSessions.update(7L,
+      Iterator(ev(1, 7, 0, 2.0)), state).toSeq
+    assert(out.isEmpty) // session still open...
+    assert(state.getTimeoutTimestampMs.isPresent) // ...but timeout armed
+    assert(state.getTimeoutTimestampMs.get ===
+      ev(1, 7, 0, 2.0).ts.getTime + StatefulSessions.GapMs)
+  }
+
+  test("an all-late batch closes its session immediately (no past timeout)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // watermark far ahead of the session's close time: registering a
+    // timeout in the past would throw — the session must emit now
+    val wm = ev(1, 7, 0, 2.0).ts.getTime + StatefulSessions.GapMs + 1000
+    val state = TestGroupState.create[StatefulSessions.SessionState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(wm), hasTimedOut = false)
+    val out = StatefulSessions.update(7L,
+      Iterator(ev(1, 7, 0, 2.0)), state).toSeq
+    assert(out.map(_.n_events) === Seq(1L))
+    assert(state.isRemoved)
+  }
+
   test("flatMapGroupsWithState streaming run emits the fold's closed sessions") {
     val events = Seq(
       ev(1, 7, 0, 2.0), ev(2, 7, 10, 3.0), ev(3, 7, 50, 5.0),
@@ -47,14 +77,20 @@ class StatefulSessionsSpec extends SparkSpec {
       .map(s => (s.user_id, s.n_events, s.total_value, s.first_event_id))
       .toSet
 
-    // reference: same fold applied per user in one batch; only sessions
-    // CLOSED by a later event are emitted (trailing open sessions stay
-    // in state at end-of-availability — documented streaming semantics)
+    // reference: same fold applied per user in one batch. Sessions
+    // closed by a later event AND trailing sessions whose event-time
+    // timeout (end + gap) has passed the final watermark (= max event
+    // ts) are emitted; a trailing session still inside its gap at
+    // end-of-availability stays open in state.
+    val maxTs = events.map(_.ts.getTime).max
     val expected = events.groupBy(_.user_id).flatMap { case (u, es) =>
-      foldEvents(es, None)._1.map(s => (u, s.n, s.total, s.firstId))
+      val (closed, open) = foldEvents(es, None)
+      (closed ++ open.filter(_.end + StatefulSessions.GapMs <= maxTs))
+        .map(s => (u, s.n, s.total, s.firstId))
     }.toSet
     assert(streamed === expected)
     assert(streamed.contains((7L, 2L, 5.0, 1L)))
+    assert(streamed.contains((7L, 1L, 5.0, 3L))) // trailing, closed by timeout
     assert(streamed.contains((8L, 1L, 1.0, 4L)))
   }
 }
