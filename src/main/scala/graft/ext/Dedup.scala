@@ -36,6 +36,17 @@ object DedupFunctions {
   def exportOracleFrames: Boolean =
     sys.props.get("graft.oracle.export").contains("true")
 
+  /** Case/punctuation/whitespace normalization — THE canonical text
+    * key for normalized dedup. One definition shared by the batch
+    * query (`q_dedup_normalized`), the curation score
+    * ([[graft.ext.PipelineOps.curationScore]]) and the streaming
+    * ingest; the oracle SQL strings necessarily duplicate it
+    * (`trim(regexp_replace(regexp_replace(lower(text),
+    * '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))`) — keep them in sync. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Token 3-gram shingles over whitespace tokens. */
   def shingles(tokens: Column): Column =
     transform(
@@ -109,6 +120,9 @@ object DedupFunctions {
     docs.unionByName(perturbed)
   }
 
+  private[ext] val lastSigs =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** DuckDB CTE mirroring [[withPlantedNearDups]]. */
   val plantedCte: String =
     """WITH docs AS (
@@ -150,8 +164,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_normalized" -> QueryDef(
       fn = (spark, dir) => {
         val docs = Tables(spark, dir, "documents")
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val norm = normText(col("text"))
         docs.unionByName(docs.select(col("doc_id") + 500000 as "doc_id",
             upper(col("text")).as("text"), col("lang"), col("source"), col("n_chars")))
           .groupBy(md5(norm.cast("binary")).as("content_hash"))
@@ -224,6 +237,11 @@ object DedupQueries extends QueryModule {
           .select(col("doc_id"),
             minhashSignature(distinctShingles(col("text")), k).as("sig"))
           .persist()
+        // the returned plan reads sigs several times (band self-join +
+        // two pre-filter lookups), so it must stay cached through the
+        // caller's execution; the PREVIOUS invocation's copy is
+        // released here so repeated runs don't accumulate cache
+        Option(lastSigs.getAndSet(sigs)).foreach(_.unpersist())
         val exploded = sigs.select(col("doc_id"),
           posexplode(bandHashes(col("sig"), bands, rows))
             .as(Seq("band_idx", "band_hash")))

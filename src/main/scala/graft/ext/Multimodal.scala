@@ -91,6 +91,9 @@ object Multimodal {
     * binary in, smaller binary + updated metadata out, all narrow —
     * is identical). Runs as a per-partition batch like the decoder. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
+    // validate at call time: a bad factor would otherwise surface as
+    // an opaque arithmetic error deep inside an executor task
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload"))

@@ -11,6 +11,7 @@ import graft.{QueryDef, QueryModule, Tables}
   * (dedup -> quality -> language agreement).
   */
 object PipelineOps {
+  import DedupFunctions.normText
   import TextFunctions.{langId, qualityScore, wsTokens}
 
   /** The per-document scoring stage of the curation pipeline — one
@@ -21,11 +22,9 @@ object PipelineOps {
     * semantics, batch/streaming-agnostic. */
   def curationScore(docs: DataFrame): DataFrame = {
     val tokens = wsTokens(col("text"))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     docs.select(
       col("doc_id"), col("lang"), col("text"),
-      md5(norm.cast("binary")).as("content_hash"),
+      md5(normText(col("text")).cast("binary")).as("content_hash"),
       qualityScore(col("text"), tokens).as("quality"),
       langId(col("text"), tokens).as("lang_pred"))
   }
@@ -47,7 +46,16 @@ object PipelineOps {
     var labels = nodes.select(col("id"), col("id").as("cluster")).persist()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // the cap is a RUNAWAY GUARD, not an answer: propagation distance
+    // equals the cluster graph's diameter, and stopping early would
+    // silently return wrong (split) clusters — so exceeding the cap
+    // throws instead of returning
+    val maxIters = 200
+    while (!converged) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIters rounds " +
+            "(cluster diameter exceeds the guard; raise maxIters)")
       val viaNeighbors = labels.join(both, labels("id") === both("src"))
         .select(col("dst").as("id"), col("cluster"))
       val next = labels.select("id", "cluster").union(viaNeighbors)
@@ -61,8 +69,15 @@ object PipelineOps {
       iter += 1
     }
     both.unpersist()
+    // the final frame STAYS cached — the caller's aggregate reads it
+    // without recomputing the whole propagation chain; the previous
+    // invocation's cache is released here (bounded at one copy)
+    Option(lastLabels.getAndSet(labels)).foreach(_.unpersist())
     labels
   }
+
+  private val lastLabels =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }
 
 object PipelineQueries extends QueryModule {

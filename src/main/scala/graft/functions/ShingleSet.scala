@@ -49,8 +49,16 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleSet {
 
-  /** Split on runs of whitespace (Java regex `\s+` semantics for the
-    * ASCII whitespace the corpus contains), n-gram join, distinct. */
+  /** Exactly Java regex `\s`: [ \t\n\x0B\f\r]. NOT
+    * Character.isWhitespace, which also accepts 0x1C-0x1F and the
+    * Unicode line/paragraph separators — a text containing those would
+    * tokenize differently here than via split("\\s+") and the DuckDB
+    * string_split_regex oracles, silently breaking hash parity. */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Split on runs of whitespace (Java regex `\s+` semantics), n-gram
+    * join, distinct. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     // toString allocation is unavoidable for building joined shingles;
     // the split itself avoids the regex engine.
@@ -59,18 +67,18 @@ object ShingleSet {
     var i = 0
     val len = s.length
     // split("\\s+") parity: leading whitespace yields a leading "" token
-    if (len > 0 && Character.isWhitespace(s.charAt(0))) tokens += ""
+    if (len > 0 && isRegexSpace(s.charAt(0))) tokens += ""
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isRegexSpace(s.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isRegexSpace(s.charAt(i))) i += 1
         tokens += s.substring(start, i)
       }
     }
     // Spark's split() uses limit = -1: trailing whitespace yields a
     // trailing "" token (unlike Java's String.split default).
-    if (len > 0 && Character.isWhitespace(s.charAt(len - 1))) tokens += ""
+    if (len > 0 && isRegexSpace(s.charAt(len - 1))) tokens += ""
     if (tokens.isEmpty) tokens += "" // split of "" is [""]
     val m = tokens.length
     val last = math.max(m - n, 0)

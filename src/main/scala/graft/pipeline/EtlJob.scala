@@ -40,8 +40,11 @@ object EtlJob {
     val obs = spark.read.format("graft.sources.ObservationSource")
       .option("stations", stations).option("ticks", ticks).load()
       .withColumn("timezone", lit(tzOffsetSec))
+      // (station, timestamp) is the natural identity; the wide
+      // multiplier keeps ids unique without wrapping (timestamp ~1.7e9
+      // << 1e12 — the old modulo collided ticks 1e6/300 apart)
       .withColumn("obs_id",
-        col("station_id") * 1000000L + col("timestamp") % 1000000L)
+        col("station_id") * 1000000000000L + col("timestamp"))
     StarSink.write(WeatherEtl.enrich(obs), outDir)
   }
 }

@@ -39,23 +39,36 @@ object HttpObservations {
       if (code != 200)
         throw new java.io.IOException(s"observation fetch failed: HTTP $code for $url")
       val root = mapper.readTree(conn.getInputStream)
-      val main = root.path("main")
+      // required-field access: Jackson's path().asLong silently maps a
+      // MISSING or malformed field to 0 — a schema-valid but corrupt
+      // observation poisoning downstream aggregates. The reference's
+      // dict plucking raises KeyError loudly (dags/utils/api.py:30-34);
+      // mirror that contract.
+      def req(parent: com.fasterxml.jackson.databind.JsonNode,
+          name: String): com.fasterxml.jackson.databind.JsonNode = {
+        val node = parent.path(name)
+        if (node.isMissingNode || node.isNull)
+          throw new java.io.IOException(
+            s"observation fetch: field '$name' missing in response for $url")
+        node
+      }
+      val main = req(root, "main")
       Array[Any](
         station,
         UTF8String.fromString(root.path("name").asText(city)),
-        main.path("temp").asDouble,
-        main.path("feels_like").asDouble,
-        main.path("temp_min").asDouble,
-        main.path("temp_max").asDouble,
-        main.path("pressure").asLong,
-        main.path("humidity").asLong,
-        root.path("visibility").asLong,
-        root.path("wind").path("speed").asDouble,
-        root.path("wind").path("deg").asDouble,
-        root.path("clouds").path("all").asLong,
-        root.path("dt").asLong,
-        root.path("sys").path("sunrise").asLong,
-        root.path("sys").path("sunset").asLong)
+        req(main, "temp").asDouble,
+        req(main, "feels_like").asDouble,
+        req(main, "temp_min").asDouble,
+        req(main, "temp_max").asDouble,
+        req(main, "pressure").asLong,
+        req(main, "humidity").asLong,
+        req(root, "visibility").asLong,
+        req(req(root, "wind"), "speed").asDouble,
+        req(req(root, "wind"), "deg").asDouble,
+        req(req(root, "clouds"), "all").asLong,
+        req(root, "dt").asLong,
+        req(req(root, "sys"), "sunrise").asLong,
+        req(req(root, "sys"), "sunset").asLong)
     } finally conn.disconnect()
   }
 

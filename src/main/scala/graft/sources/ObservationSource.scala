@@ -44,15 +44,21 @@ class ObservationSource extends TableProvider {
     ObservationSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 hands getTable the ORIGINAL-case map; option keys are
+    // case-insensitive by contract (inferSchema already receives a
+    // CaseInsensitiveStringMap), so wrap — otherwise a mis-cased
+    // .option("Endpoint", ...) silently fell back to fixture mode
+    val opts = new CaseInsensitiveStringMap(properties)
     new ObservationTable(
-      Option(properties.get("stations")).map(_.toInt).getOrElse(4),
-      Option(properties.get("ticks")).map(_.toInt).getOrElse(1),
-      Option(properties.get("endpoint")),
-      Option(properties.get("apiKeys"))
+      Option(opts.get("stations")).map(_.toInt).getOrElse(4),
+      Option(opts.get("ticks")).map(_.toInt).getOrElse(1),
+      Option(opts.get("endpoint")),
+      Option(opts.get("apiKeys"))
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
-      Option(properties.get("maxTicksPerBatch")).map(_.toInt))
+      Option(opts.get("maxTicksPerBatch")).map(_.toInt))
+  }
 }
 
 object ObservationSource {
