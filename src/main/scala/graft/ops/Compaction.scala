@@ -96,7 +96,10 @@ object Compaction {
     * the renames leaves the data in `dir-__precompact`; the next
     * compact() run restores it before proceeding. */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      // fault-injection seam for the concurrency spec: runs after the
+      // rewrite, before the changed-directory check
+      onBeforeSwap: () => Unit = () => ()): Int = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new Path(s"$dir-__precompact")
@@ -114,6 +117,7 @@ object Compaction {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmp)
 
+    onBeforeSwap()
     // abort (not clobber) if a concurrent writer appended meanwhile:
     // the rewrite no longer reflects the directory's contents
     if (dataFileNames(spark, dir) != before) {

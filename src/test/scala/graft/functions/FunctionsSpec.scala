@@ -110,6 +110,23 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_set parity on non-\\s whitespace (0x1C-0x1F, U+2028)") {
+    import graft.ext.{DedupFunctions, TextFunctions}
+    // Character.isWhitespace treats these as separators; regex \s and
+    // the DuckDB oracle do NOT — the kernel must side with \s
+    val texts = Seq("a\u001Cb c", "x\u001Dy", "p\u2028q\u2029r",
+      "m\u001En normal  mix")
+    val df = texts.toDF("text")
+    val native = df.select(ShingleSet.shingleSet(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    val hof = df.select(array_distinct(
+      DedupFunctions.shingles(TextFunctions.wsTokens(col("text")))).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    texts.indices.foreach { i =>
+      assert(native(i) === hof(i), s"text: '${texts(i)}'")
+    }
+  }
+
   test("shingle_set parity holds on 200 random whitespace-laden strings") {
     import graft.ext.{DedupFunctions, TextFunctions}
     import org.scalacheck.Gen

@@ -49,20 +49,19 @@ class CompactionSpec extends SparkSpec {
   test("compaction aborts cleanly if the directory changes mid-rewrite") {
     val dir = Files.createTempDirectory("compact_race").toString + "/t"
     (1 to 100).toDF("id").repartition(4).write.parquet(dir)
-    // a concurrent micro-batch append races the compaction; whichever
-    // way the race lands (append before the read pass, mid-rewrite —
-    // where the changed-file-set detector must ABORT with the
-    // original intact — or after the swap), no committed row may be
-    // lost. Without the detector, a mid-rewrite append was swapped
-    // into the backup and deleted.
-    val t = new Thread(() => {
-      Thread.sleep(150)
-      (101 to 110).toDF("id").coalesce(1).write.mode("append").parquet(dir)
-    })
-    t.start()
-    try Compaction.compact(spark, dir, targetBytes = 1L << 30)
-    catch { case _: java.io.IOException => () } // abort is acceptable
-    t.join()
+    // inject a concurrent micro-batch append between the rewrite and
+    // the swap: the changed-file-set detector must ABORT with the
+    // original (plus the append) intact. Without the detector, the
+    // appended file was swapped into the backup and deleted.
+    val e = intercept[java.io.IOException] {
+      Compaction.compact(spark, dir, targetBytes = 1L << 30,
+        onBeforeSwap = () =>
+          (101 to 110).toDF("id").coalesce(1).write.mode("append").parquet(dir))
+    }
+    assert(e.getMessage.contains("changed during rewrite"), e.getMessage)
+    assert(spark.read.parquet(dir).count() === 110L) // nothing lost
+    // and a clean rerun (no concurrent writer) succeeds
+    Compaction.compact(spark, dir, targetBytes = 1L << 30)
     assert(spark.read.parquet(dir).count() === 110L)
   }
 

@@ -17,6 +17,13 @@ class ObservationSourceSpec extends SparkSpec {
     assert(df.select("station_id").distinct().count() === 4)
   }
 
+  test("options are case-insensitive (DSv2 contract)") {
+    // a mis-cased option must not silently fall back to defaults
+    val df = spark.read.format("graft.sources.ObservationSource")
+      .option("Stations", 3).option("TICKS", 2).load()
+    assert(df.count() === 6)
+  }
+
   test("schema is the 15-field observation record") {
     assert(read(2, 1).schema.fieldNames.length === 15)
     assert(read(2, 1).schema.fieldNames.take(2).toSeq === Seq("station_id", "city"))
