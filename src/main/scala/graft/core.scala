@@ -37,7 +37,7 @@ object Tables {
       // read natively; read nanos as long and truncate to microseconds
       // (exact integer division — same truncation DuckDB applies).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -115,7 +115,8 @@ object DedupFunctions {
       .filter(col("doc_id") % 5 === 0)
       .select(
         (col("doc_id") + 1000000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+        // explicit RE2-safe classes (Java \S/\s differ on 0x0B)
+        regexp_replace(col("text"), "^[^ \\t\\n\\f\\r]+[ \\t\\n\\f\\r]+", "").as("text"),
         col("lang"), col("source"), col("n_chars"))
     docs.unionByName(perturbed)
   }
@@ -129,7 +130,7 @@ object DedupFunctions {
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
-      |         regexp_replace(text, '^\S+\s+', '') AS text,
+      |         regexp_replace(text, '^[^ \t\n\f\r]+[ \t\n\f\r]+', '') AS text,
       |         lang, source, n_chars
       |  FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin

@@ -51,7 +51,7 @@ object FingerprintQueries extends QueryModule {
     "q_doc_fingerprint" -> QueryDef(
       fn = (spark, dir) => Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          simhash64(spark, split(col("text"), "\\s+")).as("simhash"))
+          simhash64(spark, TextFunctions.wsTokens(col("text"))).as("simhash"))
         .orderBy("doc_id"),
       oracle = None),
 
@@ -63,7 +63,7 @@ object FingerprintQueries extends QueryModule {
       fn = (spark, dir) => {
         val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
           .select(col("doc_id"), col("lang"),
-            simhash64(spark, split(col("text"), "\\s+")).as("fp"))
+            simhash64(spark, TextFunctions.wsTokens(col("text"))).as("fp"))
           .persist()
         if (DedupFunctions.exportOracleFrames) {
           docs.coalesce(1).write.mode("overwrite")

@@ -52,11 +52,25 @@ object Similarity {
 object SimilarityQueries extends QueryModule {
   import VectorFunctions._
 
-  /** Shared DuckDB fragment: embeddings with double-precision vectors. */
+  /** Shared corpus frame: double vectors, zero-norm vectors excluded.
+    * The exclusion is a CONTRACT, mirrored in [[embCte]]: a zero
+    * vector's cosine is 0/0, which Spark's Divide maps to NULL (sorts
+    * last under desc) while DuckDB's IEEE division yields NaN (sorts
+    * FIRST) — the engines would rank different top-k rows. No
+    * meaningful ANN query wants zero vectors anyway. */
+  private def embFrame(spark: SparkSession, dir: String) =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")) > 0)
+
+  /** Shared DuckDB fragment: embeddings with double-precision vectors
+    * (zero-norm excluded — see [[embFrame]]). */
   private val embCte =
     """WITH emb AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0
       |)""".stripMargin
 
   private val cosSql =
@@ -69,8 +83,7 @@ object SimilarityQueries extends QueryModule {
     // until the final (tiny) top-k aggregation.
     "q_ann_cosine_topk" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val emb = embFrame(spark, dir)
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         val w = Window.partitionBy("q_id")
@@ -97,8 +110,7 @@ object SimilarityQueries extends QueryModule {
     // threshold, with planted perturbed copies as guaranteed positives.
     "q_embedding_neardup" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        val emb = embFrame(spark, dir)
         val planted = emb.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
             concat(array(element_at(col("v"), 1) + lit(0.01)),
@@ -140,8 +152,7 @@ object SimilarityQueries extends QueryModule {
     // recall-based ANN check).
     "q_ann_ivf" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val emb = embFrame(spark, dir)
         val centroids = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("v").as("c_v"))
         // assign: nearest centroid per corpus vector, as a max_by
@@ -214,11 +225,18 @@ object SimilarityQueries extends QueryModule {
     // floor(x+0.5) (not round()) so DuckDB reproduces it bit-for-bit.
     "q_ann_sq8_rerank" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
-        val quantized = emb.withColumn("qv",
-          transform(col("v"), x => floor(x / scale + lit(0.5)).cast("double")))
+        val emb = embFrame(spark, dir)
+        // hoist the per-vector scale OUT of the per-element lambda:
+        // HOFs are interpreted with no CSE inside the lambda, so an
+        // inline scale would re-scan the whole array per element —
+        // O(d^2) per row. Same value, same IEEE division, O(d).
+        val quantized = emb
+          .withColumn("__scale",
+            array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+          .withColumn("qv",
+            transform(col("v"),
+              x => floor(x / col("__scale") + lit(0.5)).cast("double")))
+          .drop("__scale")
         val queries = quantized.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"),
             col("qv").as("q_qv"))
@@ -270,8 +288,7 @@ object SimilarityQueries extends QueryModule {
     // signature pass is narrow, the join key is fixed-width.
     "q_ann_lsh" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val emb = embFrame(spark, dir)
         val planes = emb.filter(col("vec_id") < 16)
           .withColumn("pair", (col("vec_id") / 2).cast("long"))
           .groupBy("pair")

@@ -12,11 +12,17 @@ import graft.{QueryDef, QueryModule, Tables}
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (the baseline tokenizer). */
-  def wsTokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization (the baseline tokenizer) — the ONE
+    * tokenizer definition every operator and query routes through.
+    * The explicit class is RE2's `\s` ([ \t\n\f\r]); Java's `\s`
+    * additionally includes vertical tab (0x0B), so split("\\s+")
+    * would tokenize a VT-bearing text differently than the DuckDB
+    * string_split_regex('\s+') oracles. */
+  def wsTokens(text: Column): Column = split(text, "[ \\t\\n\\f\\r]+")
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation. */
-  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // [^...] uses the same explicit RE2-\s class as wsTokens (no 0x0B)
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
@@ -88,7 +94,7 @@ object TextFunctions {
     * sequence) — no shuffle, scales linearly. */
   def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= window, s"stride $stride vs window $window")
-    val toks = split(col("text"), "\\s+")
+    val toks = wsTokens(col("text"))
     val n = size(toks)
     // starts: 0, stride, 2*stride, ... last one < n (a doc shorter than
     // one window still yields its single partial chunk)
@@ -122,7 +128,7 @@ object TextFunctions {
   def heavyHitters(docs: DataFrame, denom: Int, k: Int = 256): DataFrame = {
     require(k >= denom, s"sketch width $k cannot guarantee n/$denom hitters")
     val tokens = docs
-      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .select(explode(wsTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val sketch = tokens
       .select(graft.functions.MisraGries.sketch(col("token"), k).as("s"))
@@ -139,8 +145,8 @@ object TextFunctions {
 object TextQueries extends QueryModule {
   import TextFunctions._
 
-  private val stopList = enStop.map(w => s"'$w'").mkString(", ")
   private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private val stopList = listSql(enStop)
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 

@@ -49,13 +49,13 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleSet {
 
-  /** Exactly Java regex `\s`: [ \t\n\x0B\f\r]. NOT
-    * Character.isWhitespace, which also accepts 0x1C-0x1F and the
-    * Unicode line/paragraph separators — a text containing those would
-    * tokenize differently here than via split("\\s+") and the DuckDB
-    * string_split_regex oracles, silently breaking hash parity. */
+  /** Exactly RE2 regex `\s`: [ \t\n\f\r] — the class
+    * TextFunctions.wsTokens and the DuckDB string_split_regex oracles
+    * use. NOT Character.isWhitespace (extra 0x1C-0x1F, U+2028/9) and
+    * NOT Java regex `\s` (extra 0x0B): either divergence silently
+    * breaks hash parity on texts containing those code points. */
   private def isRegexSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Split on runs of whitespace (Java regex `\s+` semantics), n-gram
     * join, distinct. */

@@ -30,9 +30,15 @@ object AdvancedQueries extends QueryModule {
         val clicks = events.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"),
             lit(1).as("side"))
+        // dedupe views to ONE row per (user, ts): with equal-timestamp
+        // views both engines would otherwise pick an ARBITRARY one
+        // (Spark: partition-order of the tie; DuckDB ASOF: its own) —
+        // max event_id is the deterministic convention, mirrored in
+        // the oracle
         val views = events.filter(col("event_type") === "view")
-          .select(col("event_id").as("v_event_id"), col("user_id"),
-            col("ts"), lit(0).as("side"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("v_event_id"))
+          .withColumn("side", lit(0))
         val tagged = clicks
           .withColumn("v_event_id", lit(null).cast("long"))
           .unionByName(views.withColumn("event_id", lit(null).cast("long")))
@@ -49,7 +55,9 @@ object AdvancedQueries extends QueryModule {
       oracle = Some("""
         |SELECT c.event_id, c.user_id, v.event_id AS matched_view
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, MAX(event_id) AS event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin),
       bench = true),
@@ -72,9 +80,12 @@ object AdvancedQueries extends QueryModule {
         a.join(b, Seq("user_id", "bkt"))
           .filter(col("us_b") > col("us_a") &&
             col("us_b") - col("us_a") <= 600000000L)
+          // no dedup needed: us_b > us_a makes the bucket delta 0 or 1,
+          // so each qualifying pair matches exactly ONE of a's two
+          // exploded buckets (a distinct() here would re-shuffle the
+          // whole result for nothing)
           .select(col("user_id"), col("id_a"), col("id_b"),
             ((col("us_b") - col("us_a")) / lit(1000000.0)).as("gap_sec"))
-          .distinct()
           .orderBy("user_id", "id_a", "id_b")
       },
       oracle = Some("""
@@ -343,7 +354,9 @@ object AdvancedQueries extends QueryModule {
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("pn"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_users"), sum(col("pn")).as("n_events"))
+        // COUNT(DISTINCT x) ignores NULLs — the phase-2 count must too,
+        // or a null user_id group would inflate n_users by one
+        .agg(count(col("user_id")).as("n_users"), sum(col("pn")).as("n_events"))
         .orderBy("event_type"),
       oracle = Some("""
         |SELECT event_type,

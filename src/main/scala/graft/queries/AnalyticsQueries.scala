@@ -203,7 +203,7 @@ object AnalyticsQueries extends QueryModule {
     // (count desc, token) for a deterministic slice.
     "q_vocab_stats" -> QueryDef(
       fn = (spark, dir) => Tables(spark, dir, "documents")
-        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .select(explode(graft.ext.TextFunctions.wsTokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .groupBy("token")
         .agg(count(lit(1)).as("n"))

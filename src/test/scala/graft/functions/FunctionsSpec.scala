@@ -110,12 +110,12 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("shingle_set parity on non-\\s whitespace (0x1C-0x1F, U+2028)") {
+  test("shingle_set parity on non-RE2-space code points (0x0B, 0x1C-0x1F, U+2028)") {
     import graft.ext.{DedupFunctions, TextFunctions}
     // Character.isWhitespace treats these as separators; regex \s and
     // the DuckDB oracle do NOT — the kernel must side with \s
     val texts = Seq("a\u001Cb c", "x\u001Dy", "p\u2028q\u2029r",
-      "m\u001En normal  mix")
+      "m\u001En normal  mix", "vt\u000Bsplit stays joined")
     val df = texts.toDF("text")
     val native = df.select(ShingleSet.shingleSet(col("text"), 3).as("sh"))
       .as[Seq[String]].collect().toSeq
