@@ -24,28 +24,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup: run every bench query once at the smallest SF
-    // so the timed pass measures the plan, not classloading/JIT.
+    // JVM/codegen warmup: run every bench query once at the smallest
+    // available SF so the timed pass measures the plan, not
+    // classloading/JIT. A warmup failure is loud on stderr (it means
+    // the timed pass will be skewed), never fatal.
     val queries = SparkEntry.queries
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").exists())
+        "/root/testdata/sf0.001"
+      else sfDir
     SparkEntry.benchQueries.foreach { name =>
-      try queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try queries(name)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name: $e")
+      }
     }
     spark.catalog.clearCache() // drop warmup persists
 
     val results = SparkEntry.benchQueries.map { name =>
       // min of 2 runs: on shared hardware single runs vary +-15%
-      // from scheduler noise; the min measures the plan
-      val dt = (1 to 2).map { _ =>
+      // from scheduler noise; the min measures the plan. A FAILING
+      // query reports -1, never a near-zero "fast success".
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        val ok =
+          try { queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // queries persist internal frames (LSH signatures, star
         // fan-out); clear between measurements so runs are independent
         spark.catalog.clearCache()
-        t
-      }.min
+        (ok, t)
+      }
+      val dt = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
     // kernel-frame exports (minhash sigs, simhash fps) feed the DuckDB
     // oracle; only the correctness harness needs them written

@@ -72,9 +72,6 @@ object StarSchema {
       tempDim: DataFrame,
       heatIndexDim: DataFrame)
 
-  private val keyNames =
-    Seq("record_id", "time_id", "parameter_id", "temp_id", "heat_index_id")
-
   /** Append the five surrogate-key columns in ONE projection. Persist
     * the RESULT of this (not the bare enriched frame) before fanning
     * out: the five split branches then only select cached columns —

@@ -38,10 +38,11 @@ object StreamingEtlJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          StarSink.write(WeatherEtl.enrich(batch), s"$warehouseDir/batch=$batchId")
-          ()
-        }
+        // no isEmpty guard: it costs an extra job re-reading the batch
+        // source, and an empty batch just writes an empty (manifested)
+        // batch dir — harmless and cheaper than the check
+        StarSink.write(WeatherEtl.enrich(batch), s"$warehouseDir/batch=$batchId")
+        ()
       }
       .start()
   }
