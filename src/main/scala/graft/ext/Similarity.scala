@@ -15,10 +15,9 @@ import graft.{QueryDef, QueryModule, Tables}
   * Scale design: brute-force top-k is the correctness baseline — a
   * broadcast of the (small) query set against a partitioned scan of the
   * corpus: no shuffle of the corpus, partial top-k per partition via
-  * window ranking. The near-dup variant blocks pairs by label (an
-  * equi-join key) rather than a full cross product. An LSH-bucketed
-  * variant (random hyperplanes => band equi-join, same shape as
-  * MinHash-LSH in [[DedupFunctions]]) is the 100 TB path.
+  * window ranking. Every approximate path (IVF, hyperplane LSH, SQ8)
+  * and the near-dup operator turn candidate generation into a bucketed
+  * EQUI-JOIN — no per-query corpus scan, no all-pairs join anywhere.
   */
 object VectorFunctions {
 
@@ -38,7 +37,14 @@ object VectorFunctions {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 }
 
+/** Shared machinery for the hyperplane-LSH family and IVF training —
+  * every construction is corpus-derived and expression-exact so the
+  * DuckDB oracle can replay it (a seeded RNG would not be reproducible
+  * in SQL).
+  */
 object Similarity {
+  import VectorFunctions._
+
   /** Bucket-id XOR deltas reaching every 8-bit bucket within Hamming
     * distance 2: the identity, all single flips, all pairs (1+8+28). */
   val hamming2Deltas: Seq[Long] = {
@@ -46,6 +52,152 @@ object Similarity {
     val pairs = for (i <- 0 until 8; j <- i + 1 until 8)
       yield (1L << i) | (1L << j)
     0L +: (singles ++ pairs)
+  }
+
+  /** Number of independent 8-plane LSH tables for the OR-amplified ANN
+    * path (recall ≈ 1-(1-r)^L for per-table recall r). */
+  val LshTables = 4
+
+  /** Plane source pairs: table `t` pairs pool vector `i` with
+    * `i XOR (t+1)` — four disjoint perfect matchings of pool vectors
+    * 0..15, so each table's 8 difference planes use all 16 pool
+    * vectors exactly once and no plane repeats across tables. Table 0
+    * (XOR 1) is the classic (2p, 2p+1) pairing. Returns
+    * (table, planeBit, loVecId, hiVecId). */
+  def planePairs(tables: Int): Seq[(Int, Int, Int, Int)] =
+    for {
+      t <- 0 until tables
+      c = t + 1
+      (i, j) <- (0 until 16).filter(i => i < (i ^ c)).zipWithIndex
+    } yield (t, j, i, i ^ c)
+
+  /** `tables`×8 corpus-derived hyperplanes: differences of fixed pool
+    * vector pairs (deterministic, SQL-replayable). Output:
+    * (tbl, pair, h). A pool vector filtered out upstream (zero norm)
+    * silently drops its pair on BOTH engines — consistent. */
+  def hyperplanes(spark: SparkSession, emb: DataFrame, tables: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = planePairs(tables).toDF("tbl", "pair", "lo", "hi")
+    pairs
+      .join(emb.select(col("vec_id").as("lo"), col("v").as("v_lo")), "lo")
+      .join(emb.select(col("vec_id").as("hi"), col("v").as("v_hi")), "hi")
+      .select(col("tbl"), col("pair"),
+        zip_with(col("v_lo"), col("v_hi"), (x, y) => x - y).as("h"))
+  }
+
+  /** Append per-table sign buckets to `df` (must carry a `v` vector
+    * column): bucket = Σ 2^j · [dot(v, h_j) ≥ 0]. One broadcast
+    * nested-loop over the ≤32 plane rows, then a map-side-combined
+    * aggregation — the signature pass is narrow. Output: every input
+    * column + (tbl, bucket), one row per (input row, table). */
+  def signBuckets(df: DataFrame, planes: DataFrame): DataFrame = {
+    val keyCols = df.columns.map(col).toSeq
+    df.join(broadcast(planes))
+      .withColumn("bit",
+        when(dot(col("v"), col("h")) >= 0,
+          pow(lit(2.0), col("pair").cast("double")).cast("long"))
+          .otherwise(0L))
+      .groupBy((keyCols :+ col("tbl")): _*)
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  /** DuckDB CTE fragment mirroring [[hyperplanes]] + [[signBuckets]]:
+    * defines `plane_pairs`, `plane_vecs` (over CTE `emb`) and `signed`
+    * (over CTE `srcCte`, grouped by vec_id + `extraKeys` + tbl). */
+  def lshSql(tables: Int, srcCte: String, extraKeys: Seq[String]): String = {
+    val vals = planePairs(tables)
+      .map { case (t, j, lo, hi) => s"($t,$j,$lo,$hi)" }.mkString(",")
+    val keySel = extraKeys.map(k => s"e.$k, ").mkString
+    val keyGrp = extraKeys.map(k => s", e.$k").mkString
+    s"""plane_pairs AS (
+       |  SELECT * FROM (VALUES $vals) AS pp(tbl, pair, lo, hi)),
+       |plane_vecs AS (
+       |  SELECT pp.tbl, pp.pair,
+       |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS h
+       |  FROM plane_pairs pp
+       |  JOIN emb a ON a.vec_id = pp.lo
+       |  JOIN emb b ON b.vec_id = pp.hi),
+       |signed AS (
+       |  SELECT e.vec_id, ${keySel}ANY_VALUE(e.v) AS v, p.tbl,
+       |    SUM(CASE WHEN list_inner_product(e.v, p.h) >= 0
+       |             THEN CAST(power(2.0, p.pair) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM $srcCte e CROSS JOIN plane_vecs p
+       |  GROUP BY e.vec_id$keyGrp, p.tbl)""".stripMargin
+  }
+
+  /** Lloyd-trained IVF centroids (`iters` k-means rounds from the
+    * deterministic "first 16 vectors" seed). Each round is ONE
+    * distributed pass, 100 TB-shaped:
+    *   - assign: centroids are driver-local between rounds (≤nlist
+    *     rows × d doubles — the same bounded-sketch class as
+    *     [[graft.ops.ScaleJoins.hotKeys]], and exactly what MLlib
+    *     k-means keeps on the driver), so the argmax is a NARROW
+    *     literal expression per row — `array_max` over nlist
+    *     (sim, -c_id, c_id) structs: no join, no shuffle, and the
+    *     (sim desc, c_id asc) tie-break matches the query-side
+    *     ROW_NUMBER formulation;
+    *   - recenter: posexplode to (cluster, pos) cells, LONG-sum of the
+    *     1e-6-quantized components — an exact, order-independent,
+    *     partition-count-invariant accumulation (a double sum would be
+    *     order-dependent and could not hash-match DuckDB), then the
+    *     mean in double.
+    * Empty clusters drop (fewer centroids next round) on both engines.
+    * Output: (c_id, c_v). */
+  def trainedCentroids(emb: DataFrame, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val simStructs = cent.map { case (cid, cv) =>
+        struct(cosine(col("v"), array(cv.map(lit): _*)).as("s"),
+          lit(-cid).as("nc"), lit(cid).as("c"))
+      }
+      // one shuffle per round: the (cluster, pos) partial sums ARE the
+      // 100 TB -> nlist×d reduction; the ≤nlist×d summary rows finish
+      // as driver arithmetic (identical IEEE ops to a Column formula)
+      val cells = emb
+        .withColumn("c_id", array_max(array(simStructs: _*)).getField("c"))
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("qx", floor(col("x") * lit(1000000.0) + lit(0.5)))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+      cent = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, cs) =>
+        (cid, cs.sortBy(_._2).map { case (_, _, s, n) =>
+          s.toDouble / (1000000.0 * n.toDouble) }.toSeq)
+      }
+    }
+    cent.toDF("c_id", "c_v")
+  }
+
+  /** DuckDB CTE chain mirroring [[trainedCentroids]]: `cent0` ..
+    * `cent$iters` (use `cent$iters` as the trained set). The paired
+    * `unnest(range(..))`/`unnest(v)` zip positionally = posexplode. */
+  def lloydSql(iters: Int, cosSql: (String, String) => String): String = {
+    val steps = (0 until iters).map { k =>
+      s"""assign$k AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.c_v")} DESC, c.c_id) AS rn
+         |    FROM emb e CROSS JOIN cent$k c)
+         |  WHERE rn = 1),
+         |cent${k + 1} AS (
+         |  SELECT c_id, list(m ORDER BY pos) AS c_v FROM (
+         |    SELECT c_id, pos,
+         |      CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / (1000000.0 * COUNT(*)) AS m
+         |    FROM (
+         |      SELECT c_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+         |      FROM assign$k)
+         |    GROUP BY c_id, pos)
+         |  GROUP BY c_id)""".stripMargin
+    }
+    ("""cent0 AS (
+       |  SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < 16)""".stripMargin
+      +: steps).mkString(",\n")
   }
 }
 
@@ -73,8 +225,71 @@ object SimilarityQueries extends QueryModule {
       |                           CAST(embedding AS DOUBLE[])) > 0
       |)""".stripMargin
 
-  private val cosSql =
-    "list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v))"
+  private def cosSqlOf(a: String, b: String): String =
+    s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
+
+  private val cosSql = cosSqlOf("q.v", "n.v")
+
+  /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table
+    * LSH probe — ids only (vectors are re-fetched for survivors), the
+    * same staged shape as MinHash-LSH banding. Exposed for
+    * [[q_ann_lsh]] and the recall/cost spec. */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embFrame(spark, dir)
+    val planes = Similarity.hyperplanes(spark, emb, Similarity.LshTables)
+    val signed = Similarity.signBuckets(emb.drop("label"), planes)
+    // multi-probe: each query searches, PER TABLE, its own bucket AND
+    // every bucket within Hamming distance 2 (<=2 sign bits flipped) —
+    // a single-bucket probe on weakly-correlated vectors has near-zero
+    // recall. OR-amplification across the L tables then unions the
+    // candidate sets: recall ~ 1-(1-r)^L at L× the probe cost
+    // (AnnRecallSpec measures both dials).
+    val probeDeltas = array(Similarity.hamming2Deltas.map(lit(_)): _*)
+    val probes = signed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      .withColumn("__d", explode(probeDeltas))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__d")))
+      .drop("__d")
+    probes
+      .join(signed.select(col("vec_id").as("n_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+      .distinct() // the same pair can collide in several tables
+  }
+
+  /** Candidate near-dup pairs blocked by (label, sign-bucket) — an
+    * EQUI-JOIN, never all-pairs within a label. Exposed for
+    * [[q_embedding_neardup]] and the plan-shape spec. */
+  def neardupCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = embFrame(spark, dir)
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        concat(array(element_at(col("v"), 1) + lit(0.01)),
+          slice(col("v"), 2, 10000)).as("v"))
+    val all = emb.unionByName(planted)
+    // one 8-plane table: near-dups at cosine >= 0.99 are ~8 degrees
+    // apart, so a plane splits a true pair with p ~ 0.045 — Hamming<=2
+    // multi-probe recovers pairs with up to 2 disagreeing sign bits
+    // (the oracle replays the same blocking, so the result is
+    // deterministic either way; SimilaritySpec asserts every planted
+    // pair survives it)
+    val planes = Similarity.hyperplanes(spark, emb, 1)
+    val signed = Similarity.signBuckets(all, planes)
+    val probeDeltas = array(Similarity.hamming2Deltas.map(lit(_)): _*)
+    // ids only through the join; each qualifying pair matches exactly
+    // one delta (the XOR of its two buckets), so no dedup is needed
+    val exploded = signed.select(col("vec_id").as("id_a"), col("label"), col("bucket"))
+      .withColumn("__d", explode(probeDeltas))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__d")))
+      .drop("__d")
+    val cand = exploded
+      .join(signed.select(col("vec_id").as("id_b"), col("label"), col("bucket")),
+        Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "label")
+    (all, cand)
+  }
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
@@ -106,55 +321,54 @@ object SimilarityQueries extends QueryModule {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       bench = true),
 
-    // ---- Embedding near-dup: same-label blocked pairs above a cosine
+    // ---- Embedding near-dup: same-label pairs above a cosine
     // threshold, with planted perturbed copies as guaranteed positives.
+    // Candidates are an equi-join on (label, hyperplane sign-bucket)
+    // with Hamming<=2 multi-probe — within-label is NOT all-pairs, so
+    // one hot label can't go quadratic at 100 TB. The oracle replays
+    // the identical blocking, keeping the hash check exact.
     "q_embedding_neardup" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = embFrame(spark, dir)
-        val planted = emb.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
-            concat(array(element_at(col("v"), 1) + lit(0.01)),
-              slice(col("v"), 2, 10000)).as("v"))
-        val all = emb.unionByName(planted)
-        val a = all.select(col("vec_id").as("id_a"), col("label").as("label_a"),
-          col("v").as("v_a"))
-        val b = all.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-          col("v").as("v_b"))
-        a.join(b, col("label_a") === col("label_b") && col("id_a") < col("id_b"))
+        val (all, cand) = neardupCandidates(spark, dir)
+        cand
+          .join(all.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+          .join(all.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
           .withColumn("sim", cosine(col("v_a"), col("v_b")))
           .filter(col("sim") >= 0.99)
-          .select(col("id_a"), col("id_b"), col("label_a").as("label"), col("sim"))
+          .select(col("id_a"), col("id_b"), col("label"), col("sim"))
           .orderBy("id_a", "id_b")
       },
-      oracle = Some(embCte + """,
+      oracle = Some(embCte + s""",
         |all_emb AS (
         |  SELECT vec_id, label, v FROM emb
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id, label,
         |         [v[1] + 0.01] || v[2:] AS v
-        |  FROM emb WHERE vec_id % 10 = 0)
+        |  FROM emb WHERE vec_id % 10 = 0),
+        |${Similarity.lshSql(1, "all_emb", Seq("label"))}
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-        |  list_inner_product(a.v, b.v) / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) AS sim
-        |FROM all_emb a JOIN all_emb b
+        |  ${cosSqlOf("a.v", "b.v")} AS sim
+        |FROM signed a JOIN signed b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.v, b.v) / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.99
+        |  AND xor(a.bucket, b.bucket) IN (${Similarity.hamming2Deltas.mkString(",")})
+        |WHERE ${cosSqlOf("a.v", "b.v")} >= 0.99
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- IVF-bucketed ANN — the 100 TB scale path. A fixed set of 16
-    // "centroids" (deterministic training stub: the first 16 vectors)
-    // partitions the corpus: every vector is assigned to its nearest
-    // centroid ONCE (16 broadcast comparisons per row, narrow), and each
-    // query probes only its nprobe=2 nearest centroid buckets — an
-    // equi-join on centroid_id instead of a full scan per query. At
-    // scale the corpus is written bucketed/partitioned by centroid_id,
+    // ---- IVF-bucketed ANN — the 100 TB scale path. 16 centroids
+    // (deterministic seed: the first 16 vectors, then 2 Lloyd rounds —
+    // see [[Similarity.trainedCentroids]]) partition the corpus: every
+    // vector is assigned to its nearest centroid ONCE (nlist broadcast
+    // comparisons per row, narrow), and each query probes only its
+    // nprobe=2 nearest centroid buckets — an equi-join on centroid_id
+    // instead of a full scan per query. At scale the corpus is written
+    // bucketed/partitioned by centroid_id ([[graft.ops.VectorIndex]]),
     // so a probe is a partition-pruned read of ~nprobe/nlist of the
     // data. Exactly mirrored in SQL => hash-checkable (unlike a
     // recall-based ANN check).
     "q_ann_ivf" -> QueryDef(
       fn = (spark, dir) => {
         val emb = embFrame(spark, dir)
-        val centroids = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+        val centroids = Similarity.trainedCentroids(emb, iters = 2)
         // assign: nearest centroid per corpus vector, as a max_by
         // AGGREGATION (map-side partial reduce: ~1 row per vec_id per
         // partition reaches the exchange; a window over the
@@ -189,26 +403,26 @@ object SimilarityQueries extends QueryModule {
           .orderBy("q_id", "rank")
       },
       oracle = Some(embCte + s""",
-        |centroids AS (SELECT vec_id AS c_id, v AS c_v FROM emb WHERE vec_id < 16),
+        |${Similarity.lloydSql(2, cosSqlOf)},
         |assigned AS (
         |  SELECT n_id, n_v, c_id AS bucket FROM (
         |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_inner_product(e.v, c.c_v) / sqrt(list_inner_product(e.v, e.v) * list_inner_product(c.c_v, c.c_v)) DESC, c.c_id) AS c_rank
-        |    FROM emb e CROSS JOIN centroids c)
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
         |  WHERE c_rank = 1),
         |probes AS (
         |  SELECT q_id, q_v, c_id AS bucket FROM (
         |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_inner_product(q.v, c.c_v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(c.c_v, c.c_v)) DESC, c.c_id) AS c_rank
-        |    FROM emb q CROSS JOIN centroids c WHERE q.vec_id < 20)
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id < 20)
         |  WHERE c_rank <= 2)
         |SELECT q_id, rank, n_id, sim FROM (
         |  SELECT p.q_id, a.n_id,
-        |    list_inner_product(p.q_v, a.n_v) / sqrt(list_inner_product(p.q_v, p.q_v) * list_inner_product(a.n_v, a.n_v)) AS sim,
+        |    ${cosSqlOf("p.q_v", "a.n_v")} AS sim,
         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-        |      ORDER BY list_inner_product(p.q_v, a.n_v) / sqrt(list_inner_product(p.q_v, p.q_v) * list_inner_product(a.n_v, a.n_v)) DESC, a.n_id) AS rank
+        |      ORDER BY ${cosSqlOf("p.q_v", "a.n_v")} DESC, a.n_id) AS rank
         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
         |  WHERE a.n_id != p.q_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
@@ -279,51 +493,26 @@ object SimilarityQueries extends QueryModule {
         |  FROM cand)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    // ---- LSH-bucketed ANN (random-hyperplane family): 8 hyperplanes
-    // give a 256-bucket sign signature; neighbors are searched only
-    // inside the query's bucket — an equi-join, never a scan per query.
-    // The hyperplanes are DERIVED FROM THE CORPUS (differences of fixed
-    // vector pairs) so both engines construct them exactly — a seeded
-    // RNG would not be reproducible in SQL. Same shape as MinHash-LSH:
-    // signature pass is narrow, the join key is fixed-width.
+    // ---- LSH-bucketed ANN (random-hyperplane family), OR-amplified:
+    // L=4 independent 8-plane tables give per-table 256-bucket sign
+    // signatures; neighbors are searched only inside the query's
+    // (table, bucket) — an equi-join, never a scan per query — and the
+    // candidate union over tables recovers the recall a single table
+    // can't reach. The hyperplanes are DERIVED FROM THE CORPUS
+    // (differences of fixed vector pairs) so both engines construct
+    // them exactly — a seeded RNG would not be reproducible in SQL.
+    // Same staged shape as MinHash-LSH: narrow signature pass,
+    // fixed-width join keys, ids-only candidates, vectors re-fetched
+    // for survivors.
     "q_ann_lsh" -> QueryDef(
       fn = (spark, dir) => {
         val emb = embFrame(spark, dir)
-        val planes = emb.filter(col("vec_id") < 16)
-          .withColumn("pair", (col("vec_id") / 2).cast("long"))
-          .groupBy("pair")
-          .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
-        val planeVecs = planes
-          .join(emb.select(col("vec_id").as("lo"), col("v").as("v_lo")), "lo")
-          .join(emb.select(col("vec_id").as("hi"), col("v").as("v_hi")), "hi")
-          .select(col("pair"), zip_with(col("v_lo"), col("v_hi"),
-            (x, y) => x - y).as("h"))
-        // bucket = sum over planes of 2^j * (dot(v, h_j) >= 0)
-        val signed = emb.join(broadcast(planeVecs))
-          .withColumn("bit",
-            when(dot(col("v"), col("h")) >= 0,
-              pow(lit(2.0), col("pair").cast("double")).cast("long"))
-              .otherwise(0L))
-          .groupBy(col("vec_id"), col("v").as("vv"))
-          .agg(sum(col("bit")).as("bucket"))
-          .select(col("vec_id"), col("vv").as("v"), col("bucket"))
-        // multi-probe: each query searches its own bucket AND every
-        // bucket within Hamming distance 2 (<=2 sign bits flipped) —
-        // a single-bucket probe on weakly-correlated vectors has
-        // near-zero recall (one wrong sign of 8 hides the neighbor).
-        // 37 of 256 buckets ~ 14% of the corpus per query: the
-        // explicit recall/cost dial (AnnRecallSpec measures it)
-        val probeDeltas = array(Similarity.hamming2Deltas.map(lit(_)): _*)
-        val queries = signed.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
-          .withColumn("__d", explode(probeDeltas))
-          .withColumn("bucket", col("bucket").bitwiseXOR(col("__d")))
-          .drop("__d")
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-        broadcast(queries)
-          .join(signed.select(col("vec_id").as("n_id"), col("v").as("n_v"),
-            col("bucket")), "bucket")
-          .filter(col("n_id") =!= col("q_id"))
+        lshCandidates(spark, dir)
+          .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+          .join(broadcast(queries), "q_id")
           .withColumn("sim", cosine(col("q_v"), col("n_v")))
           .withColumn("rank", row_number().over(wTop).cast("long"))
           .filter(col("rank") <= 5)
@@ -331,34 +520,24 @@ object SimilarityQueries extends QueryModule {
           .orderBy("q_id", "rank")
       },
       oracle = Some(embCte + s""",
-        |planes AS (
-        |  SELECT CAST(floor(vec_id / 2) AS BIGINT) AS pair,
-        |         MIN(vec_id) AS lo, MAX(vec_id) AS hi
-        |  FROM emb WHERE vec_id < 16 GROUP BY 1),
-        |plane_vecs AS (
-        |  SELECT p.pair,
-        |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - b.v[i]) AS h
-        |  FROM planes p
-        |  JOIN emb a ON a.vec_id = p.lo
-        |  JOIN emb b ON b.vec_id = p.hi),
-        |signed AS (
-        |  SELECT e.vec_id, ANY_VALUE(e.v) AS v,
-        |    SUM(CASE WHEN list_inner_product(e.v, p.h) >= 0
-        |             THEN CAST(power(2.0, p.pair) AS BIGINT) ELSE 0 END) AS bucket
-        |  FROM emb e CROSS JOIN plane_vecs p
-        |  GROUP BY e.vec_id),
+        |${Similarity.lshSql(Similarity.LshTables, "emb", Seq.empty)},
         |probes AS (
-        |  SELECT vec_id, v, xor(bucket, d.d) AS bucket
+        |  SELECT vec_id, tbl, xor(bucket, d.d) AS bucket
         |  FROM signed,
-        |    (SELECT unnest([${graft.ext.Similarity.hamming2Deltas.mkString(",")}]) AS d) d
-        |  WHERE vec_id < 20)
+        |    (SELECT unnest([${Similarity.hamming2Deltas.mkString(",")}]) AS d) d
+        |  WHERE vec_id < 20),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM probes p JOIN signed n ON p.tbl = n.tbl AND p.bucket = n.bucket
+        |  WHERE n.vec_id != p.vec_id)
         |SELECT q_id, rank, n_id, sim FROM (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) AS sim,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_inner_product(q.v, n.v) / sqrt(list_inner_product(q.v, q.v) * list_inner_product(n.v, n.v)) DESC, n.vec_id) AS rank
-        |  FROM probes q JOIN signed n ON q.bucket = n.bucket
-        |  WHERE n.vec_id != q.vec_id)
+        |  SELECT c.q_id, c.n_id,
+        |    $cosSql AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+        |      ORDER BY $cosSql DESC, c.n_id) AS rank
+        |  FROM cand c
+        |  JOIN emb q ON q.vec_id = c.q_id
+        |  JOIN emb n ON n.vec_id = c.n_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

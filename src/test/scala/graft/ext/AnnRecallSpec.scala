@@ -27,16 +27,35 @@ class AnnRecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
-  test("IVF (nprobe=2 of 16) recall@5 clears its floor") {
+  test("IVF (nprobe=2 of 16, Lloyd-trained) recall@5 clears its floor") {
     val r = meanRecall("q_ann_ivf")
-    info(f"IVF mean recall@5 = $r%.3f")
-    assert(r >= 0.55, f"recall $r%.3f")
+    // Measured ceiling, not a tuning gap: this synthetic corpus is
+    // ISOTROPIC (mean pairwise cosine ~ -0.0003 within AND across
+    // labels, max ~ 0.48), so recall at fixed nprobe is bound by the
+    // ~12% corpus coverage 2-of-16 buckets give — training moved
+    // recall 0.83 -> 0.78 at identical cost while balancing cluster
+    // sizes (min/max 20/42 -> 25/42), which is the property that
+    // matters at 100 TB (no hot bucket => no skewed partition). On a
+    // genuinely clustered corpus the same training raises recall; the
+    // honest quality dial HERE is nprobe, exercised by the oracle at
+    // nprobe=2 for determinism.
+    info(f"IVF (Lloyd iters=2) mean recall@5 = $r%.3f")
+    assert(r >= 0.75, f"recall $r%.3f")
   }
 
-  test("hyperplane-LSH bucketed recall@5 clears its floor") {
+  test("OR-amplified multi-table LSH recall@5 clears its floor, at a bounded probe cost") {
     val r = meanRecall("q_ann_lsh")
-    info(f"LSH mean recall@5 = $r%.3f")
-    assert(r >= 0.3, f"recall $r%.3f")
+    // the cost side of the recall/cost dial: candidates actually
+    // scored per query, as a fraction of the corpus a brute-force
+    // query would touch
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count() - 1
+    val cands = SimilarityQueries.lshCandidates(spark, sf).count()
+    val frac = cands.toDouble / (20.0 * corpus)
+    info(f"LSH mean recall@5 = $r%.3f (L=${Similarity.LshTables}, " +
+      f"Hamming<=2 probes; candidates/query = ${cands / 20}, " +
+      f"${frac * 100}%.1f%% of corpus)")
+    assert(r >= 0.7, f"recall $r%.3f")
+    assert(frac <= 0.8, f"candidate fraction $frac%.3f")
   }
 
   test("int8 quantize + exact re-rank is near-lossless") {

@@ -31,4 +31,35 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].head()
     assert(d === 1.5 * 1.5 + 2.5 * 2.5)
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("near-dup LSH blocking still finds every planted pair") {
+    val found = graft.SparkEntry.queries("q_embedding_neardup")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // planted = vec_id % 10 == 0 (nonzero norm) copied to id+1000000
+    // with a 0.01 first-component nudge => cosine ~ 1 with its source
+    val planted = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")) > 0)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty)
+    val missed = planted -- found
+    assert(missed.isEmpty, s"planted pairs missed by the blocking: $missed")
+  }
+
+  test("near-dup candidates are an equi-join on (label, bucket), never label alone") {
+    val (_, cand) = SimilarityQueries.neardupCandidates(spark, sf)
+    val joinConds = cand.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    val labelJoins = joinConds.filter(_.contains("label"))
+    assert(labelJoins.nonEmpty, joinConds.mkString("\n"))
+    // every join that touches label also carries the sign-bucket key —
+    // the all-pairs-within-a-label shape is gone
+    labelJoins.foreach(c => assert(c.contains("bucket"), c))
+  }
 }

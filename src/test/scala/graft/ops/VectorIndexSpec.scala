@@ -15,8 +15,9 @@ class VectorIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ivf_index").toString + "/index"
     val emb = Tables(spark, sf, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+    // the SAME Lloyd-trained centroids q_ann_ivf uses — bit-parity of
+    // the materialized path depends on identical centroids
+    val centroids = graft.ext.Similarity.trainedCentroids(emb, iters = 2)
     VectorIndex.build(emb, centroids, dir)
 
     // one hive partition per centroid bucket on disk
