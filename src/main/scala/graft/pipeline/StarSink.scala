@@ -20,21 +20,39 @@ import org.apache.spark.storage.StorageLevel
   *     readers that require full consistency gate on it.
   *
   * Scale posture: the keyed frame is scanned five times as narrow
-  * projections — no shuffle anywhere (the fact's partition column is
-  * projected straight off the keyed frame, never joined back). With
-  * deterministic keys the frame is memory/disk-cached; with uuid keys
-  * it is STAGED TO DURABLE STORAGE first — a cached partition lost
-  * with its executor would be recomputed with fresh uuids, silently
-  * breaking key agreement between tables written moments apart, so a
-  * cache is not a sufficient barrier for nondeterministic keys.
+  * projections (the fact's partition column is projected straight off
+  * the keyed frame, never joined back). With deterministic keys the
+  * frame is memory/disk-cached; with uuid keys it is STAGED TO
+  * DURABLE STORAGE first — a cached partition lost with its executor
+  * would be recomputed with fresh uuids, silently breaking key
+  * agreement between tables written moments apart, so a cache is not
+  * a sufficient barrier for nondeterministic keys.
+  *
+  * Fact LAYOUT (the [[graft.ops.Layout]] disciplines applied to the
+  * warehouse the reference implies at SQL/dbdiagram.txt:59-63):
+  * besides the record_date hive partitioning (partition pruning for
+  * date/season windows), `clustered = true` (the default) range-
+  * clusters each date's files by station_id — a station-filtered scan
+  * then skips whole files/row groups from footer min/max alone — and
+  * writes a parquet bloom filter on record_id so a point FK probe
+  * (fact row lookup from a dim key, the scattered-value pattern
+  * min/max can't serve) reads ~1 row group. Costs ONE range shuffle
+  * per batch, amortized over every subsequent scan; dims stay
+  * shuffle-free. `clustered = false` restores the fully shuffle-free
+  * fact write (used by the per-micro-batch streaming sink, where
+  * batches are small and latency dominates).
   */
 object StarSink {
 
   /** Write all five tables under `baseDir`; returns per-table row
     * counts (from the materialized frame — no extra scan of the
-    * source). */
+    * source).
+    * @param factFiles target file count for the clustered fact layout
+    *                  (0 = Spark's default parallelism); tune so each
+    *                  (date, station) run lands in its own file. */
   def write(enriched: DataFrame, baseDir: String,
-      deterministicKeys: Boolean = true): Map[String, Long] = {
+      deterministicKeys: Boolean = true, clustered: Boolean = true,
+      factFiles: Int = 0): Map[String, Long] = {
     val spark = enriched.sparkSession
     val keyed = StarSchema.withKeys(enriched, deterministicKeys)
     val staging = s"$baseDir/_keyed_staging"
@@ -60,10 +78,33 @@ object StarSink {
       // (recorded_date_local IS timeDim's record_date by construction)
       // — joining timeDim back would shuffle the full dataset twice
       // just to recover a column its own input already had
-      cached.select(
-          (star.fact.columns.map(col) :+
-            col("recorded_date_local").as("record_date")): _*)
-        .write.mode(SaveMode.Overwrite)
+      val factWithDate = cached.select(
+        (star.fact.columns.map(col) :+
+          col("recorded_date_local").as("record_date")): _*)
+      val factLaidOut =
+        if (!clustered) factWithDate
+        else {
+          // range-cluster (date, station) so files within a date
+          // partition are station-disjoint (footer min/max pruning),
+          // and sort row groups internally for page-level stats
+          val ranged =
+            if (factFiles > 0)
+              factWithDate.repartitionByRange(factFiles,
+                col("record_date"), col("station_id"))
+            else factWithDate.repartitionByRange(
+              col("record_date"), col("station_id"))
+          ranged.sortWithinPartitions("record_date", "station_id")
+        }
+      val factWriter =
+        if (clustered)
+          factLaidOut.write
+            // point probes on the scattered surrogate key: bloom, not
+            // min/max (see class doc)
+            .option("parquet.bloom.filter.enabled#record_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#record_id",
+              math.max(n, 1L).toString)
+        else factLaidOut.write
+      factWriter.mode(SaveMode.Overwrite)
         .partitionBy("record_date")
         .parquet(s"$baseDir/fact")
 

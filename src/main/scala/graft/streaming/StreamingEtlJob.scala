@@ -40,8 +40,12 @@ object StreamingEtlJob {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // no isEmpty guard: it costs an extra job re-reading the batch
         // source, and an empty batch just writes an empty (manifested)
-        // batch dir — harmless and cheaper than the check
-        StarSink.write(WeatherEtl.enrich(batch), s"$warehouseDir/batch=$batchId")
+        // batch dir — harmless and cheaper than the check.
+        // clustered=false: a micro-batch is small and latency-bound —
+        // the range-layout shuffle belongs to the nightly compaction
+        // pass, not the hot path
+        StarSink.write(WeatherEtl.enrich(batch), s"$warehouseDir/batch=$batchId",
+          clustered = false)
         ()
       }
       .start()
