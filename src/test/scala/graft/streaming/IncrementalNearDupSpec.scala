@@ -60,6 +60,76 @@ class IncrementalNearDupSpec extends SparkSpec {
     assert(indexed === Seq(1L, 2L)) // no duplicated index rows
   }
 
+  test("50-batch soak: cross-batch dups rejected, retries idempotent, index stays compact") {
+    val base = Files.createTempDirectory("inc_soak").toString
+    val idx = s"$base/idx"
+    def family(f: Int) = (1 to 40).map(i => s"fam${f}_tok$i").mkString(" ")
+
+    var admittedAll = Set.empty[Long]
+    for (b <- 0 until 50) {
+      // each batch: one fresh family (must admit) and, from batch 1 on,
+      // a light perturbation of the PREVIOUS batch's family (must be
+      // rejected against the accumulated index — a dup straddling the
+      // batch boundary)
+      val rows = Seq((100L + 2 * b, family(b))) ++
+        (if (b > 0) Seq((101L + 2 * b, perturb(family(b - 1)))) else Nil)
+      val admitted = IncrementalNearDup.processBatch(spark, docs(rows: _*), idx, b.toLong)
+        .as[Long].collect().toSet
+      assert(admitted === Set(100L + 2 * b),
+        s"batch $b admitted $admitted")
+      // every 10th batch is replayed (foreachBatch retry semantics):
+      // same admission set, no index growth
+      if (b % 10 == 9) {
+        val retry = IncrementalNearDup.processBatch(spark, docs(rows: _*), idx, b.toLong)
+          .as[Long].collect().toSet
+        assert(retry === admitted, s"batch $b retry diverged: $retry")
+      }
+      admittedAll ++= admitted
+    }
+    assert(admittedAll.size === 50)
+
+    // the index holds EXACTLY one signature row per admitted doc
+    // (retries overwrote their own partition, never appended) ...
+    val sigs = spark.read.option("basePath", s"$idx/sigs").parquet(s"$idx/sigs")
+    val ids = sigs.select("doc_id").as[Long].collect().toSeq
+    assert(ids.length === 50 && ids.toSet === admittedAll)
+    // ... at the contract size: 64 longs per doc, 16 band rows per doc
+    val sigLens = sigs.select(size(col("sig"))).distinct().as[Int].collect().toSeq
+    assert(sigLens === Seq(IncrementalNearDup.K))
+    val bandRows = spark.read.option("basePath", s"$idx/bands")
+      .parquet(s"$idx/bands").count()
+    assert(bandRows === 50L * IncrementalNearDup.Bands)
+  }
+
+  test("mid-stream restart: a second start() on the same checkpoint resumes, no re-admission") {
+    val base = Files.createTempDirectory("inc_restart").toString
+    val (src, idx, out) = (s"$base/src", s"$base/idx", s"$base/out")
+
+    // run 1: A and B land
+    docs((1L, baseA)).coalesce(1).write.parquet(src)
+    docs((2L, baseB)).coalesce(1).write.mode("append").parquet(src)
+    val q1 = IncrementalNearDup.start(spark, src, idx, out)
+    q1.awaitTermination(120000)
+
+    // "restart": new files arrive — a near-dup of A (must be caught
+    // against the PRE-restart index), a fresh C — and a new query
+    // starts from the same checkpoint
+    docs((3L, perturb(baseA)), (4L, baseC)).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q2 = IncrementalNearDup.start(spark, src, idx, out)
+    q2.awaitTermination(120000)
+
+    val admitted = spark.read.option("basePath", out).parquet(out)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(admitted.length === admitted.distinct.length, s"dup admissions: $admitted")
+    assert(admitted.toSet === Set(1L, 2L, 4L), admitted)
+
+    // post-restart index: one sig row per admitted doc, nothing replayed
+    val ids = spark.read.option("basePath", s"$idx/sigs").parquet(s"$idx/sigs")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids.sorted === Seq(1L, 2L, 4L), ids)
+  }
+
   test("file-stream form admits one keeper per near-dup family") {
     val base = Files.createTempDirectory("inc_stream").toString
     val (src, idx, out) = (s"$base/src", s"$base/idx", s"$base/out")

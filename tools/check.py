@@ -16,10 +16,72 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+DAG_FILE = __file__.rsplit("/", 2)[0] + "/airflow/weatherflow_spark_dag.py"
+
+
+def check_dag():
+    """Validate the Airflow deployment artifact without an Airflow
+    runtime: byte-compile it (syntax), then EXECUTE it against a stub
+    `airflow` module tree (catches NameErrors, bad imports, and
+    operator-kwarg drift at module level — the failures a py_compile
+    alone would miss)."""
+    import py_compile
+    import types
+    py_compile.compile(DAG_FILE, doraise=True)
+
+    captured = {}
+
+    class _Stub:
+        # accepts any constructor/kwargs, supports `with` blocks
+        def __init__(self, *a, **kw):
+            captured[type(self).__name__] = kw
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    mods = {
+        "airflow": {"DAG": type("DAG", (_Stub,), {})},
+        "airflow.providers": {},
+        "airflow.providers.apache": {},
+        "airflow.providers.apache.spark": {},
+        "airflow.providers.apache.spark.operators": {},
+        "airflow.providers.apache.spark.operators.spark_submit":
+            {"SparkSubmitOperator": type("SparkSubmitOperator", (_Stub,), {})},
+    }
+    saved = {k: sys.modules.get(k) for k in mods}
+    try:
+        for name, attrs in mods.items():
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+        ns = {"__name__": "weatherflow_spark_dag", "__file__": DAG_FILE}
+        with open(DAG_FILE) as f:
+            exec(compile(f.read(), DAG_FILE, "exec"), ns)
+        # the module must actually declare the DAG and its one task
+        assert "DAG" in captured, "DAG never constructed"
+        assert captured["DAG"].get("dag_id") == "weatherflow_spark_etl", captured
+        assert "SparkSubmitOperator" in captured, "no SparkSubmitOperator task"
+        assert captured["SparkSubmitOperator"].get("java_class", "").startswith("graft."), \
+            captured["SparkSubmitOperator"]
+        print("PASS airflow_dag (parses + declares DAG/task against stubbed providers)")
+        return True
+    except Exception as e:
+        print(f"FAIL airflow_dag: {e}")
+        return False
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    dag_ok = check_dag() if not only else True
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -78,6 +140,8 @@ def main():
         else:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
+    if not dag_ok:
+        n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
