@@ -28,17 +28,24 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcSfDir> <outDir> <replicas>")
     val Array(src, out, repStr) = args
-    val reps = repStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, out, repStr.toInt)
+    spark.stop()
+  }
 
+  /** Replicate every table of `src` into `out` (see class doc). */
+  def scale(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    // events.ts is TIMESTAMP(NANOS) parquet (runtime conf, so callers
+    // on a shared session get it too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
@@ -101,7 +108,5 @@ object ScaleUp {
       else d2.withColumn("embedding",
         transform(col("embedding"), x => x + lit(k * 5.0e-4f)))
     }, "embeddings")
-
-    spark.stop()
   }
 }
