@@ -352,7 +352,8 @@ object SimilarityQueries extends QueryModule {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |  AND xor(a.bucket, b.bucket) IN (${Similarity.hamming2Deltas.mkString(",")})
         |WHERE ${cosSqlOf("a.v", "b.v")} >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin)),
+        |ORDER BY id_a, id_b""".stripMargin),
+      bench = true), // round-1's flagged scale-killer — keep its cost tracked
 
     // ---- IVF-bucketed ANN — the 100 TB scale path. 16 centroids
     // (deterministic seed: the first 16 vectors, then 2 Lloyd rounds —
