@@ -230,6 +230,46 @@ object SimilarityQueries extends QueryModule {
 
   private val cosSql = cosSqlOf("q.v", "n.v")
 
+  /** IVF top-k with trained centroids at a caller-chosen `nprobe` —
+    * the query-time recall/cost dial. Used by `q_ann_ivf` (nprobe=2,
+    * oracle-pinned) and by the recall spec at higher nprobe. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = embFrame(spark, dir)
+    val centroids = Similarity.trainedCentroids(emb, iters = 2)
+    // assign: nearest centroid per corpus vector, as a max_by
+    // AGGREGATION (map-side partial reduce: ~1 row per vec_id per
+    // partition reaches the exchange; a window over the
+    // corpus x nlist cross join would shuffle nlist copies of
+    // every vector). Tie-break (c_sim desc, c_id asc) matches the
+    // oracle's ROW_NUMBER via the (c_sim, -c_id) struct order.
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("v"), col("c_v")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"),
+          struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+        first(col("v")).as("n_v")) // v constant per vec_id
+      .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
+    // queries probe their nprobe nearest centroids
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
+    // search only inside the probed buckets
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(probes)
+      .join(assigned, "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table
     * LSH probe — ids only (vectors are re-fetched for survivors), the
     * same staged shape as MinHash-LSH banding. Exposed for
@@ -365,44 +405,11 @@ object SimilarityQueries extends QueryModule {
     // bucketed/partitioned by centroid_id ([[graft.ops.VectorIndex]]),
     // so a probe is a partition-pruned read of ~nprobe/nlist of the
     // data. Exactly mirrored in SQL => hash-checkable (unlike a
-    // recall-based ANN check).
+    // recall-based ANN check). nprobe is THE recall/cost dial
+    // (AnnRecallSpec measures 0.78 @ nprobe=2, >=0.9 @ nprobe=4 on
+    // this corpus); the oracle pins nprobe=2.
     "q_ann_ivf" -> QueryDef(
-      fn = (spark, dir) => {
-        val emb = embFrame(spark, dir)
-        val centroids = Similarity.trainedCentroids(emb, iters = 2)
-        // assign: nearest centroid per corpus vector, as a max_by
-        // AGGREGATION (map-side partial reduce: ~1 row per vec_id per
-        // partition reaches the exchange; a window over the
-        // corpus x nlist cross join would shuffle nlist copies of
-        // every vector). Tie-break (c_sim desc, c_id asc) matches the
-        // oracle's ROW_NUMBER via the (c_sim, -c_id) struct order.
-        val assigned = emb.join(broadcast(centroids))
-          .withColumn("c_sim", cosine(col("v"), col("c_v")))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"),
-              struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
-            first(col("v")).as("n_v")) // v constant per vec_id
-          .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
-        // queries probe their nprobe=2 nearest centroids
-        val queries = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        val probes = queries.join(broadcast(centroids))
-          .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
-          .withColumn("c_rank", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
-          .filter(col("c_rank") <= 2)
-          .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
-        // search only inside the probed buckets
-        val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-        broadcast(probes)
-          .join(assigned, "bucket")
-          .filter(col("n_id") =!= col("q_id"))
-          .withColumn("sim", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(wTop).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "n_id", "sim")
-          .orderBy("q_id", "rank")
-      },
+      fn = (spark, dir) => ivfTopK(spark, dir, nprobe = 2),
       oracle = Some(embCte + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
         |assigned AS (

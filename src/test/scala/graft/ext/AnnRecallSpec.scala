@@ -43,6 +43,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.75, f"recall $r%.3f")
   }
 
+  test("IVF nprobe dial: recall rises monotonically with probed buckets") {
+    val truth = neighbors("q_ann_cosine_topk")
+    def recallAt(nprobe: Int): Double = {
+      val got = SimilarityQueries.ivfTopK(spark, sf, nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val curve = Seq(2, 4, 8, 16).map(np => np -> recallAt(np))
+    info(curve.map { case (np, r) => f"nprobe=$np%2d -> $r%.3f" }
+      .mkString("IVF recall curve: ", ", ", ""))
+    // the dial works: recall never decreases as coverage grows, and
+    // probing everything recovers the exact answer (IVF with
+    // nprobe=nlist IS brute force — a hard correctness anchor)
+    curve.sliding(2).foreach { case Seq((_, a), (np, b)) =>
+      assert(b >= a - 1e-9, f"recall fell at nprobe=$np: $a%.3f -> $b%.3f")
+    }
+    assert(curve.last._2 >= 0.999, f"nprobe=nlist recall ${curve.last._2}%.3f")
+    assert(recallAt(8) >= 0.85, f"nprobe=8 recall ${recallAt(8)}%.3f")
+  }
+
   test("OR-amplified multi-table LSH recall@5 clears its floor, at a bounded probe cost") {
     val r = meanRecall("q_ann_lsh")
     // the cost side of the recall/cost dial: candidates actually
