@@ -46,13 +46,13 @@ object Similarity {
   import VectorFunctions._
 
   /** Bucket-id XOR deltas reaching every 8-bit bucket within Hamming
-    * distance 2: the identity, all single flips, all pairs (1+8+28). */
-  val hamming2Deltas: Seq[Long] = {
-    val singles = (0 until 8).map(j => 1L << j)
-    val pairs = for (i <- 0 until 8; j <- i + 1 until 8)
-      yield (1L << i) | (1L << j)
-    0L +: (singles ++ pairs)
-  }
+    * distance `radius` (radius 1 → 9 deltas, radius 2 → 37). */
+  def hammingDeltas(radius: Int): Seq[Long] =
+    (0 until 256).filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
+
+  /** The default probe set: Hamming ≤ 2 — identity, all single flips,
+    * all pairs (1+8+28). */
+  val hamming2Deltas: Seq[Long] = hammingDeltas(2)
 
   /** Number of independent 8-plane LSH tables for the OR-amplified ANN
     * path (recall ≈ 1-(1-r)^L for per-table recall r). */
@@ -272,19 +272,21 @@ object SimilarityQueries extends QueryModule {
 
   /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table
     * LSH probe — ids only (vectors are re-fetched for survivors), the
-    * same staged shape as MinHash-LSH banding. Exposed for
-    * [[q_ann_lsh]] and the recall/cost spec. */
-  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * same staged shape as MinHash-LSH banding. `tables` and `radius`
+    * are the two recall/cost dials (defaults = the q_ann_lsh point;
+    * AnnRecallSpec measures the frontier). */
+  def lshCandidates(spark: SparkSession, dir: String,
+      tables: Int = Similarity.LshTables, radius: Int = 2): DataFrame = {
     val emb = embFrame(spark, dir)
-    val planes = Similarity.hyperplanes(spark, emb, Similarity.LshTables)
+    val planes = Similarity.hyperplanes(spark, emb, tables)
     val signed = Similarity.signBuckets(emb.drop("label"), planes)
     // multi-probe: each query searches, PER TABLE, its own bucket AND
-    // every bucket within Hamming distance 2 (<=2 sign bits flipped) —
-    // a single-bucket probe on weakly-correlated vectors has near-zero
-    // recall. OR-amplification across the L tables then unions the
-    // candidate sets: recall ~ 1-(1-r)^L at L× the probe cost
-    // (AnnRecallSpec measures both dials).
-    val probeDeltas = array(Similarity.hamming2Deltas.map(lit(_)): _*)
+    // every bucket within Hamming distance `radius` (sign bits
+    // flipped) — a single-bucket probe on weakly-correlated vectors
+    // has near-zero recall. OR-amplification across the L tables then
+    // unions the candidate sets: recall ~ 1-(1-r)^L at L× the probe
+    // cost (AnnRecallSpec measures both dials).
+    val probeDeltas = array(Similarity.hammingDeltas(radius).map(lit(_)): _*)
     val probes = signed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
       .withColumn("__d", explode(probeDeltas))
@@ -296,6 +298,24 @@ object SimilarityQueries extends QueryModule {
       .filter(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id")
       .distinct() // the same pair can collide in several tables
+  }
+
+  /** LSH top-k at a caller-chosen (tables, radius) point — exact same
+    * re-fetch + rank tail as q_ann_lsh. */
+  def lshTopK(spark: SparkSession, dir: String,
+      tables: Int = Similarity.LshTables, radius: Int = 2): DataFrame = {
+    val emb = embFrame(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    lshCandidates(spark, dir, tables, radius)
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .orderBy("q_id", "rank")
   }
 
   /** Candidate near-dup pairs blocked by (label, sign-bucket) — an
@@ -513,20 +533,7 @@ object SimilarityQueries extends QueryModule {
     // fixed-width join keys, ids-only candidates, vectors re-fetched
     // for survivors.
     "q_ann_lsh" -> QueryDef(
-      fn = (spark, dir) => {
-        val emb = embFrame(spark, dir)
-        val queries = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-        lshCandidates(spark, dir)
-          .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
-          .join(broadcast(queries), "q_id")
-          .withColumn("sim", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(wTop).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "n_id", "sim")
-          .orderBy("q_id", "rank")
-      },
+      fn = (spark, dir) => lshTopK(spark, dir), // (L=4, Hamming<=2), oracle-pinned
       oracle = Some(embCte + s""",
         |${Similarity.lshSql(Similarity.LshTables, "emb", Seq.empty)},
         |probes AS (

@@ -81,6 +81,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(frac <= 0.8, f"candidate fraction $frac%.3f")
   }
 
+  test("LSH (tables, radius) frontier: OR-amplification buys real recall") {
+    val truth = neighbors("q_ann_cosine_topk")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count() - 1
+    def point(tables: Int, radius: Int): (Double, Double) = {
+      val got = SimilarityQueries.lshTopK(spark, sf, tables, radius)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      val cost = SimilarityQueries.lshCandidates(spark, sf, tables, radius)
+        .count().toDouble / (20.0 * corpus)
+      (per.sum / per.size, cost)
+    }
+    val frontier = Seq((1, 2), (2, 2), (4, 1), (4, 2))
+      .map { case (l, h) => (l, h, point(l, h)) }
+    info(frontier.map { case (l, h, (r, c)) =>
+      f"(L=$l,H<=$h) -> recall $r%.2f @ ${c * 100}%.0f%% corpus" }
+      .mkString("LSH frontier: ", ", ", ""))
+    // more tables at fixed radius must never lose recall (candidate
+    // sets are supersets) — the OR-amplification claim, tested
+    val byTables = frontier.filter(_._2 == 2).map { case (l, _, (r, _)) => (l, r) }
+    byTables.sliding(2).foreach { case Seq((_, a), (l, b)) =>
+      assert(b >= a - 1e-9, f"recall fell adding tables at L=$l: $a%.3f -> $b%.3f")
+    }
+  }
+
   test("int8 quantize + exact re-rank is near-lossless") {
     val r = meanRecall("q_ann_sq8_rerank")
     info(f"SQ8+rerank mean recall@5 = $r%.3f")
