@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(missed.isEmpty, s"planted pairs missed by the blocking: $missed")
   }
 
+  test("LSH blocking is lossless vs the unblocked all-pairs join on this corpus") {
+    val blocked = graft.SparkEntry.queries("q_embedding_neardup")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the pre-round-4 formulation: same planted union, same-label
+    // ALL-pairs (the quadratic shape the blocking replaced) — ground
+    // truth for what a >= 0.99 pair is
+    val (all, _) = SimilarityQueries.neardupCandidates(spark, sf)
+    val a = all.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("v").as("v_a"))
+    val b = all.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("v").as("v_b"))
+    val unblocked = a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked === unblocked,
+      s"missed: ${unblocked -- blocked}; extra: ${blocked -- unblocked}")
+  }
+
   test("near-dup candidates are an equi-join on (label, bucket), never label alone") {
     val (_, cand) = SimilarityQueries.neardupCandidates(spark, sf)
     val joinConds = cand.queryExecution.optimizedPlan.collect {
