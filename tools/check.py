@@ -16,7 +16,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-DAG_FILE = __file__.rsplit("/", 2)[0] + "/airflow/weatherflow_spark_dag.py"
+import os
+
+DAG_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "airflow", "weatherflow_spark_dag.py")
 
 
 def check_dag():
