@@ -33,12 +33,17 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-      // read natively; read nanos as long and truncate to microseconds
-      // (exact integer division — same truncation DuckDB applies).
+      // the driver's events.ts is TIMESTAMP(NANOS) parquet, which
+      // Spark 4 refuses to read natively; read nanos as long and
+      // truncate to microseconds (exact integer division — same
+      // truncation DuckDB applies). Schema-gated: a dir whose events
+      // already carry a plain TIMESTAMP (e.g. a tools.ScaleUp output)
+      // reads through unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

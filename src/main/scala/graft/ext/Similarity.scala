@@ -64,12 +64,18 @@ object Similarity {
     * vectors exactly once and no plane repeats across tables. Table 0
     * (XOR 1) is the classic (2p, 2p+1) pairing. Returns
     * (table, planeBit, loVecId, hiVecId). */
-  def planePairs(tables: Int): Seq[(Int, Int, Int, Int)] =
+  def planePairs(tables: Int): Seq[(Int, Int, Int, Int)] = {
+    // c = t+1 must stay within the 16-vector pool's XOR group: c >= 16
+    // would pair pool vectors with corpus vectors 16..31 and emit >8
+    // plane bits per table — outside hammingDeltas' 8-bit probe space,
+    // silently collapsing recall. Fail fast instead.
+    require(tables >= 1 && tables <= 15, s"tables must be 1..15, got $tables")
     for {
       t <- 0 until tables
       c = t + 1
       (i, j) <- (0 until 16).filter(i => i < (i ^ c)).zipWithIndex
     } yield (t, j, i, i ^ c)
+  }
 
   /** `tables`×8 corpus-derived hyperplanes: differences of fixed pool
     * vector pairs (deterministic, SQL-replayable). Output:

@@ -96,14 +96,21 @@ object StarSink {
           ranged.sortWithinPartitions("record_date", "station_id")
         }
       val factWriter =
-        if (clustered)
+        if (clustered) {
+          // blooms are sized PER FILE/row group: size for the rows one
+          // file holds, not the dataset total — an NDV of n would make
+          // every file's optimal bloom exceed parquet's 1 MB cap at
+          // scale and saturate (FPP -> 1, pruning gone)
+          val files = math.max(1,
+            if (factFiles > 0) factFiles
+            else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
           factLaidOut.write
             // point probes on the scattered surrogate key: bloom, not
             // min/max (see class doc)
             .option("parquet.bloom.filter.enabled#record_id", "true")
             .option("parquet.bloom.filter.expected.ndv#record_id",
-              math.max(n, 1L).toString)
-        else factLaidOut.write
+              math.max(n / files, 1L).toString)
+        } else factLaidOut.write
       factWriter.mode(SaveMode.Overwrite)
         .partitionBy("record_date")
         .parquet(s"$baseDir/fact")

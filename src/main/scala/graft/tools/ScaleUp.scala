@@ -43,6 +43,7 @@ object ScaleUp {
 
   /** Replicate every table of `src` into `out` (see class doc). */
   def scale(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    require(reps >= 1, s"replicas must be >= 1, got $reps")
     // events.ts is TIMESTAMP(NANOS) parquet (runtime conf, so callers
     // on a shared session get it too)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,13 +69,18 @@ object ScaleUp {
     write(replicate(read("lineitem"), reps)(
       shift(_, _, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
 
-    // events: keep ts as nanos-long (graft.Tables expects `ts div 1000`
-    // to be meaningful); same time range at reps× density — how real
-    // event volume grows
+    // events: the source's TIMESTAMP(NANOS) reads as nanos-long
+    // (session conf above); write back as a plain TIMESTAMP at the
+    // same micros truncation graft.Tables applies, so BOTH engines
+    // read the scaled dir directly (DuckDB would see a bare BIGINT if
+    // the long were kept — the whole events oracle family would
+    // break). Tables is schema-gated and passes it through unchanged.
+    // Same time range at reps× density — how real event volume grows.
     val events0 = {
       val e = read("events")
-      if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType) e
-      else e.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else e
     }
     write(replicate(events0, reps)(shift(_, _, "event_id", "user_id")), "events")
 

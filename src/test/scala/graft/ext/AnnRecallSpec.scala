@@ -63,7 +63,8 @@ class AnnRecallSpec extends SparkSpec {
       assert(b >= a - 1e-9, f"recall fell at nprobe=$np: $a%.3f -> $b%.3f")
     }
     assert(curve.last._2 >= 0.999, f"nprobe=nlist recall ${curve.last._2}%.3f")
-    assert(recallAt(8) >= 0.85, f"nprobe=8 recall ${recallAt(8)}%.3f")
+    val at8 = curve.find(_._1 == 8).get._2 // already measured above
+    assert(at8 >= 0.85, f"nprobe=8 recall $at8%.3f")
   }
 
   test("OR-amplified multi-table LSH recall@5 clears its floor, at a bounded probe cost") {

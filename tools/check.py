@@ -31,14 +31,13 @@ def check_dag():
     alone would miss)."""
     import py_compile
     import types
-    py_compile.compile(DAG_FILE, doraise=True)
 
     captured = {}
 
     class _Stub:
         # accepts any constructor/kwargs, supports `with` blocks
         def __init__(self, *a, **kw):
-            captured[type(self).__name__] = kw
+            captured.setdefault(type(self).__name__, []).append(kw)
         def __enter__(self):
             return self
         def __exit__(self, *a):
@@ -55,6 +54,9 @@ def check_dag():
     }
     saved = {k: sys.modules.get(k) for k in mods}
     try:
+        # inside the try: a syntax error (the exact failure class this
+        # check exists to catch) must FAIL the check, not crash main
+        py_compile.compile(DAG_FILE, doraise=True)
         for name, attrs in mods.items():
             m = types.ModuleType(name)
             for k, v in attrs.items():
@@ -63,12 +65,14 @@ def check_dag():
         ns = {"__name__": "weatherflow_spark_dag", "__file__": DAG_FILE}
         with open(DAG_FILE) as f:
             exec(compile(f.read(), DAG_FILE, "exec"), ns)
-        # the module must actually declare the DAG and its one task
+        # the module must actually declare the DAG and its task(s) —
+        # EVERY constructed operator is validated, not just the last
         assert "DAG" in captured, "DAG never constructed"
-        assert captured["DAG"].get("dag_id") == "weatherflow_spark_etl", captured
+        assert any(d.get("dag_id") == "weatherflow_spark_etl"
+                   for d in captured["DAG"]), captured
         assert "SparkSubmitOperator" in captured, "no SparkSubmitOperator task"
-        assert captured["SparkSubmitOperator"].get("java_class", "").startswith("graft."), \
-            captured["SparkSubmitOperator"]
+        for op in captured["SparkSubmitOperator"]:
+            assert op.get("java_class", "").startswith("graft."), op
         print("PASS airflow_dag (parses + declares DAG/task against stubbed providers)")
         return True
     except Exception as e:
@@ -88,7 +92,12 @@ def main():
     dag_ok = check_dag() if not only else True
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-written dirs
+        # (e.g. tools.ScaleUp output) are directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
