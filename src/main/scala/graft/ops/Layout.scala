@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Range-clustered data layout — the scan-pruning counterpart of
   * [[Bucketing]] (which co-locates JOINS). Writing a table
@@ -52,6 +52,32 @@ object Layout {
       .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
       .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", expectedNdv.toString)
       .mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bit-interleave two non-negative integer columns into their
+    * Z-order (Morton) index — a pure codegen'd Column expression, no
+    * UDF: bit i of `a` lands at position 2i+1 and bit i of `b` at 2i.
+    * Values must fit in `bits` bits (the caller scales/clamps). */
+  def zOrder(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Two-dimension clustering: files range-partitioned and sorted by
+    * the Z-order index of (colA, colB), so BOTH columns get partial
+    * min/max locality — the layout for 2-D box queries that
+    * [[writeRangeLayout]]'s single sort dimension can't serve (a
+    * range-by-A layout scans 100% on a B-only filter; Z-order scans
+    * ~sqrt fractions on either dimension). The one-dimension case of
+    * the space-filling-curve layouts lakehouse formats offer, built
+    * from nothing but write order + footer stats. */
+  def writeZOrderLayout(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bits: Int = 16): Unit =
+    df.withColumn("__z", zOrder(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Rows the parquet reader actually MATERIALIZED for `df`'s last
     * execution (the leaf scan's numOutputRows metric, i.e. rows

@@ -73,6 +73,62 @@ class LayoutSpec extends SparkSpec {
     assert(bloomed <= 30000L, s"bloomed scanned $bloomed")
   }
 
+  test("zOrder interleaves bits (Morton index)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.zOrder(col("a"), col("b"), 16).as("z"))
+      .as[Long].collect().toSeq
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i + 1)) |
+        (((b >> i) & 1L) << (2 * i))).reduce(_ | _)
+    assert(rows === Seq(morton(0, 0), morton(1, 0), morton(0, 1),
+      morton(3, 5), morton(65535, 65535)))
+    assert(rows.last === (1L << 32) - 1) // all 32 bits set
+  }
+
+  test("Z-order layout prunes on BOTH dimensions; 1-D range layout only on its own") {
+    val base = Files.createTempDirectory("layout_z").toString
+    // two INDEPENDENT uniform columns (hash-scrambled so insertion
+    // order correlates with neither)
+    val rows = spark.range(100000).select(
+      (col("id") * 48271 % 1000).as("x"),
+      (col("id") * 25214903917L % 1000).as("y"),
+      col("id").as("payload"))
+    Layout.writeRangeLayout(rows, s"$base/by_x", numFiles = 16, "x")
+    Layout.writeZOrderLayout(rows, s"$base/zorder", numFiles = 16, "x", "y",
+      bits = 10)
+
+    def scanned(dir: String, filter: org.apache.spark.sql.Column,
+        expectRows: Long): Long = {
+      val df = spark.read.parquet(dir).filter(filter)
+      assert(df.collect().length === expectRows)
+      Layout.scannedRows(df)
+    }
+    // y-only filter: the by-x layout has no y locality at all — every
+    // file spans the y domain; Z-order gives y partial locality
+    val xFilter = col("x") between (100, 199)
+    val yFilter = col("y") between (100, 199)
+    val xByX = scanned(s"$base/by_x", xFilter, rows.filter(xFilter).count())
+    val yByX = scanned(s"$base/by_x", yFilter, rows.filter(yFilter).count())
+    val xZ = scanned(s"$base/zorder", xFilter, rows.filter(xFilter).count())
+    val yZ = scanned(s"$base/zorder", yFilter, rows.filter(yFilter).count())
+    assert(yByX === 100000L, s"by-x pruned a y filter?! $yByX")
+    // THE Z-order value proposition: the 1-D layout serves one
+    // dimension perfectly and the other not at all (worst case =
+    // full scan); Z-order bounds the WORST dimension — both filters
+    // scan a fraction (with 16 files each covers ~1/16 of z-space =
+    // a ~quarter-by-quarter block of the (x, y) domain)
+    assert(math.max(xZ, yZ) <= 60000L,
+      s"z-order worst-dimension scan: x=$xZ y=$yZ")
+    assert(math.max(xZ, yZ) < math.max(xByX, yByX),
+      s"z-order (x=$xZ y=$yZ) vs by-x (x=$xByX y=$yByX)")
+
+    // 2-D box: both box dimensions prune at once
+    val box = xFilter && yFilter
+    val boxZ = scanned(s"$base/zorder", box, rows.filter(box).count())
+    assert(boxZ <= 30000L, s"z-order scanned $boxZ for a 1% box")
+  }
+
   test("files are range-disjoint and internally sorted") {
     val base = Files.createTempDirectory("layout_sorted").toString
     val rows = spark.range(10000)
