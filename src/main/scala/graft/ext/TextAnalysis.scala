@@ -272,6 +272,56 @@ object TextQueries extends QueryModule {
         |  AS quality
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Within-document repetition (the Gopher/Dolma boilerplate
+    // rule): fraction of duplicate 3-grams per document. Everything
+    // is narrow — each doc's n-gram multiset never leaves its row
+    // (counted by the same native ShingleSet kernel the near-dup
+    // path uses), so the filter costs one codegen'd scan at any
+    // corpus size. A planted looping doc guarantees a true positive.
+    "q_repetition_filter" -> QueryDef(
+      fn = (spark, dir) => {
+        val planted = spark.range(1).select(
+          lit(9999999L).as("doc_id"),
+          lit(("data spark pipeline " * 40).trim).as("text"))
+        val base = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        // total 3-grams = len-2 (clamped to 1: short docs yield one
+        // partial shingle on both engines — same clamp the jaccard
+        // oracle's generate_series applies); distinct from the
+        // ShingleSet kernel
+        val total = greatest(size(wsTokens(col("text"))) - 2, lit(1)).cast("long")
+        val uniq = size(DedupFunctions.distinctShingles(col("text"))).cast("long")
+        base.select(col("doc_id"), total.as("n_3grams"),
+            uniq.as("n_distinct_3grams"))
+          .withColumn("rep_frac",
+            (col("n_3grams") - col("n_distinct_3grams")).cast("double")
+              / col("n_3grams").cast("double"))
+          .withColumn("repetitive", (col("rep_frac") > 0.2).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 9999999 AS doc_id,
+        |         trim(repeat('data spark pipeline ', 40)) AS text),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tokens
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    GREATEST(len(tokens) - 2, 1) AS n_3grams,
+        |    len(list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' ')))) AS n_distinct_3grams
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_3grams AS BIGINT) AS n_3grams,
+        |  CAST(n_distinct_3grams AS BIGINT) AS n_distinct_3grams,
+        |  CAST(n_3grams - n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS rep_frac,
+        |  CAST(CAST(n_3grams - n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE) > 0.2 AS BIGINT) AS repetitive
+        |FROM sh ORDER BY doc_id""".stripMargin)),
+
     // ---- Language identification (stopword-profile heuristic).
     "q_lang_id" -> QueryDef(
       fn = (spark, dir) => {

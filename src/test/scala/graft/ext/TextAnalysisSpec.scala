@@ -11,6 +11,20 @@ class TextAnalysisSpec extends SparkSpec {
   private def one[T](text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
     Seq(text).toDF("text").select(c(col("text"))).collect()(0).get(0).asInstanceOf[T]
 
+  test("repetition filter: planted looping doc flagged, healthy corpus mostly not") {
+    val res = graft.SparkEntry.queries("q_repetition_filter")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "rep_frac", "repetitive")
+      .as[(Long, Double, Long)].collect()
+    val planted = res.find(_._1 === 9999999L).get
+    assert(planted._3 === 1L && planted._2 > 0.9, planted)
+    // the synthetic corpus is drawn from a small vocabulary, so some
+    // organic repetition exists — but the filter must not flag the
+    // majority of ordinary docs
+    val flagged = res.count(_._3 == 1L)
+    assert(flagged < res.length / 2, s"$flagged of ${res.length} flagged")
+  }
+
   test("bpeish token count: letter runs, digit runs, single punct") {
     // "hello world42!" -> [hello, world, 42, !]  => wait: "world42" splits
     assert(one[Long]("hello world42!", bpeishCount) === 4L)
