@@ -322,6 +322,55 @@ object TextQueries extends QueryModule {
         |  CAST(CAST(n_3grams - n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE) > 0.2 AS BIGINT) AS repetitive
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- PII scrubbing (the standard pre-training redaction pass):
+    // emails and long digit runs replaced by typed sentinels, with
+    // per-doc match counts for audit. Pure regexp_replace — narrow,
+    // codegen'd, one scan at any corpus size. The patterns use only
+    // syntax Java regex and RE2 share, so the DuckDB oracle applies
+    // the identical automaton; planted docs carry the true positives
+    // (the synthetic corpus itself is PII-free).
+    "q_pii_scrub" -> QueryDef(
+      fn = (spark, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+        val digitsRe = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+        val planted = spark.range(1).select(
+          lit(9999991L).as("doc_id"),
+          lit("contact jane.doe+spam@example.co.uk or call 5551234567 today")
+            .as("text"))
+          .unionByName(spark.range(1).select(
+            lit(9999992L).as("doc_id"),
+            lit("ticket 1234 is fine but card 4111111111111111 is not")
+              .as("text")))
+        val base = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        base.select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              digitsRe, "<NUMBER>").as("scrubbed"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(digitsRe), lit(0)))
+              .cast("long").as("n_numbers"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 9999991, 'contact jane.doe+spam@example.co.uk or call 5551234567 today'
+        |  UNION ALL
+        |  SELECT 9999992, 'ticket 1234 is fine but card 4111111111111111 is not')
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers
+        |FROM base ORDER BY doc_id""".stripMargin)),
+
     // ---- Language identification (stopword-profile heuristic).
     "q_lang_id" -> QueryDef(
       fn = (spark, dir) => {

@@ -25,6 +25,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged < res.length / 2, s"$flagged of ${res.length} flagged")
   }
 
+  test("PII scrub: planted email and digit runs redacted, counts audited") {
+    val res = graft.SparkEntry.queries("q_pii_scrub")(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 9999991L)
+      .select("doc_id", "scrubbed", "n_emails", "n_numbers")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(res(0) === ((9999991L,
+      "contact <EMAIL> or call <NUMBER> today", 1L, 1L)))
+    assert(res(1) === ((9999992L,
+      "ticket 1234 is fine but card <NUMBER> is not", 0L, 1L)))
+  }
+
   test("bpeish token count: letter runs, digit runs, single punct") {
     // "hello world42!" -> [hello, world, 42, !]  => wait: "world42" splits
     assert(one[Long]("hello world42!", bpeishCount) === 4L)
