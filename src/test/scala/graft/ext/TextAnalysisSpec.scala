@@ -25,6 +25,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged < res.length / 2, s"$flagged of ${res.length} flagged")
   }
 
+  test("curation quality rules plan as narrow scans (no join, no aggregate)") {
+    for (q <- Seq("q_repetition_filter", "q_pii_scrub")) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString()
+      // per-doc rules must never co-group or join documents — the only
+      // exchange in the plan is the output ordering's range partition
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Aggregate"), s"$q:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"$q: $exchanges exchanges\n$plan")
+    }
+  }
+
   test("PII scrub: planted email and digit runs redacted, counts audited") {
     val res = graft.SparkEntry.queries("q_pii_scrub")(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") >= 9999991L)
