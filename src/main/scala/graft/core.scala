@@ -40,10 +40,18 @@ object Tables {
       // already carry a plain TIMESTAMP (e.g. a tools.ScaleUp output)
       // reads through unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // scaled dirs store ntz (so DuckDB sees naive timestamps, not
+        // machine-tz-shifted TIMESTAMPTZ); queries expect ltz — the
+        // cast is wall-preserving under the pinned UTC session tz
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

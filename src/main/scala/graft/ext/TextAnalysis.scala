@@ -344,13 +344,19 @@ object TextQueries extends QueryModule {
         val base = Tables(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
           .unionByName(planted)
+        // digit runs are counted on the EMAIL-SCRUBBED text, so a
+        // digit run inside an address is counted once (as the email)
+        // and n_numbers always reconciles with <NUMBER> sentinels
         base.select(
             col("doc_id"),
-            regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-              digitsRe, "<NUMBER>").as("scrubbed"),
+            regexp_replace(col("text"), emailRe, "<EMAIL>").as("__e"),
             size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
-              .cast("long").as("n_emails"),
-            size(regexp_extract_all(col("text"), lit(digitsRe), lit(0)))
+              .cast("long").as("n_emails"))
+          .select(
+            col("doc_id"),
+            regexp_replace(col("__e"), digitsRe, "<NUMBER>").as("scrubbed"),
+            col("n_emails"),
+            size(regexp_extract_all(col("__e"), lit(digitsRe), lit(0)))
               .cast("long").as("n_numbers"))
           .orderBy("doc_id")
       },
@@ -360,16 +366,20 @@ object TextQueries extends QueryModule {
         |  UNION ALL
         |  SELECT 9999991, 'contact jane.doe+spam@example.co.uk or call 5551234567 today'
         |  UNION ALL
-        |  SELECT 9999992, 'ticket 1234 is fine but card 4111111111111111 is not')
+        |  SELECT 9999992, 'ticket 1234 is fine but card 4111111111111111 is not'),
+        |e AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS etext,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails
+        |  FROM base)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g') AS scrubbed,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  regexp_replace(etext, '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g') AS scrubbed,
+        |  n_emails,
+        |  CAST(len(regexp_extract_all(etext,
         |    '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers
-        |FROM base ORDER BY doc_id""".stripMargin)),
+        |FROM e ORDER BY doc_id""".stripMargin)),
 
     // ---- Language identification (stopword-profile heuristic).
     "q_lang_id" -> QueryDef(

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, shiftleft, shiftright, when}
 
 /** Range-clustered data layout — the scan-pruning counterpart of
   * [[Bucketing]] (which co-locates JOINS). Writing a table
@@ -56,19 +56,30 @@ object Layout {
   /** Bit-interleave two non-negative integer columns into their
     * Z-order (Morton) index — a pure codegen'd Column expression, no
     * UDF: bit i of `a` lands at position 2i+1 and bit i of `b` at 2i.
-    * Values must fit in `bits` bits (the caller scales/clamps). */
-  def zOrder(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
+    * Values MUST fit in `bits` bits — enforced with a per-row
+    * raise_error rather than silent truncation (out-of-range values
+    * would interleave only their low bits, quietly randomizing the
+    * layout so scans stop pruning with no failure anywhere — the same
+    * silent-collapse class planePairs guards against). Scale wide
+    * domains down first (epoch seconds → minutes/hours). */
+  def zOrder(a: Column, b: Column, bits: Int): Column = {
+    val cap = lit(1L << bits)
+    val z = (0 until bits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+    when(a < 0 || a >= cap || b < 0 || b >= cap,
+      raise_error(concat(lit(s"zOrder: value out of [0, 2^$bits): ("),
+        a.cast("string"), lit(", "), b.cast("string"), lit(")"))))
+      .otherwise(z)
+  }
 
   /** Two-dimension clustering: files range-partitioned and sorted by
     * the Z-order index of (colA, colB), so BOTH columns get partial
     * min/max locality — the layout for 2-D box queries that
     * [[writeRangeLayout]]'s single sort dimension can't serve (a
     * range-by-A layout scans 100% on a B-only filter; Z-order scans
-    * ~sqrt fractions on either dimension). The one-dimension case of
+    * ~sqrt fractions on either dimension). The two-dimension case of
     * the space-filling-curve layouts lakehouse formats offer, built
     * from nothing but write order + footer stats. */
   def writeZOrderLayout(df: DataFrame, path: String, numFiles: Int,

@@ -81,29 +81,28 @@ object StarSink {
       val factWithDate = cached.select(
         (star.fact.columns.map(col) :+
           col("recorded_date_local").as("record_date")): _*)
+      // explicit file count: a user-specified repartition count is
+      // honored verbatim (AQE only coalesces un-numbered exchanges, so
+      // an implicit count would let AQE merge partitions and silently
+      // invalidate the per-file bloom sizing below)
+      val files = math.max(1,
+        if (factFiles > 0) factFiles
+        else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
       val factLaidOut =
         if (!clustered) factWithDate
-        else {
+        else
           // range-cluster (date, station) so files within a date
           // partition are station-disjoint (footer min/max pruning),
           // and sort row groups internally for page-level stats
-          val ranged =
-            if (factFiles > 0)
-              factWithDate.repartitionByRange(factFiles,
-                col("record_date"), col("station_id"))
-            else factWithDate.repartitionByRange(
-              col("record_date"), col("station_id"))
-          ranged.sortWithinPartitions("record_date", "station_id")
-        }
+          factWithDate
+            .repartitionByRange(files, col("record_date"), col("station_id"))
+            .sortWithinPartitions("record_date", "station_id")
       val factWriter =
         if (clustered) {
           // blooms are sized PER FILE/row group: size for the rows one
           // file holds, not the dataset total — an NDV of n would make
           // every file's optimal bloom exceed parquet's 1 MB cap at
           // scale and saturate (FPP -> 1, pruning gone)
-          val files = math.max(1,
-            if (factFiles > 0) factFiles
-            else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
           factLaidOut.write
             // point probes on the scattered surrogate key: bloom, not
             // min/max (see class doc)

@@ -78,8 +78,14 @@ object ScaleUp {
     // Same time range at reps× density — how real event volume grows.
     val events0 = {
       val e = read("events")
+      // timestamp_ntz, not ltz: an isAdjustedToUTC=true parquet column
+      // reads back as TIMESTAMPTZ in DuckDB and every hour/window
+      // boundary would shift with the machine timezone — ntz matches
+      // the naive timestamps the driver's dirs yield (session tz is
+      // UTC here, so the cast is a wall-clock no-op)
       if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        e.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       else e
     }
     write(replicate(events0, reps)(shift(_, _, "event_id", "user_id")), "events")

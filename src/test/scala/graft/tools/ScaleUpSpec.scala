@@ -60,14 +60,21 @@ class ScaleUpSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
-  test("scaled events read back through graft.Tables (nanos-long contract)") {
+  test("scaled events read back through graft.Tables (timestamp contract)") {
+    // on DISK: ntz, not ltz — an isAdjustedToUTC parquet column would
+    // read as TIMESTAMPTZ in DuckDB and shift with the machine tz
+    assert(spark.read.parquet(s"$out/events.parquet")
+      .schema("ts").dataType.typeName === "timestamp_ntz")
+    // through Tables: normalized to ltz like the driver dirs, so every
+    // query (unix_micros etc.) sees the usual type
     val ev = Tables(spark, out, "events")
     assert(ev.schema("ts").dataType.typeName === "timestamp")
     assert(ev.count() === 2 * cnt(src, "events"))
-    // replicas preserve the source's time range (density doubles)
-    val srcRange = Tables(spark, src, "events")
-      .agg(min("ts"), max("ts")).collect()(0)
-    val outRange = ev.agg(min("ts"), max("ts")).collect()(0)
-    assert(srcRange === outRange)
+    // replicas preserve the source's wall-clock time range (density
+    // doubles); compare as strings — the source dir yields ltz
+    // Timestamp, the scaled dir ntz LocalDateTime (same UTC walls)
+    def range(df: org.apache.spark.sql.DataFrame) = df
+      .agg(min("ts").cast("string"), max("ts").cast("string")).collect()(0)
+    assert(range(Tables(spark, src, "events")) === range(ev))
   }
 }
