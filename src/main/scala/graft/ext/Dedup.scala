@@ -182,6 +182,49 @@ object DedupQueries extends QueryModule {
         |      SELECT doc_id + 500000, upper(text), lang, source, n_chars FROM documents)
         |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)),
 
+    // ---- Cross-snapshot incremental dedup (batch): admit only the
+    // incoming docs whose normalized content hash is absent from the
+    // previous snapshot — the batch twin of
+    // [[graft.streaming.IncrementalNearDup]]'s exact-hash admission.
+    // The fixture splits `documents` into a previous snapshot (doc_id
+    // ending 0-6) and an incoming one (ending 5-9, so 5-6 overlap),
+    // plus case-mangled re-crawls of ending-0/1 docs that only the
+    // NORMALIZED hash catches.
+    //
+    // Scale shape: one shuffle anti-join on uniform md5 keys. At 100 TB
+    // the previous-snapshot ledger is (hash, doc_id) only — never the
+    // text — and can be bucketed on the hash ([[graft.ops.Bucketing]])
+    // so re-crawls join ledger partitions in place, shuffle-free.
+    "q_snapshot_delta" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val prev = docs.filter(col("doc_id") % 10 < 7)
+        val incoming = docs.filter(col("doc_id") % 10 >= 5)
+          .unionByName(docs.filter(col("doc_id") % 10 < 2)
+            .select((col("doc_id") + 700000).as("doc_id"),
+              upper(col("text")).as("text"),
+              col("lang"), col("source"), col("n_chars")))
+        val hash = md5(normText(col("text")).cast("binary"))
+        val ledger = prev.select(hash.as("content_hash"))
+        incoming.select(col("doc_id"), hash.as("content_hash"))
+          .join(ledger, Seq("content_hash"), "left_anti")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH prev AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM documents WHERE doc_id % 10 < 7),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 5
+        |  UNION ALL
+        |  SELECT doc_id + 700000, upper(text) FROM documents WHERE doc_id % 10 < 2)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |FROM incoming
+        |WHERE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |  NOT IN (SELECT content_hash FROM prev)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- n-gram Jaccard near-dup detection, blocked by (language,
     // length band) — see [[DedupFunctions.bandedPairs]] for why the
     // band is part of the equi-join KEY, not a post-join filter.

@@ -78,6 +78,76 @@ object PipelineOps {
 
   private val lastLabels =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Token-budget sequence packing — the step between a curated corpus
+    * and a training run: documents are concatenated (in a deterministic
+    * shard-local order) and sliced into fixed `seqLen`-token context
+    * windows, exactly how GPT-style pretraining packs its batches. Each
+    * doc gets the (sequence id, offset) where its first token lands; a
+    * doc may straddle a boundary — that IS packed pretraining's
+    * semantics, not an approximation.
+    *
+    * Scale shape: one shuffle to the shard windows (8-way here; 10k-way
+    * at 100 TB), then a per-shard prefix sum — no global row_number
+    * funnel, no driver state. The prefix sum is exact BIGINT math, so
+    * any engine replays the same packing.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, shards: Int = 8): DataFrame = {
+    require(seqLen > 0 && shards > 0, s"seqLen $seqLen / shards $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__h"),
+        TextFunctions.bpeishCount(col("text")).as("n_tokens"))
+      // same md5-hex-digit shard assignment as q_train_shards — one
+      // deterministic definition of "which shard a doc trains in"
+      .withColumn("shard",
+        (expr("locate(substring(__h, 1, 1), '0123456789abcdef')") - 1)
+          .cast("long") % shards)
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"__cum div $seqLen").as("seq_id"),
+        (col("__cum") % seqLen).as("seq_offset"))
+  }
+
+  /** Temperature resampling to flatten a skewed domain distribution —
+    * the mixing step of a pretraining data recipe: over-represented
+    * domains are deterministically downsampled toward the smallest one
+    * with keep rate sqrt(n_min / n_domain) (temperature T=2 mixing; the
+    * smallest domain keeps everything, a 4x-larger one keeps half).
+    *
+    * The keep decision is a pure function of doc_id — an LCG residue
+    * compared against the domain's integer threshold — so admission is
+    * replayable by any engine and stable across runs (at production
+    * scale you'd swap the LCG for xxhash64; it lives here because the
+    * DuckDB oracle must recompute it). sqrt and one division are the
+    * only double ops, both IEEE-correctly-rounded, so thresholds match
+    * bit-exactly across engines. No double SUMMATION crosses groups —
+    * that would be order-sensitive.
+    *
+    * Scale shape: the per-domain count is one partial agg; thresholds
+    * broadcast; the keep filter is narrow. The corpus shuffles zero
+    * times.
+    */
+  def temperatureMix(docs: DataFrame, domain: String): DataFrame = {
+    val counts = docs.groupBy(domain).agg(count(lit(1)).as("n_docs"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("__n_min"))))
+      .withColumn("keep_threshold",
+        floor(sqrt(col("__n_min").cast("double") / col("n_docs")) * 1000000)
+          .cast("long"))
+      .drop("__n_min")
+    // doc_id is folded below 2^20 before the multiply so the LCG can
+    // never overflow ANSI BIGINT arithmetic, whatever the id range
+    val u = ((col("doc_id") % 1048573L) * 1103515245L + 12345L) %
+      2147483648L % 1000000L
+    docs.select(col(domain), col("doc_id"), u.as("__u"))
+      .join(broadcast(thresholds), domain)
+      .groupBy(col(domain), col("n_docs"), col("keep_threshold"))
+      .agg(sum(when(col("__u") < col("keep_threshold"), 1L).otherwise(0L))
+        .as("n_kept"))
+  }
 }
 
 object PipelineQueries extends QueryModule {
@@ -211,7 +281,62 @@ object PipelineQueries extends QueryModule {
         |SELECT s.doc_id, s.lang, s.quality
         |FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
         |WHERE s.quality >= 0.5 AND s.lang_pred = s.lang
-        |ORDER BY s.doc_id""".stripMargin))
+        |ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- Sequence packing: slice the shard-ordered token stream into
+    // fixed 512-token training windows (see PipelineOps.packSequences).
+    // One shard shuffle + a per-shard exact-BIGINT prefix sum.
+    "q_sequence_packing" -> QueryDef(
+      fn = (spark, dir) =>
+        PipelineOps.packSequences(Tables(spark, dir, "documents"), seqLen = 512)
+          .orderBy("doc_id"),
+      oracle = Some("""
+        |WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hh, n_tokens,
+        |    (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) % 8 AS shard
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY hh, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum // 512 AS seq_id, cum % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- Domain-mix temperature resampling: flatten the skewed
+    // language distribution toward the smallest one (see
+    // PipelineOps.temperatureMix). Output is the per-domain audit row:
+    // size, integer keep threshold, and admitted count.
+    "q_domain_mix" -> QueryDef(
+      fn = (spark, dir) =>
+        PipelineOps.temperatureMix(Tables(spark, dir, "documents"), "lang")
+          .orderBy("lang"),
+      oracle = Some("""
+        |WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |thresholds AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+        |      / n_docs) * 1000000) AS BIGINT) AS keep_threshold
+        |  FROM counts),
+        |u AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 1048573) * 1103515245 + 12345) % 2147483648 % 1000000 AS u
+        |  FROM documents)
+        |SELECT u.lang, t.n_docs, t.keep_threshold,
+        |  CAST(SUM(CASE WHEN u.u < t.keep_threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM u JOIN thresholds t ON u.lang = t.lang
+        |GROUP BY u.lang, t.n_docs, t.keep_threshold
+        |ORDER BY u.lang""".stripMargin))
   )
 
   private def listSqlPub(ws: Seq[String]): String =

@@ -463,6 +463,56 @@ object TextQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || text)) AS rn
         |  FROM documents)
-        |WHERE rn <= 20 ORDER BY lang, h""".stripMargin))
+        |WHERE rn <= 20 ORDER BY lang, h""".stripMargin)),
+
+    // ---- TF-IDF keyword extraction: top-3 most characteristic terms
+    // per document — the classic two-phase relevance pipeline (term
+    // frequency per doc, document frequency per term, joined and
+    // ranked). The idf is the RATIO (N+1)/(df+1), not its log: ranking
+    // is order-isomorphic (log is monotone) and the score stays one
+    // exact-BIGINT product + one IEEE division, so the oracle matches
+    // bit-for-bit (libm log implementations differ across engines).
+    //
+    // Scale shape: tf is one shuffle on (doc_id, term) with map-side
+    // combine; df re-aggregates the (already tiny) tf keys; the scalar
+    // doc count and df both broadcast back onto tf. Per-doc top-3 is a
+    // partitioned window the TopKRewriteRule plans as a bounded heap.
+    "q_tfidf_keywords" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("__n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * (col("__n_docs") + 1L)).cast("double") / (col("df") + 1L))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term != '' GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * ((SELECT COUNT(*) FROM documents) + 1) AS DOUBLE)
+        |      / (df.df + 1) AS score
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 }

@@ -83,6 +83,37 @@ class PlanAssertionsSpec extends SparkSpec {
       windowLine.get.contains("windowspecdefinition(shard"), windowLine.get)
   }
 
+  test("q_sequence_packing: prefix sum windows by shard (no global funnel)") {
+    val p = plan("q_sequence_packing")
+    val windowLine = p.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(windowLine.isDefined, p)
+    // the running sum must partition by shard — an unpartitioned frame
+    // would stream the whole corpus through one task
+    assert(windowLine.get.contains("windowspecdefinition(shard"), windowLine.get)
+  }
+
+  test("q_domain_mix: thresholds broadcast, corpus side never shuffled") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_tfidf_keywords: df and doc count broadcast back onto tf") {
+    val p = plan("q_tfidf_keywords")
+    // both enrichment joins (df per term, scalar doc count) broadcast;
+    // a shuffle join here would re-partition the tf table twice
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row count
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_snapshot_delta: admission is a hash anti-join on the ledger") {
+    val p = plan("q_snapshot_delta")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_heavy_hitters: verify pass filters to candidates before the shuffle") {
     val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
