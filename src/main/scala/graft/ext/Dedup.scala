@@ -225,6 +225,80 @@ object DedupQueries extends QueryModule {
         |  NOT IN (SELECT content_hash FROM prev)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Cross-document repeated-passage detection (the ExactSubstr
+    // dedup rule from "Deduplicating Training Data Makes Language
+    // Models Better", token-window form): per document, the fraction
+    // of its distinct 8-token windows that ALSO occur in some other
+    // document; docs past 50% are flagged as substantially duplicated
+    // passages. Complements whole-doc near-dup (Jaccard/MinHash/
+    // SimHash), which misses a copied paragraph inside an otherwise
+    // novel page. Planted re-crawls (every 7th doc under a fresh id
+    // with a unique lead-in token) guarantee true positives whose
+    // interior windows survive the prefix edit.
+    //
+    // Scale shape: one narrow distinct-window kernel pass (ShingleSet),
+    // then two shuffles keyed on the window — shared-window detection
+    // as min(doc_id) != max(doc_id) (NO count-distinct expansion) and
+    // the per-doc tally as a semi-join + groupBy on doc_id. At 100 TB
+    // the window string never needs to travel: swap `g` for
+    // xxhash64(g) so both shuffles move fixed 8-byte keys (kept as the
+    // string here so the DuckDB oracle replays it verbatim).
+    "q_repeated_passages" -> QueryDef(
+      fn = (spark, dir) => {
+        val n = 8
+        val docs = Tables(spark, dir, "documents")
+        val planted = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(lit("mirror"), col("doc_id").cast("string"), lit(" "),
+              col("text")).as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val windows = corpus.select(col("doc_id"),
+          graft.functions.ShingleSet.shingleSet(col("text"), n).as("ws"))
+        val grams = windows.select(col("doc_id"), explode(col("ws")).as("g"))
+        val shared = grams.groupBy("g")
+          .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select("g")
+        val perDoc = grams.join(shared, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        windows
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .withColumn("shared_frac",
+            col("n_shared").cast("double") / col("n_windows").cast("double"))
+          .withColumn("flagged", (col("shared_frac") > 0.5).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id,
+        |         'mirror' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(toks) - 8, 0)),
+        |    i -> array_to_string(toks[i+1:i+8], ' '))) AS ws
+        |  FROM tok),
+        |g AS (SELECT doc_id, unnest(ws) AS g FROM w),
+        |shared AS (
+        |  SELECT g FROM g GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared FROM g
+        |  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(cnt.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(cnt.n_shared, 0) AS DOUBLE) / len(ws) AS shared_frac,
+        |  CAST(CAST(COALESCE(cnt.n_shared, 0) AS DOUBLE) / len(ws) > 0.5
+        |    AS BIGINT) AS flagged
+        |FROM w LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ---- n-gram Jaccard near-dup detection, blocked by (language,
     // length band) — see [[DedupFunctions.bandedPairs]] for why the
     // band is part of the equi-join KEY, not a post-join filter.

@@ -112,6 +112,18 @@ object TextFunctions {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** Adjacent-token pairs within one document — the unit the first
+    * BPE merge iteration of tokenizer training counts. Built narrowly
+    * inside the row: two shifted slices zipped, so the token array is
+    * never exploded twice and nothing shuffles until the pair count.
+    * A 1-token (or empty) doc yields an empty pair list, which the
+    * downstream explode drops. */
+  def adjacentPairs(tokens: Column): Column =
+    zip_with(
+      slice(tokens, lit(1), greatest(size(tokens) - 1, lit(0))),
+      slice(tokens, lit(2), greatest(size(tokens) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
   /** Two-pass exact heavy hitters: tokens with frequency >
     * total/denom, with exact counts.
     *
@@ -464,6 +476,35 @@ object TextQueries extends QueryModule {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || text)) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, h""".stripMargin)),
+
+    // ---- Tokenizer-training pair statistics: corpus-wide frequencies
+    // of adjacent BPE-ish token pairs — exactly the count the first
+    // BPE merge iteration maximizes over. Pair construction is narrow
+    // (two shifted slices zipped inside the row, see
+    // TextFunctions.adjacentPairs); the only shuffle is the pair-count
+    // aggregation with map-side combine, and the global top-20 plans
+    // as TakeOrderedAndProject — no full sort at any corpus size.
+    "q_tokenizer_pairs" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))
+        Tables(spark, dir, "documents")
+          .select(explode(adjacentPairs(toks)).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]') AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM tok)
+        |SELECT pair, COUNT(*) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
 
     // ---- TF-IDF keyword extraction: top-3 most characteristic terms
     // per document — the classic two-phase relevance pipeline (term

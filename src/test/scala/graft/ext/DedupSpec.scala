@@ -68,4 +68,29 @@ class DedupSpec extends SparkSpec {
     val copy = planted.filter(col("doc_id") === 1000000L).select("text").as[String].head()
     assert(copy === "quick brown fox jumps over the lazy dog")
   }
+
+  test("repeated passages: mirrored docs and their sources fully flagged") {
+    val res = graft.SparkEntry.queries("q_repeated_passages")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_windows", "n_shared", "flagged")
+      .as[(Long, Long, Long, Long)].collect()
+    val mirrors = res.filter(_._1 >= 800000L)
+    assert(mirrors.nonEmpty)
+    // a mirror is "mirrorN " + source: EXACTLY one window (the leading
+    // one holding the unique mirror token) is unshared — the sharp
+    // invariant, independent of doc length
+    mirrors.foreach { case (id, nw, ns, flag) =>
+      assert(ns === nw - 1, s"mirror $id: $ns of $nw shared")
+      if (nw >= 3) assert(flag === 1L, s"mirror $id nw=$nw unflagged") }
+    // every window of a mirrored SOURCE also lives in its mirror
+    val sources = res.filter { case (id, _, _, _) =>
+      id < 800000L && id % 7 == 0 }
+    sources.foreach { case (id, nw, ns, flag) =>
+      assert(ns === nw && flag === 1L, s"source $id: $ns of $nw shared") }
+    // docs without a mirror must not be mass-flagged by organic
+    // 8-gram collisions (the window is long enough to be specific)
+    val others = res.filter { case (id, _, _, _) => id < 800000L && id % 7 != 0 }
+    assert(others.count(_._4 == 1L) < others.length / 4,
+      s"${others.count(_._4 == 1L)} of ${others.length} unmirrored docs flagged")
+  }
 }

@@ -49,6 +49,29 @@ class TextAnalysisSpec extends SparkSpec {
       "ticket 1234 is fine but card <NUMBER> is not", 0L, 1L)))
   }
 
+  test("adjacentPairs: shifted-slice zip yields ordered pairs; short docs empty") {
+    def pairsOf(toks: Seq[String]): Seq[String] =
+      Seq(toks).toDF("t")
+        .select(adjacentPairs(col("t")).as("p"))
+        .as[Seq[String]].head()
+    assert(pairsOf(Seq("a", "b", "c")) === Seq("a b", "b c"))
+    assert(pairsOf(Seq("a", "a", "a")) === Seq("a a", "a a")) // multiset, not set
+    assert(pairsOf(Seq("solo")) === Seq.empty)
+    assert(pairsOf(Seq.empty) === Seq.empty)
+  }
+
+  test("tokenizer pairs: top-20 corpus pair counts, deterministic tie-break") {
+    val res = graft.SparkEntry.queries("q_tokenizer_pairs")(
+      spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect()
+    assert(res.length === 20)
+    // descending count, pair text breaking ties ascending
+    res.sliding(2).foreach { case Array((pa, ca), (pb, cb)) =>
+      assert(ca > cb || (ca == cb && pa < pb), s"($pa,$ca) before ($pb,$cb)")
+    }
+    assert(res.forall(_._2 >= 1))
+  }
+
   test("bpeish token count: letter runs, digit runs, single punct") {
     // "hello world42!" -> [hello, world, 42, !]  => wait: "world42" splits
     assert(one[Long]("hello world42!", bpeishCount) === 4L)

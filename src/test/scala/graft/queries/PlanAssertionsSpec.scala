@@ -114,6 +114,26 @@ class PlanAssertionsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_tokenizer_pairs: global top-20 plans as TakeOrdered, no full sort") {
+    val p = plan("q_tokenizer_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only wide operator is the pair-count aggregation: exactly
+    // one exchange (plus none for the limit)
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+  }
+
+  test("q_repeated_passages: shared-window detection aggregates, never pairs") {
+    val p = plan("q_repeated_passages")
+    // sharing = min(doc_id) != max(doc_id) per window — an aggregation,
+    // NOT a window self-join that would square the gram table
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+    val optimized = SparkEntry.queries("q_repeated_passages")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("min(doc_id") && optimized.contains("max(doc_id"),
+      optimized)
+  }
+
   test("q_heavy_hitters: verify pass filters to candidates before the shuffle") {
     val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
