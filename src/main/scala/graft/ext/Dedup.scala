@@ -225,6 +225,65 @@ object DedupQueries extends QueryModule {
         |  NOT IN (SELECT content_hash FROM prev)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Bloom-prefiltered snapshot dedup: same admission contract as
+    // q_snapshot_delta (admit docs whose normalized hash is absent from
+    // the previous snapshot), but the ledger is first collapsed into a
+    // bloom sketch ([[graft.functions.BloomSketch]] — Spark's own
+    // runtime-filter expressions) probed by a NARROW filter. Bloom
+    // misses are definitely-new (no false negatives) and skip the join
+    // entirely; only bloom-positives pay the exact anti-join confirm.
+    //
+    // Scale shape: the fixture's crawl has ~20% overlap with the
+    // ledger, so ~80% of the incoming corpus never enters a shuffle —
+    // the bloom turns the anti-join from corpus-sized to
+    // overlap-sized. The sketch is one 128 KiB plan literal (size fixed
+    // by nBits, NOT by ledger row count); building it is one partial
+    // agg whose single binary row is sketch metadata on the driver,
+    // same budget as the MisraGries/VectorIndex reads. Result is
+    // IDENTICAL to the plain anti-join (no false negatives; false
+    // positives removed by the exact confirm) — the oracle below is
+    // the plain NOT IN, and BloomDeltaSpec asserts frame parity.
+    "q_bloom_delta" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val prev = docs.filter(col("doc_id") % 10 < 3)
+        val incoming = docs.filter(col("doc_id") % 10 >= 1)
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              upper(col("text")).as("text"),
+              col("lang"), col("source"), col("n_chars")))
+        val hash = md5(normText(col("text")).cast("binary"))
+        val ledger = prev.select(hash.as("content_hash"))
+        val bloom = ledger
+          .agg(graft.functions.BloomSketch.bloomAgg(
+            xxhash64(col("content_hash")), 100000L, 1L << 20).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val keyed = incoming.select(col("doc_id"), hash.as("content_hash"))
+          .withColumn("__maybe_seen", graft.functions.BloomSketch
+            .mightContain(lit(bloom), xxhash64(col("content_hash"))))
+        val definitelyNew = keyed.filter(!col("__maybe_seen"))
+          .select("doc_id", "content_hash")
+        val confirmedNew = keyed.filter(col("__maybe_seen"))
+          .select("doc_id", "content_hash")
+          .join(ledger, Seq("content_hash"), "left_anti")
+          .select("doc_id", "content_hash")
+        definitelyNew.unionByName(confirmedNew).orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH prev AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM documents WHERE doc_id % 10 < 3),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 1
+        |  UNION ALL
+        |  SELECT doc_id + 600000, upper(text) FROM documents WHERE doc_id % 10 = 1)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |FROM incoming
+        |WHERE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |  NOT IN (SELECT content_hash FROM prev)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- Cross-document repeated-passage detection (the ExactSubstr
     // dedup rule from "Deduplicating Training Data Makes Language
     // Models Better", token-window form): per document, the fraction
