@@ -178,6 +178,147 @@ object Similarity {
     cent.toDF("c_id", "c_v")
   }
 
+  /** Codeword-ranking score: squared L2 WITHOUT the dot(v,v) term —
+    * constant across the codewords an argmin compares, so dropping it
+    * changes no assignment but removes a d-wide fold per codeword from
+    * the (already large) encode expression. What remains is
+    * dot(c,c) - 2·dot(v,c): dot(c,c) constant-folds at plan time,
+    * leaving ONE sequential-fold dot per codeword — the identical IEEE
+    * op chain as DuckDB's list_inner_product formulation (PQ ranks by
+    * L2, not cosine — a zero subvector has no cosine but a perfectly
+    * good L2). */
+  private def l2score(vs: Column, cv: Seq[Double]): Column = {
+    val cvLit = array(cv.map(lit): _*)
+    dot(cvLit, cvLit) - lit(2.0) * dot(vs, cvLit)
+  }
+
+  /** Argmin codeword id for one KNOWN subspace: `array_min` over
+    * (d², c_id) structs — lexicographic struct order = (d² asc, c_id
+    * asc), the same tie-break as the oracle's ROW_NUMBER. Narrow:
+    * k literal codewords per row, no join. */
+  def pqAssignFor(codebook: Seq[(Long, Seq[Double])], vs: Column): Column =
+    array_min(array(codebook.map { case (cid, cv) =>
+      struct(l2score(vs, cv).as("d"), lit(cid).as("c"))
+    }: _*)).getField("c")
+
+  /** Argmin codeword when the subspace is a COLUMN (training pass):
+    * a when-chain over the m subspaces, each branch the same
+    * [[pqAssignFor]] expression. m is small (4 here), so the chain
+    * stays codegen-friendly. */
+  def pqAssign(cents: Seq[(Int, Long, Seq[Double])], s: Column, vs: Column): Column =
+    cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (sv, cs)) =>
+        when(s === sv,
+          pqAssignFor(cs.sortBy(_._2).map(t => (t._2, t._3)), vs))
+          .otherwise(acc)
+      }
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * `subDim`-wide subspaces, each with its own 16-codeword k-means
+    * codebook (seed: the first 16 subvectors, then `iters` Lloyd
+    * rounds) — trained JOINTLY in one distributed pass per round: the
+    * subspace id `s` rides in the aggregation key (groupBy (s, c_id,
+    * pos)), so m trainings cost one shuffle, not m. Assignment uses L2
+    * (see [[l2sq]]); recentering reuses the exact 1e-6-quantized
+    * LONG-sum from [[trainedCentroids]] so any engine replays it.
+    * Driver state is ≤ m·16 codewords — the bounded-sketch budget.
+    * Returns (s, c_id, codeword), driver-local. */
+  def pqCodebooks(emb: DataFrame, m: Int, subDim: Int, iters: Int): Seq[(Int, Long, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("vs"))
+    var cents: Seq[(Int, Long, Seq[Double])] = sub.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("c_id"), col("vs"))
+      .as[(Int, Long, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 0 until iters) {
+      val cells = sub
+        .withColumn("c_id", pqAssign(cents, col("s"), col("vs")))
+        .select(col("s"), col("c_id"), posexplode(col("vs")).as(Seq("pos", "x")))
+        .withColumn("qx", floor(col("x") * lit(1000000.0) + lit(0.5)))
+        .groupBy("s", "c_id", "pos")
+        .agg(sum(col("qx")).as("sm"), count(lit(1)).as("n"))
+        .as[(Int, Long, Int, Long, Long)].collect()
+      cents = cells.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
+        case ((s, cid), cs) =>
+          (s, cid, cs.sortBy(_._3).map { case (_, _, _, sm, n) =>
+            sm.toDouble / (1000000.0 * n.toDouble) }.toSeq)
+      }
+    }
+    cents
+  }
+
+  /** DuckDB CTE chain mirroring [[pqCodebooks]] (+ the corpus `codes`):
+    * `sub`, `pcent0`, one assign/recenter round per iter, and `codes`
+    * — the final per-(vector, subspace) codeword assignment. */
+  def pqSql(m: Int, subDim: Int, iters: Int): String = {
+    // mirrors l2score: dot(v,v) dropped (argmin-invariant), dot(c,c)
+    // leads so the (fold, subtract) op order matches Spark's
+    def d2(vs: String, cv: String) =
+      s"list_inner_product($cv, $cv) - 2.0 * list_inner_product($vs, $cv)"
+    val rounds = (0 until iters).map { k =>
+      s"""passign$k AS (
+         |  SELECT vec_id, s, vs, c_id FROM (
+         |    SELECT sub.vec_id, sub.s, sub.vs, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+         |        ORDER BY ${d2("sub.vs", "c.c_v")}, c.c_id) AS rn
+         |    FROM sub JOIN pcent$k c ON c.s = sub.s)
+         |  WHERE rn = 1),
+         |pcent${k + 1} AS (
+         |  SELECT s, c_id, list(mn ORDER BY pos) AS c_v FROM (
+         |    SELECT s, c_id, pos,
+         |      CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |        / (1000000.0 * COUNT(*)) AS mn
+         |    FROM (
+         |      SELECT s, c_id, unnest(range(1, len(vs) + 1)) AS pos,
+         |             unnest(vs) AS x
+         |      FROM passign$k)
+         |    GROUP BY s, c_id, pos)
+         |  GROUP BY s, c_id)""".stripMargin
+    }
+    (s"""sub AS (
+        |  SELECT vec_id, ss.s, v[ss.s * $subDim + 1 : ss.s * $subDim + $subDim] AS vs
+        |  FROM emb, (SELECT unnest(range(0, $m)) AS s) ss),
+        |pcent0 AS (
+        |  SELECT s, vec_id AS c_id, vs AS c_v FROM sub WHERE vec_id < 16)""".stripMargin
+      +: rounds
+      :+ s"""codes AS (
+            |  SELECT vec_id, s, c_id AS k FROM (
+            |    SELECT sub.vec_id, sub.s, c.c_id,
+            |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+            |        ORDER BY ${d2("sub.vs", "c.c_v")}, c.c_id) AS rn
+            |    FROM sub JOIN pcent$iters c ON c.s = sub.s)
+            |  WHERE rn = 1)""".stripMargin).mkString(",\n")
+  }
+
+  /** DuckDB CTE chain for the ADC scoring stage over [[pqSql]]'s
+    * `codes`/`pcent$iters`: `lut` (query×codeword dot products) and
+    * `adc` — the m per-subspace lookups summed in FIXED left-to-right
+    * order (`l0.l + l1.l + ...`), matching Spark's column sum. */
+  def pqAdcSql(m: Int, subDim: Int, iters: Int): String = {
+    val codeJoins = (0 until m).map { s =>
+      val src = s"(SELECT vec_id AS n_id, k AS k$s FROM codes WHERE s = $s) c$s"
+      if (s == 0) s"FROM $src" else s"JOIN $src USING (n_id)"
+    }.mkString("\n        |  ")
+    val lutJoins = (0 until m).map { s =>
+      s"JOIN lut l$s ON l$s.q_id = q.q_id AND l$s.s = $s AND l$s.c_id = c$s.k$s"
+    }.mkString("\n        |  ")
+    val adcSum = (0 until m).map(s => s"l$s.l").mkString(" + ")
+    s"""lut AS (
+       |  SELECT q.vec_id AS q_id, c.s, c.c_id,
+       |    list_inner_product(
+       |      q.v[c.s * $subDim + 1 : c.s * $subDim + $subDim], c.c_v) AS l
+       |  FROM emb q JOIN pcent$iters c ON q.vec_id < 20),
+       |adc AS (
+       |  SELECT q.q_id, c0.n_id, $adcSum AS adc
+       |  $codeJoins
+       |  CROSS JOIN (SELECT vec_id AS q_id FROM emb WHERE vec_id < 20) q
+       |  $lutJoins
+       |  WHERE c0.n_id != q.q_id)""".stripMargin
+  }
+
   /** DuckDB CTE chain mirroring [[trainedCentroids]]: `cent0` ..
     * `cent$iters` (use `cent$iters` as the trained set). The paired
     * `unnest(range(..))`/`unnest(v)` zip positionally = posexplode. */
@@ -271,6 +412,62 @@ object SimilarityQueries extends QueryModule {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q_v"), col("n_v")))
       .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** PQ-ADC top-k: corpus vectors compress to m codeword ids (one
+    * byte each at k=16 — 64 doubles become 4 codes); each query scores
+    * the whole code table through an m×16-entry lookup of
+    * query-to-codeword dot products, takes the top-20 by the
+    * asymmetric-distance approximation, and exact-reranks only those.
+    * Used by `q_ann_pq` and the recall spec. */
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 8, subDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = embFrame(spark, dir)
+    val books = Similarity.pqCodebooks(emb, m, subDim, iters = 1)
+    val bookOf: Int => Seq[(Long, Seq[Double])] = s =>
+      books.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
+    // encode: m narrow argmin expressions — ONE pass over the corpus,
+    // no join (codebooks are plan literals, the bounded-sketch class)
+    val codes = emb.select(
+      (col("vec_id").as("n_id")) +:
+        (0 until m).map { s =>
+          Similarity.pqAssignFor(bookOf(s),
+            slice(col("v"), lit(s * subDim + 1), lit(subDim))).as(s"k$s")
+        }: _*)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    // LUT: per (query, subspace, codeword) dot product — ≤ 20·m·16
+    // rows, broadcast; the ADC score is then m lookups per candidate
+    // instead of a d-wide dot product (the PQ bargain: the scan reads
+    // 4 bytes/vector, not 64 doubles; pair count is unchanged — pair
+    // REDUCTION is IVF's job, composing as IVF-PQ at 100 TB)
+    val cent = books.toDF("s", "c_id", "c_v")
+    val lutAll = queries.join(broadcast(cent))
+      .withColumn("q_vs", slice(col("q_v"), col("s") * subDim + 1, lit(subDim)))
+      .select(col("q_id"), col("s"), col("c_id"), dot(col("q_vs"), col("c_v")).as("l"))
+    def lut(s: Int) = lutAll.filter(col("s") === s)
+      .select(col("q_id"), col("c_id").as(s"k$s"), col("l").as(s"l$s"))
+    // adc = l0+l1+...: a FIXED-ORDER column sum (a groupBy sum over the
+    // m parts would be order-dependent double addition — unreplayable)
+    val scored = (0 until m).foldLeft(
+      codes.crossJoin(broadcast(queries.select("q_id")))) { (df, s) =>
+        df.join(broadcast(lut(s)), Seq("q_id", s"k$s"))
+      }
+      .withColumn("adc", (0 until m).map(s => col(s"l$s")).reduceLeft(_ + _))
+      .filter(col("n_id") =!= col("q_id"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= 20)
+      .select("q_id", "n_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "n_id", "sim")
       .orderBy("q_id", "rank")
@@ -525,6 +722,39 @@ object SimilarityQueries extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY list_inner_product(q_v, n_v) / sqrt(list_inner_product(q_v, q_v) * list_inner_product(n_v, n_v)) DESC, n_id) AS rank
         |  FROM cand)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- Product-quantized (PQ) ANN with asymmetric-distance scoring
+    // and exact re-rank — the codebook compression missing from the
+    // SQ8 (scalar) path: 64-double vectors become m=8 codeword ids
+    // (k=16 per subspace, Lloyd-trained jointly in one pass per round,
+    // seed + quantized recenter identical to the IVF training so the
+    // oracle replays every stage). Queries score the code table via an
+    // m×16 dot-product LUT (broadcast), take top-20 by the ADC
+    // approximation, and pay the exact cosine for those 20 only.
+    // PQ shrinks BYTES PER CANDIDATE (m lookups vs a d-wide dot);
+    // candidate-count reduction is IVF's job — at 100 TB the two
+    // compose as IVF-PQ (probe partitions, then ADC inside them).
+    "q_ann_pq" -> QueryDef(
+      fn = (spark, dir) => pqTopK(spark, dir),
+      oracle = Some(embCte + s""",
+        |${Similarity.pqSql(8, 8, 1)},
+        |${Similarity.pqAdcSql(8, 8, 1)},
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc DESC, n_id) AS ar
+        |    FROM adc)
+        |  WHERE ar <= 20)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT c.q_id, c.n_id,
+        |    ${cosSqlOf("q.v", "n.v")} AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+        |      ORDER BY ${cosSqlOf("q.v", "n.v")} DESC, c.n_id) AS rank
+        |  FROM cand c
+        |  JOIN emb q ON q.vec_id = c.q_id
+        |  JOIN emb n ON n.vec_id = c.n_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // ---- LSH-bucketed ANN (random-hyperplane family), OR-amplified:

@@ -113,4 +113,18 @@ class AnnRecallSpec extends SparkSpec {
     info(f"SQ8+rerank mean recall@5 = $r%.3f")
     assert(r >= 0.9, f"recall $r%.3f")
   }
+
+  test("PQ-ADC + exact re-rank recall@5 clears its floor") {
+    val r = meanRecall("q_ann_pq")
+    // 64 doubles -> 8 codeword nibbles is a 128x compression; the ADC
+    // top-20 then exact re-rank keeps over half of the true top-5 ON
+    // THIS ISOTROPIC CORPUS (the same property that caps IVF recall —
+    // quantization cells carry little signal when vectors are nearly
+    // orthogonal; m=8 measured 0.59 vs 0.47 at m=4, and a second
+    // Lloyd round moved it -0.02, so m is the live dial). The floor
+    // pins that the codebooks beat the random-candidate baseline
+    // (top-20 of 49 ~ 0.41 recall) by a wide margin
+    info(f"PQ(m=8,k=16)+rerank mean recall@5 = $r%.3f")
+    assert(r >= 0.5, f"recall $r%.3f")
+  }
 }
