@@ -473,6 +473,74 @@ object SimilarityQueries extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ top-k — the composed 100 TB shape: IVF cuts CANDIDATE
+    * COUNT (each query touches ~nprobe/nlist of the corpus via the
+    * bucket equi-join), PQ cuts BYTES PER CANDIDATE (m code lookups
+    * instead of a d-wide dot). Both training chains are the existing
+    * deterministic ones, so the oracle replays the whole composition.
+    * Exact cosine re-rank of the ADC top-20 finishes, as in the
+    * single-stage paths. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 2,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = embFrame(spark, dir)
+    val centroids = Similarity.trainedCentroids(emb, iters = 2)
+    val books = Similarity.pqCodebooks(emb, m, subDim, iters = 1)
+    val bookOf: Int => Seq[(Long, Seq[Double])] = s =>
+      books.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
+    // one pass assigns the IVF bucket (broadcast centroids + max_by
+    // agg, as in ivfTopK) ...
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("v"), col("c_v")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"),
+          struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+        first(col("v")).as("n_v"))
+      .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
+    // ... and the PQ codes ride along as narrow argmin expressions —
+    // the stored index row is (n_id, bucket, k0..k7): 8 codes, no
+    // full vector needed until the final re-rank fetch
+    val codes = assigned.select(
+      col("n_id") +: col("bucket") +:
+        (0 until m).map { s =>
+          Similarity.pqAssignFor(bookOf(s),
+            slice(col("n_v"), lit(s * subDim + 1), lit(subDim))).as(s"k$s")
+        }: _*)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("c_id").as("bucket"))
+    val cent = books.toDF("s", "c_id", "c_v")
+    val lutAll = queries.join(broadcast(cent))
+      .withColumn("q_vs", slice(col("q_v"), col("s") * subDim + 1, lit(subDim)))
+      .select(col("q_id"), col("s"), col("c_id"), dot(col("q_vs"), col("c_v")).as("l"))
+    def lut(s: Int) = lutAll.filter(col("s") === s)
+      .select(col("q_id"), col("c_id").as(s"k$s"), col("l").as(s"l$s"))
+    val scored = (0 until m).foldLeft(
+      broadcast(probes).join(codes, "bucket")) { (df, s) =>
+        df.join(broadcast(lut(s)), Seq("q_id", s"k$s"))
+      }
+      .withColumn("adc", (0 until m).map(s => col(s"l$s")).reduceLeft(_ + _))
+      .filter(col("n_id") =!= col("q_id"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= 20)
+      .select("q_id", "n_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table
     * LSH probe — ids only (vectors are re-fetched for survivors), the
     * same staged shape as MinHash-LSH banding. `tables` and `radius`
@@ -756,6 +824,72 @@ object SimilarityQueries extends QueryModule {
         |  JOIN emb q ON q.vec_id = c.q_id
         |  JOIN emb n ON n.vec_id = c.n_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- IVF-PQ: the composed index every 100 TB vector store
+    // actually runs — IVF bucketing bounds the candidate COUNT
+    // (equi-join on the probed centroid buckets, ~nprobe/nlist of the
+    // corpus per query), PQ codes bound the BYTES per candidate (the
+    // index row is 8 codes + a bucket id; full vectors are fetched
+    // only for the ADC top-20 re-rank). Both trainings are the
+    // deterministic chains the single-stage paths already use, so the
+    // DuckDB oracle replays bucketing, coding, LUT, ADC, and re-rank
+    // stage by stage — hash-exact.
+    "q_ann_ivfpq" -> QueryDef(
+      fn = (spark, dir) => ivfPqTopK(spark, dir),
+      oracle = Some {
+        val m = 8
+        val codeJoins = (0 until m).map { s =>
+          s"JOIN (SELECT vec_id AS n_id, k AS k$s FROM codes WHERE s = $s) c$s ON c$s.n_id = a.n_id"
+        }.mkString("\n        |  ")
+        val lutJoins = (0 until m).map { s =>
+          s"JOIN lut l$s ON l$s.q_id = p.q_id AND l$s.s = $s AND l$s.c_id = c$s.k$s"
+        }.mkString("\n        |  ")
+        val adcSum = (0 until m).map(s => s"l$s.l").mkString(" + ")
+        embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT n_id, bucket FROM (
+        |    SELECT e.vec_id AS n_id, c.c_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, bucket FROM (
+        |    SELECT q.vec_id AS q_id, c.c_id AS bucket,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id < 20)
+        |  WHERE c_rank <= 2),
+        |${Similarity.pqSql(m, 8, 1)},
+        |lut AS (
+        |  SELECT q.vec_id AS q_id, c.s, c.c_id,
+        |    list_inner_product(q.v[c.s * 8 + 1 : c.s * 8 + 8], c.c_v) AS l
+        |  FROM emb q JOIN pcent1 c ON q.vec_id < 20),
+        |adc AS (
+        |  SELECT p.q_id, a.n_id, $adcSum AS adc
+        |  FROM probes p
+        |  JOIN assigned a ON a.bucket = p.bucket
+        |  $codeJoins
+        |  $lutJoins
+        |  WHERE a.n_id != p.q_id),
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY adc DESC, n_id) AS ar
+        |    FROM adc)
+        |  WHERE ar <= 20)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT c.q_id, c.n_id,
+        |    ${cosSqlOf("q.v", "n.v")} AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+        |      ORDER BY ${cosSqlOf("q.v", "n.v")} DESC, c.n_id) AS rank
+        |  FROM cand c
+        |  JOIN emb q ON q.vec_id = c.q_id
+        |  JOIN emb n ON n.vec_id = c.n_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
 
     // ---- LSH-bucketed ANN (random-hyperplane family), OR-amplified:
     // L=4 independent 8-plane tables give per-table 256-bucket sign
