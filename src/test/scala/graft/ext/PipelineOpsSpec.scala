@@ -45,6 +45,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("connectedComponents: pointer jumping resolves a 1024-link chain in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial shape for plain min-label propagation: a path
+    // 0-1-2-…-1024 has diameter 1024, so one-hop propagation needs
+    // 1024 rounds (and would trip any sane runaway guard); pointer
+    // jumping doubles covered distance per round
+    val n = 1024
+    val nodes = (0L to n.toLong).toDF("id")
+    val edges = (0L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = PipelineOps.connectedComponents(nodes, edges)
+    assert(labels.filter(col("cluster") =!= 0L).count() === 0L,
+      "every node on the path must resolve to the minimum id 0")
+    val rounds = PipelineOps.lastIterations.get()
+    info(s"1024-link chain converged in $rounds rounds")
+    assert(rounds <= 15, s"expected O(log n) ~ 11 rounds, got $rounds")
+  }
+
+  test("connectedComponents: disjoint clusters + singletons label correctly") {
+    import spark.implicits._
+    // two components {0,1,2}, {10,11}, singleton {20}
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (0L, 1L), (11L, 10L)).toDF("src", "dst")
+    val got = PipelineOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("temperatureMix: smallest domain keeps everything, rates flatten the skew") {
     val mix = PipelineOps.temperatureMix(docs, "lang").collect()
     val byN = mix.sortBy(_.getAs[Long]("n_docs"))
