@@ -369,7 +369,49 @@ object PipelineQueries extends QueryModule {
         |    AS BIGINT) AS n_kept
         |FROM u JOIN thresholds t ON u.lang = t.lang
         |GROUP BY u.lang, t.n_docs, t.keep_threshold
-        |ORDER BY u.lang""".stripMargin))
+        |ORDER BY u.lang""".stripMargin)),
+
+    // ---- Weighted sampling WITHOUT replacement (deterministic ticket
+    // scheme): docs get 1/2/4 tickets by length tier, each ticket
+    // hashes to md5(doc_id:t), and a doc's sample key is its MINIMUM
+    // ticket hash. Scanning all tickets in hash order and keeping the
+    // first k distinct docs IS k successive weighted draws without
+    // replacement (a doc first appears at its min ticket, and among
+    // remaining docs each ticket is equally likely to be next) — so
+    // "k smallest per-doc min-keys" realizes the draw exactly, with
+    // no randomness an engine can't replay.
+    //
+    // Scale shape: the key is ONE narrow expression (array_min over a
+    // ≤4-element transform — no explode, no join); the global top-k
+    // plans as TakeOrdered (per-partition heap, k rows to the
+    // driver). The corpus never shuffles. Weights are data-derived
+    // (length tier = more tokens per doc, the length-weighted recipe);
+    // any integer weight column slots in.
+    "q_weighted_sample" -> QueryDef(
+      fn = (spark, dir) => {
+        val tickets = when(col("n_chars") >= 400, 4)
+          .when(col("n_chars") >= 200, 2).otherwise(1)
+        val key = array_min(transform(
+          sequence(lit(0), col("tickets") - 1),
+          t => md5(concat_ws(":", col("doc_id"), t).cast("binary"))))
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            tickets.cast("long").as("tickets"))
+          .withColumn("sample_key", key)
+          .orderBy("sample_key", "doc_id").limit(100)
+      },
+      oracle = Some("""
+        |WITH w AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(CASE WHEN n_chars >= 400 THEN 4
+        |              WHEN n_chars >= 200 THEN 2 ELSE 1 END AS BIGINT)
+        |      AS tickets
+        |  FROM documents)
+        |SELECT doc_id, lang, source, tickets,
+        |  list_min(list_transform(range(0, tickets),
+        |    t -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))))
+        |    AS sample_key
+        |FROM w ORDER BY sample_key, doc_id LIMIT 100""".stripMargin))
   )
 
   private def listSqlPub(ws: Seq[String]): String =

@@ -134,6 +134,17 @@ class PlanAssertionsSpec extends SparkSpec {
       optimized)
   }
 
+  test("q_weighted_sample: narrow key + global top-k, zero shuffles") {
+    val p = plan("q_weighted_sample")
+    // the sample key is one narrow expression (array_min over a <=4
+    // element transform — no ticket explode) and the k-smallest-keys
+    // draw plans as TakeOrdered: per-partition heap, k rows to the
+    // driver, the corpus never shuffles
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("generate"), p) // no explode
+  }
+
   test("q_heavy_hitters: verify pass filters to candidates before the shuffle") {
     val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
