@@ -554,6 +554,95 @@ object TextQueries extends QueryModule {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, term) AS rnk FROM scored)
         |SELECT doc_id, rnk, term, tf, df, score
-        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- BM25 retrieval, exact-rational form: score every doc
+    // against a fixed 4-term query and return the top 10. Two
+    // departures from textbook BM25, both FOR cross-engine bit-parity
+    // (the house oracle rules: no transcendentals, no order-dependent
+    // double sums):
+    //  * k1=1.2, b=0.75 are kept as exact rationals and the tf
+    //    normalization is algebraically cleared of fractions —
+    //    tfnorm = 22·tf·T / (10·tf·T + 3·T + 9·dl·N) with T = total
+    //    corpus tokens, N = doc count: exact BIGINT numerator and
+    //    denominator, ONE correctly-rounded division per term.
+    //  * idf uses the RATIO form (2N-2df+1)/(2df+1) — the argument of
+    //    Robertson's log, not its value. Log-free means replayable;
+    //    per-term doc ordering is unchanged (idf is constant within a
+    //    term), and BM25Spec pins the single-term ranking identical
+    //    to the log form while measuring multi-term top-k agreement.
+    // The per-term scores combine in a FIXED-ORDER column sum.
+    //
+    // Scale shape: tf/dl are narrow per-row expressions (no token
+    // explode — the term list is in the lambda); corpus stats are ONE
+    // partial agg broadcast back; top-10 plans as TakeOrdered. The
+    // only wide op in the whole plan is the single-row stats agg.
+    "q_bm25" -> QueryDef(
+      fn = (spark, dir) => {
+        val terms = bm25Terms
+        val base0 = Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            filter(wsTokens(col("text")), t => t =!= "").as("toks"))
+          .withColumn("dl", size(col("toks")).cast("long"))
+        val base = terms.zipWithIndex.foldLeft(base0) { case (d, (t, i)) =>
+          d.withColumn(s"tf$i",
+            size(filter(col("toks"), x => x === lit(t))).cast("long"))
+        }.drop("toks")
+        val stats = base.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_dl") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+        def termScore(i: Int) = {
+          val tf = col(s"tf$i"); val df = col(s"df$i")
+          val n = col("n_docs"); val t = col("total_dl")
+          ((n * 2 - df * 2 + 1).cast("double") / (df * 2 + 1).cast("double")) *
+            ((tf * t * 22).cast("double") /
+              (tf * t * 10 + t * 3 + col("dl") * n * 9).cast("double"))
+        }
+        base.crossJoin(broadcast(stats))
+          .withColumn("score",
+            terms.indices.map(termScore).reduceLeft(_ + _))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .select("doc_id", "dl", "score")
+      },
+      oracle = Some {
+        val terms = bm25Terms
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+        }.mkString(",\n        |    ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+        ).mkString(",\n        |    ")
+        val scoreSum = terms.indices.map(i =>
+          s"""(CAST(s.n_docs*2 - s.df$i*2 + 1 AS DOUBLE) / CAST(s.df$i*2 + 1 AS DOUBLE))
+        |      * (CAST(b.tf$i * s.total_dl * 22 AS DOUBLE)
+        |         / CAST(b.tf$i * s.total_dl * 10 + s.total_dl * 3 + b.dl * s.n_docs * 9 AS DOUBLE))"""
+        ).mkString("\n        |    + ")
+        s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    $tfCols
+        |  FROM tok),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+        |    $dfCols
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.doc_id, b.dl,
+        |    $scoreSum AS score
+        |  FROM base b CROSS JOIN stats s)
+        |SELECT doc_id, dl, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      })
   )
+
+  /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
+    * idf does real work) + three common ones. */
+  val bm25Terms: Seq[String] = Seq("dup", "spark", "window", "join")
 }

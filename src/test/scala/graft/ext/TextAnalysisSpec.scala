@@ -138,4 +138,70 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hi > 0.8 && hi <= 1.0 + 1e-9)
     assert(lo < 0.5)
   }
+
+  /** BM25 ratio-idf form vs Robertson's log form: per-term document
+    * ordering is provably identical (idf is a constant within a
+    * term — any positive constant gives the same tfnorm ordering);
+    * multi-term rankings can diverge because the SUM weights rare
+    * terms more in ratio form. Both claims measured here. */
+  test("bm25: single-term ranking identical under ratio idf and log idf") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .withColumn("tf",
+        size(filter(col("toks"), x => x === lit("dup"))).cast("long"))
+      .drop("toks")
+    val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("t"),
+      sum(when(col("tf") > 0, 1L).otherwise(0L)).as("df"))
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("tfnorm", (col("tf") * col("t") * 22).cast("double") /
+        (col("tf") * col("t") * 10 + col("t") * 3 + col("dl") * col("n") * 9)
+          .cast("double"))
+      .withColumn("idf_ratio",
+        (col("n") * 2 - col("df") * 2 + 1).cast("double") /
+          (col("df") * 2 + 1).cast("double"))
+      .withColumn("s_ratio", col("idf_ratio") * col("tfnorm"))
+      .withColumn("s_log", log(col("idf_ratio")) * col("tfnorm"))
+      .filter(col("tf") > 0)
+    def top(c: String) = scored
+      .orderBy(col(c).desc, col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top("s_ratio") === top("s_log"))
+  }
+
+  test("bm25: multi-term top-10 substantially agrees with log-idf BM25") {
+    val sf = "/root/testdata/sf0.001"
+    val terms = TextQueries.bm25Terms
+    val base0 = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val base = terms.zipWithIndex.foldLeft(base0) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }.drop("toks")
+    val stats = base.agg(count(lit(1)).as("n"), sum("dl").as("t") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    def score(i: Int, logIdf: Boolean) = {
+      val ratio = (col("n") * 2 - col(s"df$i") * 2 + 1).cast("double") /
+        (col(s"df$i") * 2 + 1).cast("double")
+      val idf = if (logIdf) log(ratio) else ratio
+      idf * ((col(s"tf$i") * col("t") * 22).cast("double") /
+        (col(s"tf$i") * col("t") * 10 + col("t") * 3 + col("dl") * col("n") * 9)
+          .cast("double"))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("s_ratio", terms.indices.map(score(_, logIdf = false)).reduceLeft(_ + _))
+      .withColumn("s_log", terms.indices.map(score(_, logIdf = true)).reduceLeft(_ + _))
+      .filter(col("s_ratio") > 0)
+    def top(c: String) = scored
+      .orderBy(col(c).desc, col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = top("s_ratio").intersect(top("s_log")).size
+    info(s"ratio-idf vs log-idf top-10 overlap: $overlap/10")
+    assert(overlap >= 6, s"overlap $overlap")
+  }
 }
