@@ -152,6 +152,22 @@ object TextFunctions {
       .filter(col("cnt") * denom > lit(total))
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** One term's BM25 contribution in the exact-rational house form
+    * (see `q_bm25`): ratio idf × fraction-cleared tf normalization
+    * (k1=1.2, b=0.75), exact-BIGINT operands, one IEEE division each
+    * side. SHARED by the full-scan query and the InvertedIndex probe —
+    * the probe's bit-identity to the scan depends on both paths
+    * evaluating this exact expression tree.
+    *
+    * @param tf term frequency in the doc   @param df docs containing term
+    * @param dl doc token length            @param n  corpus doc count
+    * @param t  corpus total tokens */
+  def bm25TermScore(tf: Column, df: Column, dl: Column,
+      n: Column, t: Column): Column =
+    ((n * 2 - df * 2 + 1).cast("double") / (df * 2 + 1).cast("double")) *
+      ((tf * t * 22).cast("double") /
+        (tf * t * 10 + t * 3 + dl * n * 9).cast("double"))
 }
 
 object TextQueries extends QueryModule {
@@ -593,13 +609,8 @@ object TextQueries extends QueryModule {
           sum(col("dl")).as("total_dl") +:
             terms.indices.map(i =>
               sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
-        def termScore(i: Int) = {
-          val tf = col(s"tf$i"); val df = col(s"df$i")
-          val n = col("n_docs"); val t = col("total_dl")
-          ((n * 2 - df * 2 + 1).cast("double") / (df * 2 + 1).cast("double")) *
-            ((tf * t * 22).cast("double") /
-              (tf * t * 10 + t * 3 + col("dl") * n * 9).cast("double"))
-        }
+        def termScore(i: Int) = bm25TermScore(col(s"tf$i"), col(s"df$i"),
+          col("dl"), col("n_docs"), col("total_dl"))
         base.crossJoin(broadcast(stats))
           .withColumn("score",
             terms.indices.map(termScore).reduceLeft(_ + _))
