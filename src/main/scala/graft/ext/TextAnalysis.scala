@@ -650,7 +650,8 @@ object TextQueries extends QueryModule {
         |  FROM base b CROSS JOIN stats s)
         |SELECT doc_id, dl, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-      })
+      },
+      bench = true) // scan-bound retrieval: tracks the narrow-pass cost
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
