@@ -97,6 +97,92 @@ object EventsQueries extends QueryModule {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- Ordered funnel: signup -> first click AFTER signup ->
+    // first purchase AFTER that click, per user; output is the stage
+    // conversion counts. The staged shape is the scale shape: each
+    // stage is a per-user MIN aggregation plus an equi-join on
+    // user_id — every shuffle is keyed on the (uniform) user id, and
+    // stage N's frame only carries the users still in the funnel
+    // (monotonically shrinking). No event arrays are collected; a
+    // collect_list-per-user formulation would break down on a power
+    // user with 10^8 events.
+    "q_funnel" -> QueryDef(
+      fn = (spark, dir) => {
+        val ev = Tables(spark, dir, "events")
+        def stage(evType: String, after: org.apache.spark.sql.DataFrame,
+            tCol: String, outCol: String) =
+          ev.filter(col("event_type") === evType)
+            .join(after, "user_id")
+            .filter(col("ts") > col(tCol))
+            .groupBy("user_id").agg(min(col("ts")).as(outCol))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = stage("click", s1, "t1", "t2")
+        val s3 = stage("purchase", s2.select("user_id", "t2"), "t2", "t3")
+        // fixed-order single-row output: exact BIGINT counts
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      oracle = Some("""
+        |WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+        |       (SELECT COUNT(*) FROM s2) AS n_click_after,
+        |       (SELECT COUNT(*) FROM s3) AS n_purchase_after""".stripMargin)),
+
+    // ---- Cohort retention: users cohorted by the week of their
+    // first event; a cell counts the cohort's distinct active users
+    // at each whole-week offset. Two shuffles total (per-user first
+    // event; the (cohort, offset) distinct-count) — both keyed on
+    // uniform ids, no window over the full event stream. Offsets are
+    // exact integer arithmetic on epoch seconds, so the oracle
+    // replays them bit-for-bit.
+    "q_cohort_retention" -> QueryDef(
+      fn = (spark, dir) => {
+        val ev = Tables(spark, dir, "events")
+        val firsts = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+            date_trunc("week", col("first_ts")).as("cohort_week"))
+        ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .join(firsts, "user_id")
+          // integer floor-div on exact epoch seconds (Spark's `/` on
+          // longs is DOUBLE division; offsets are non-negative so the
+          // long cast truncates identically to DuckDB's `//`)
+          .groupBy(col("cohort_week"), ((unix_timestamp(col("w")) -
+            unix_timestamp(col("cohort_week"))) / 604800L)
+            .cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(
+            date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        |WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT e.user_id, f.cohort_week,
+        |    (epoch(date_trunc('week', e.ts))::BIGINT
+        |      - epoch(f.cohort_week)::BIGINT) // 604800 AS week_offset
+        |  FROM events e JOIN firsts f USING (user_id))
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+        |       COUNT(DISTINCT user_id) AS n_active
+        |FROM activity GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
