@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Runs exactness-critical queries under different shuffle partition
+  * counts and asserts IDENTICAL results — the property the numeric
+  * conventions (exact decimal sums, integer moment accumulation,
+  * fixed-order double folds, quantized Lloyd recentering) exist to
+  * guarantee. A plain double SUM would pass the DuckDB hash check by
+  * luck at one partitioning and fail at another; this spec pins the
+  * invariance the 100 TB claim actually rests on (a cluster never
+  * reproduces the test harness's partition count).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // exactness-critical representatives: decimal aggregation, integer
+  // moment regression, ratio-scored retrieval, UDAF, trained ANN
+  private val names = Seq("q_pricing_summary", "q_weather_trend",
+    "q_bm25", "q_weighted_avg_udaf", "q_ann_pq")
+
+  private def run(name: String, parts: String): Seq[String] = {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
+  for (name <- names)
+    test(s"$name is bit-identical at 3 vs 32 shuffle partitions") {
+      assert(run(name, "3") === run(name, "32"))
+    }
+}
