@@ -492,6 +492,55 @@ object DedupQueries extends QueryModule {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- Snapshot reconciliation (anti-entropy table diff): ONE
+    // co-partitioned full-outer equi-join on the key, comparing
+    // narrow per-row content hashes — the standard added / removed /
+    // changed / unchanged audit between two corpus snapshots. The
+    // synthetic previous snapshot follows the q_snapshot_delta
+    // convention: ids %10∈{8,9} exist only in current (added),
+    // ghost rows id+900000 only in previous (removed), %10==3 text
+    // perturbed (changed). At 100 TB this is exactly one shuffle of
+    // (key, 16-byte hash) pairs per side — the text itself never
+    // moves — and 4 aggregate rows out.
+    "q_reconcile" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val prev = docs.filter(col("doc_id") % 10 < 8)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3, upper(col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 8)
+            .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+        val l = prev.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h_prev"))
+        val r = docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h_curr"))
+        l.join(r, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("h_prev").isNull, "added")
+              .when(col("h_curr").isNull, "removed")
+              .when(col("h_prev") =!= col("h_curr"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        |WITH prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 < 8
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 10 = 8),
+        |l AS (SELECT doc_id, md5(text) AS h_prev FROM prev),
+        |r AS (SELECT doc_id, md5(text) AS h_curr FROM documents)
+        |SELECT CASE WHEN h_prev IS NULL THEN 'added'
+        |            WHEN h_curr IS NULL THEN 'removed'
+        |            WHEN h_prev != h_curr THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       COUNT(*) AS n
+        |FROM l FULL OUTER JOIN r USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin))
   )
 }
