@@ -572,6 +572,57 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, rnk, term, tf, df, score
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // ---- Adjacent-token association (lift): which bigrams co-occur
+    // MORE than their marginals predict — the market-basket lift
+    // statistic over the same shifted-slice pair stream as
+    // q_tokenizer_pairs (raw pair counts rank boilerplate; lift ranks
+    // collocations). All counts are exact BIGINTs off one narrow
+    // explode; lift = (c_ab·N) / (c_a·c_b) is exact products + ONE
+    // IEEE division, so the oracle matches bit-for-bit. Min support 5
+    // keeps noise bigrams from topping the board on tiny marginals.
+    // Scale shape: the pair stream aggregates three ways (pair, left
+    // marginal, right marginal) — each map-side combined — and the
+    // marginals join back onto the ≤|vocab|² pair-count frame, never
+    // onto the stream.
+    "q_token_lift" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))
+        val p = Tables(spark, dir, "documents")
+          .select(explode(adjacentPairs(toks)).as("pair"))
+          .withColumn("a", split(col("pair"), " ").getItem(0))
+          .withColumn("b", split(col("pair"), " ").getItem(1))
+        val ab = p.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val la = p.groupBy("a").agg(count(lit(1)).as("c_a"))
+        val rb = p.groupBy("b").agg(count(lit(1)).as("c_b"))
+        val n = p.agg(count(lit(1)).as("n_pairs"))
+        ab.filter(col("c_ab") >= 5)
+          .join(la, "a").join(rb, "b").crossJoin(broadcast(n))
+          .withColumn("lift", (col("c_ab") * col("n_pairs")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"))
+          .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+          .select("a", "b", "c_ab", "lift")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]') AS toks
+        |  FROM documents),
+        |pq AS (
+        |  SELECT pr[1] AS a, pr[2] AS b FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(1, len(toks) - 1),
+        |      i -> [toks[i], toks[i+1]])) AS pr
+        |    FROM tok)),
+        |ab AS (SELECT a, b, COUNT(*) AS c_ab FROM pq GROUP BY a, b),
+        |la AS (SELECT a, COUNT(*) AS c_a FROM pq GROUP BY a),
+        |rb AS (SELECT b, COUNT(*) AS c_b FROM pq GROUP BY b),
+        |n AS (SELECT COUNT(*) AS n_pairs FROM pq)
+        |SELECT a, b, c_ab,
+        |  CAST(c_ab * n_pairs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+        |FROM ab JOIN la USING (a) JOIN rb USING (b) CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin)),
+
     // ---- BM25 retrieval, exact-rational form: score every doc
     // against a fixed 4-term query and return the top 10. Two
     // departures from textbook BM25, both FOR cross-engine bit-parity

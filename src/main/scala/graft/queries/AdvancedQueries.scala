@@ -150,6 +150,34 @@ object AdvancedQueries extends QueryModule {
         |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)),
 
+    // ---- UNPIVOT (wide -> long): the melt inverse of the pivot
+    // above, via `stack` — a NARROW generator (4 output rows per
+    // input row, no shuffle until the final agg). Measures are summed
+    // as exact decimals per the oracle-parity convention.
+    "q_unpivot" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "lineitem")
+        .selectExpr("""stack(4,
+            'quantity',      CAST(l_quantity      AS DECIMAL(18,2)),
+            'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)),
+            'discount',      CAST(l_discount      AS DECIMAL(18,2)),
+            'tax',           CAST(l_tax           AS DECIMAL(18,2))
+          ) AS (measure, v)""")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("total"))
+        .orderBy("measure"),
+      oracle = Some("""
+        |WITH long AS (
+        |  SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT measure, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+        |FROM long GROUP BY measure ORDER BY measure""".stripMargin)),
+
     // ---- LATERAL correlated subquery (SQL surface): top-2 orders per
     // customer, the correlated-limit formulation. Catalyst decorrelates
     // the LATERAL into a window/join plan — no per-row re-execution
