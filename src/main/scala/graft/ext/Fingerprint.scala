@@ -93,6 +93,112 @@ object FingerprintQueries extends QueryModule {
         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= $hammingMax
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Perceptual-hash (aHash) near-dup over MULTIMODAL payloads:
+    // the image-dedup member of the near-dup family. The 64
+    // "grayscale pixels" are the stub decoder's view of the payload
+    // (byte values of the 64-byte thumbnail window — a real decoder
+    // swaps in downsampled pixel luma); bit i = pixel_i above the
+    // thumbnail mean, compared EXACTLY as pix*64 >= sum so no
+    // division enters the kernel. The fingerprint lives as two 32-bit
+    // halves (a single 64-bit value would need bit 63 = 2^63 — the
+    // BIGINT sign bit). Candidates via the same pigeonhole trick as
+    // SimHash: 5 blocks of 13/12 bits — Hamming ≤ 4 implies ≥1
+    // identical block — so candidate generation is an equi-join on
+    // (block_idx, block_val), never all-pairs. Planted positives:
+    // same-length 2-char perturbations (≤2 pixels move, plus any
+    // mean-borderline flips). Unlike SimHash's xxhash kernel, EVERY
+    // stage here is ascii/integer arithmetic — the oracle replays the
+    // whole operator, no kernel-frame export.
+    "q_phash_neardup" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val planted = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(substring(col("text"), 1, 10), lit("zz"),
+                expr("substring(text, 13)")).as("text")))
+        val pix = transform(sequence(lit(0), lit(63)),
+          i => ascii(rpad(col("text"), 64, " ").substr(i + 1, lit(1))))
+        def bitAt(i: Int) = when(
+          element_at(col("p"), i + 1) * 64 >= col("ps"), 1L).otherwise(0L)
+        def bitSum(lo: Int, hi: Int, shiftBase: Int) =
+          (lo to hi).map(i => bitAt(i) * lit(1L << (i - shiftBase)))
+            .reduceLeft(_ + _)
+        val fps = planted
+          .withColumn("p", pix)
+          .withColumn("ps", aggregate(col("p"), lit(0), (acc, x) => acc + x))
+          .select(col("doc_id"),
+            bitSum(0, 31, 0).as("f_lo"), bitSum(32, 63, 32).as("f_hi"),
+            array((0 until 5).map { j =>
+              val lo = 13 * j; val hi = math.min(lo + 12, 63)
+              bitSum(lo, hi, lo)
+            }: _*).as("blks"))
+        val exploded = fps.select(col("doc_id"), col("f_lo"), col("f_hi"),
+          posexplode(col("blks")).as(Seq("block_idx", "block_val")))
+        exploded.as("x").join(exploded.as("y"),
+            col("x.block_idx") === col("y.block_idx") &&
+              col("x.block_val") === col("y.block_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            col("x.f_lo").as("lo_a"), col("x.f_hi").as("hi_a"),
+            col("y.f_lo").as("lo_b"), col("y.f_hi").as("hi_b"))
+          .distinct()
+          .withColumn("hamming",
+            (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+              bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+          .filter(col("hamming") <= 4)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some {
+        def bitSumSql(lo: Int, hi: Int, shiftBase: Int) =
+          (lo to hi).map(i => s"b[${i + 1}]*${1L << (i - shiftBase)}")
+            .mkString(" + ")
+        val blockRows = (0 until 5).map { j =>
+          val lo = 13 * j; val hi = math.min(lo + 12, 63)
+          s"SELECT doc_id, f_lo, f_hi, $j AS block_idx, ${bitSumSql(lo, hi, lo)} AS block_val FROM bits"
+        }.mkString("\n        |  UNION ALL\n        |  ")
+        s"""WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    substr(text, 1, 10) || 'zz' || substr(text, 13)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pix AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64),
+        |      i -> ascii(substr(rpad(text, 64, ' '), i + 1, 1))) AS p
+        |  FROM planted),
+        |bits0 AS (
+        |  SELECT doc_id,
+        |    list_transform(p, x -> CASE WHEN x * 64 >= ps THEN 1 ELSE 0 END) AS b
+        |  FROM (SELECT doc_id, p, list_sum(p) AS ps FROM pix)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    ${bitSumSql2("f_lo", 0, 31)},
+        |    ${bitSumSql2("f_hi", 32, 63)}
+        |  FROM bits0),
+        |blk AS (
+        |  $blockRows),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.f_lo AS lo_a, x.f_hi AS hi_a, y.f_lo AS lo_b, y.f_hi AS hi_b
+        |  FROM blk x JOIN blk y
+        |    ON x.block_idx = y.block_idx AND x.block_val = y.block_val
+        |   AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin
+      })
   )
+
+  /** SQL half-fingerprint: Σ bits[i]·2^(i-base) aliased `name` —
+    * the bits CTE exposes `b` (0/1 list); DuckDB lists are 1-based. */
+  private def bitSumSql2(name: String, lo: Int, hi: Int): String =
+    (lo to hi).map(i => s"b[${i + 1}]*${1L << (i - lo)}")
+      .mkString("", " + ", s" AS $name")
 }
