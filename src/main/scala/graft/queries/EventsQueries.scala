@@ -99,6 +99,42 @@ object EventsQueries extends QueryModule {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- OHLC downsampling: per (hour, event_type) open/high/low/
+    // close of `value` — the classic time-series bar compaction. Pure
+    // SELECTION aggregates (min_by/max_by/min/max — no arithmetic on
+    // doubles, so nothing to drift): one map-side-combined shuffle on
+    // the (hour, type) key. Open/close tie-break on (ts, event_id)
+    // structs because timestamps can collide at micros resolution —
+    // without the id the result would be partition-order-dependent.
+    "q_ohlc" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n"))
+        .orderBy("hour_start", "event_type"),
+      oracle = Some("""
+        |WITH ranked AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |  MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM ranked GROUP BY h, event_type
+        |ORDER BY hour_start, event_type""".stripMargin)),
+
     // ---- Ordered funnel: signup -> first click AFTER signup ->
     // first purchase AFTER that click, per user; output is the stage
     // conversion counts. The staged shape is the scale shape: each
