@@ -91,7 +91,7 @@ object PipelineOps {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
+      release(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -100,9 +100,26 @@ object PipelineOps {
     both.unpersist()
     // the final frame STAYS cached — the caller's aggregate reads it
     // without recomputing the whole propagation chain; the previous
-    // invocation's cache is released here (bounded at one copy)
-    Option(lastLabels.getAndSet(labels)).foreach(_.unpersist())
+    // invocation's copy is released here (bounded at one copy)
+    Option(lastLabels.getAndSet(labels)).foreach(release)
     labels
+  }
+
+  /** Release a superseded labels frame DETERMINISTICALLY. Plain
+    * persisted frames release via unpersist(); a localCheckpoint'ed
+    * frame holds its data as RDD-level persistence that
+    * Dataset.unpersist() does NOT touch — without the LogicalRDD
+    * reach-through below, every round's full label-table copy would
+    * sit in storage until the weak-ref ContextCleaner happened to
+    * notice it was unreferenced (unbounded in-flight copies on a big
+    * graph; the whole point of releasing per round is a bounded
+    * working set). */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   private val lastLabels =

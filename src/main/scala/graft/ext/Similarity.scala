@@ -269,19 +269,26 @@ object Similarity {
     * the data, dominated q_ann_pq's runtime). The values are the SAME
     * collected doubles the joins produced, summed in the same fixed
     * order, so oracle hash-parity is untouched. */
-  def adcLookups(lutAll: DataFrame, m: Int, maxQ: Int): Int => Column = {
+  def adcLookups(lutAll: DataFrame, m: Int, maxQ: Int,
+      k: Int = 16): Int => Column = {
     val spark = lutAll.sparkSession
     import spark.implicits._
     val rows = lutAll.as[(Long, Int, Long, Double)].collect()
     val arrays = (0 until m).map { s =>
-      val vals = Array.fill(maxQ * 16)(0.0)
+      val vals = Array.fill(maxQ * k)(0.0)
       rows.filter(_._2 == s).foreach { case (q, _, c, l) =>
-        vals(q.toInt * 16 + c.toInt) = l
+        // fail LOUDLY at plan-build time: an out-of-range query or
+        // codeword id written as a silent 0.0 slot would corrupt the
+        // ADC ranking quietly (the old per-subspace inner join at
+        // least DROPPED such rows visibly)
+        require(q >= 0 && q < maxQ && c >= 0 && c < k,
+          s"LUT entry (q=$q, c=$c) outside ${maxQ}x$k layout")
+        vals(q.toInt * k + c.toInt) = l
       }
       typedLit(vals.toSeq)
     }
     s => element_at(arrays(s),
-      (col("q_id") * 16 + col(s"k$s") + 1).cast("int"))
+      (col("q_id") * k + col(s"k$s") + 1).cast("int"))
   }
 
   /** DuckDB CTE chain mirroring [[pqCodebooks]] (+ the corpus `codes`):
@@ -413,6 +420,97 @@ object SimilarityQueries extends QueryModule {
     bookMemo.getOrElseUpdate((dir, m, subDim, iters),
       Similarity.pqCodebooks(embFrame(spark, dir), m, subDim, iters))
 
+  /** The previous invocation's persisted PQ-code index — released when
+    * the next invocation installs its own (bounded at one copy). */
+  private val lastCodes =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Test hook: drop memoized training so a spec can force training
+    * to RE-RUN under a changed runtime config (partition counts etc.).
+    * Without this, invariance tests would silently compare one
+    * training run against itself. */
+  def clearTrainingMemo(): Unit = { centMemo.clear(); bookMemo.clear() }
+
+  /** The fixed demo query set: corpus vectors with id < 20, as
+    * (q_id, q_v). */
+  private def queryVecs(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+
+  /** One-pass nearest-centroid assignment of the corpus, as
+    * (n_id, n_v, bucket) — shared by ivfTopK and ivfPqTopK so a
+    * tie-break or assignment fix lands in ONE place. The argmax is a
+    * max_by AGGREGATION (map-side partial reduce: ~1 row per vec_id
+    * per partition reaches the exchange; a window over the
+    * corpus×nlist cross join would shuffle nlist copies of every
+    * vector). Tie-break (c_sim desc, c_id asc) matches the oracle's
+    * ROW_NUMBER via the (c_sim, -c_id) struct order. */
+  private def assignBuckets(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("v"), col("c_v")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"),
+          struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+        first(col("v")).as("n_v")) // v constant per vec_id
+      .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
+
+  /** Query-side probe set: each query's `nprobe` nearest centroid
+    * buckets, as (q_id, q_v, bucket). Shared by ivfTopK/ivfPqTopK. */
+  private def probeBuckets(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.join(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
+
+  /** PQ encode columns k0..k(m-1) over vector column `vcol` — the m
+    * narrow argmin expressions (codebooks are plan literals). */
+  private def pqCodeCols(books: Seq[(Int, Long, Seq[Double])], vcol: Column,
+      m: Int, subDim: Int): Seq[Column] = {
+    val bookOf: Int => Seq[(Long, Seq[Double])] = s =>
+      books.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
+    (0 until m).map { s =>
+      Similarity.pqAssignFor(bookOf(s),
+        slice(vcol, lit(s * subDim + 1), lit(subDim))).as(s"k$s")
+    }
+  }
+
+  /** The per-(query, subspace, codeword) ADC lookup frame — ≤
+    * queries×m×16 rows, computed as one Spark job and collected by
+    * [[Similarity.adcLookups]]. */
+  private def pqLutAll(queries: DataFrame,
+      books: Seq[(Int, Long, Seq[Double])], subDim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cent = books.toDF("s", "c_id", "c_v")
+    queries.join(broadcast(cent))
+      .withColumn("q_vs", slice(col("q_v"), col("s") * subDim + 1, lit(subDim)))
+      .select(col("q_id"), col("s"), col("c_id"), dot(col("q_vs"), col("c_v")).as("l"))
+  }
+
+  /** Shared PQ tail: ADC top-20 per query → fetch full vectors for
+    * exactly those → exact cosine top-5. One definition — the
+    * degeneracy anchor (ivfpq at nprobe=nlist == pq) is structural
+    * for this whole stage, not a lucky textual match. */
+  private def adcRerank(scored: DataFrame, emb: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= 20)
+      .select("q_id", "n_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", cosine(col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** Shared corpus frame: double vectors, zero-norm vectors excluded.
     * The exclusion is a CONTRACT, mirrored in [[embCte]]: a zero
     * vector's cosine is 0/0, which Spark's Divide maps to NULL (sorts
@@ -445,28 +543,8 @@ object SimilarityQueries extends QueryModule {
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = embFrame(spark, dir)
     val centroids = centroidsFor(spark, dir, iters = 2)
-    // assign: nearest centroid per corpus vector, as a max_by
-    // AGGREGATION (map-side partial reduce: ~1 row per vec_id per
-    // partition reaches the exchange; a window over the
-    // corpus x nlist cross join would shuffle nlist copies of
-    // every vector). Tie-break (c_sim desc, c_id asc) matches the
-    // oracle's ROW_NUMBER via the (c_sim, -c_id) struct order.
-    val assigned = emb.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("v"), col("c_v")))
-      .groupBy("vec_id")
-      .agg(max_by(col("c_id"),
-          struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
-        first(col("v")).as("n_v")) // v constant per vec_id
-      .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
-    // queries probe their nprobe nearest centroids
-    val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("c_id").as("bucket"))
+    val assigned = assignBuckets(emb, centroids)
+    val probes = probeBuckets(queryVecs(emb), centroids, nprobe)
     // search only inside the probed buckets
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(probes)
@@ -486,50 +564,26 @@ object SimilarityQueries extends QueryModule {
     * asymmetric-distance approximation, and exact-reranks only those.
     * Used by `q_ann_pq` and the recall spec. */
   def pqTopK(spark: SparkSession, dir: String, m: Int = 8, subDim: Int = 8): DataFrame = {
-    import spark.implicits._
     val emb = embFrame(spark, dir)
     val books = codebooksFor(spark, dir, m, subDim, iters = 1)
-    val bookOf: Int => Seq[(Long, Seq[Double])] = s =>
-      books.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
     // encode: m narrow argmin expressions — ONE pass over the corpus,
     // no join (codebooks are plan literals, the bounded-sketch class)
     val codes = emb.select(
-      (col("vec_id").as("n_id")) +:
-        (0 until m).map { s =>
-          Similarity.pqAssignFor(bookOf(s),
-            slice(col("v"), lit(s * subDim + 1), lit(subDim))).as(s"k$s")
-        }: _*)
-    val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      col("vec_id").as("n_id") +: pqCodeCols(books, col("v"), m, subDim): _*)
+    val queries = queryVecs(emb)
     // LUT: per (query, subspace, codeword) dot product — ≤ 20·m·16
-    // rows, broadcast; the ADC score is then m lookups per candidate
-    // instead of a d-wide dot product (the PQ bargain: the scan reads
+    // rows; the ADC score is then m lookups per candidate instead of
+    // a d-wide dot product (the PQ bargain: the scan reads
     // 4 bytes/vector, not 64 doubles; pair count is unchanged — pair
-    // REDUCTION is IVF's job, composing as IVF-PQ at 100 TB)
-    val cent = books.toDF("s", "c_id", "c_v")
-    val lutAll = queries.join(broadcast(cent))
-      .withColumn("q_vs", slice(col("q_v"), col("s") * subDim + 1, lit(subDim)))
-      .select(col("q_id"), col("s"), col("c_id"), dot(col("q_vs"), col("c_v")).as("l"))
+    // REDUCTION is IVF's job, composing as IVF-PQ at 100 TB).
     // adc = l0+l1+...: a FIXED-ORDER column sum of O(1) literal-LUT
     // lookups (see [[Similarity.adcLookups]]; a groupBy sum over the
     // m parts would be order-dependent double addition — unreplayable)
-    val look = Similarity.adcLookups(lutAll, m, maxQ = 20)
+    val look = Similarity.adcLookups(pqLutAll(queries, books, subDim), m, maxQ = 20)
     val scored = codes.crossJoin(broadcast(queries.select("q_id")))
       .withColumn("adc", (0 until m).map(look).reduceLeft(_ + _))
       .filter(col("n_id") =!= col("q_id"))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
-    val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored
-      .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= 20)
-      .select("q_id", "n_id")
-      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
-      .join(broadcast(queries), "q_id")
-      .withColumn("sim", cosine(col("q_v"), col("n_v")))
-      .withColumn("rank", row_number().over(wExact).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("q_id", "rank", "n_id", "sim")
-      .orderBy("q_id", "rank")
+    adcRerank(scored, emb, queries)
   }
 
   /** IVF-PQ top-k — the composed 100 TB shape: IVF cuts CANDIDATE
@@ -541,65 +595,33 @@ object SimilarityQueries extends QueryModule {
     * single-stage paths. */
   def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 2,
       m: Int = 8, subDim: Int = 8): DataFrame = {
-    import spark.implicits._
     val emb = embFrame(spark, dir)
     val centroids = centroidsFor(spark, dir, iters = 2)
     val books = codebooksFor(spark, dir, m, subDim, iters = 1)
-    val bookOf: Int => Seq[(Long, Seq[Double])] = s =>
-      books.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1)
-    // one pass assigns the IVF bucket (broadcast centroids + max_by
-    // agg, as in ivfTopK) ...
-    val assigned = emb.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("v"), col("c_v")))
-      .groupBy("vec_id")
-      .agg(max_by(col("c_id"),
-          struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
-        first(col("v")).as("n_v"))
-      .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
-    // ... and the PQ codes ride along as narrow argmin expressions —
-    // the stored index row is (n_id, bucket, k0..k7): 8 codes, no
-    // full vector needed until the final re-rank fetch
-    // persisted: this frame IS the stored index (n_id, bucket, 8
-    // codes — what VectorIndex would materialize to disk at scale);
-    // without it the assignment join + argmin encode re-executes for
-    // the ADC chain AND the re-rank fetch
-    val codes = assigned.select(
+    // one pass assigns the IVF bucket AND the PQ codes — the stored
+    // index row is (n_id, bucket, k0..k7): 9 small ints, no full
+    // vector needed until the final re-rank fetch. Persisted: this
+    // frame IS the stored index (what VectorIndex would materialize
+    // to disk at scale); without it the assignment join + argmin
+    // encode re-executes for the ADC chain AND the re-rank fetch.
+    // Bounded at ONE cached copy across invocations via the
+    // swap-release below (a bare persist per call would accumulate
+    // pinned copies for the session's lifetime — CacheManager holds
+    // strong references).
+    val codes = assignBuckets(emb, centroids).select(
       col("n_id") +: col("bucket") +:
-        (0 until m).map { s =>
-          Similarity.pqAssignFor(bookOf(s),
-            slice(col("n_v"), lit(s * subDim + 1), lit(subDim))).as(s"k$s")
-        }: _*).persist()
-    val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("c_id").as("bucket"))
-    val cent = books.toDF("s", "c_id", "c_v")
-    val lutAll = queries.join(broadcast(cent))
-      .withColumn("q_vs", slice(col("q_v"), col("s") * subDim + 1, lit(subDim)))
-      .select(col("q_id"), col("s"), col("c_id"), dot(col("q_vs"), col("c_v")).as("l"))
+        pqCodeCols(books, col("n_v"), m, subDim): _*).persist()
+    Option(lastCodes.getAndSet(codes)).foreach(_.unpersist())
+    val queries = queryVecs(emb)
+    val probes = probeBuckets(queries, centroids, nprobe)
+      .select("q_id", "bucket")
     // candidates = probed-bucket equi-join; ADC = fixed-order sum of
     // O(1) literal-LUT lookups (see [[Similarity.adcLookups]])
-    val look = Similarity.adcLookups(lutAll, m, maxQ = 20)
+    val look = Similarity.adcLookups(pqLutAll(queries, books, subDim), m, maxQ = 20)
     val scored = broadcast(probes).join(codes, "bucket")
       .withColumn("adc", (0 until m).map(look).reduceLeft(_ + _))
       .filter(col("n_id") =!= col("q_id"))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
-    val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored
-      .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= 20)
-      .select("q_id", "n_id")
-      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
-      .join(broadcast(queries), "q_id")
-      .withColumn("sim", cosine(col("q_v"), col("n_v")))
-      .withColumn("rank", row_number().over(wExact).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("q_id", "rank", "n_id", "sim")
-      .orderBy("q_id", "rank")
+    adcRerank(scored, emb, queries)
   }
 
   /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table

@@ -591,10 +591,15 @@ object TextQueries extends QueryModule {
           .select(explode(adjacentPairs(toks)).as("pair"))
           .withColumn("a", split(col("pair"), " ").getItem(0))
           .withColumn("b", split(col("pair"), " ").getItem(1))
-        val ab = p.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-        val la = p.groupBy("a").agg(count(lit(1)).as("c_a"))
-        val rb = p.groupBy("b").agg(count(lit(1)).as("c_b"))
-        val n = p.agg(count(lit(1)).as("n_pairs"))
+        // ONE corpus pass: the marginals and the total are exact
+        // integer rollups of the pair-count frame (c_a = Σ_b c_ab
+        // etc.), so everything past `ab` aggregates ≤|vocab|² rows —
+        // computing them straight off `p` would tokenize + explode
+        // the corpus four times
+        val ab = p.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).persist()
+        val la = ab.groupBy("a").agg(sum("c_ab").as("c_a"))
+        val rb = ab.groupBy("b").agg(sum("c_ab").as("c_b"))
+        val n = ab.agg(sum("c_ab").as("n_pairs"))
         ab.filter(col("c_ab") >= 5)
           .join(la, "a").join(rb, "b").crossJoin(broadcast(n))
           .withColumn("lift", (col("c_ab") * col("n_pairs")).cast("double") /

@@ -153,9 +153,12 @@ object EventsQueries extends QueryModule {
             .join(after, "user_id")
             .filter(col("ts") > col(tCol))
             .groupBy("user_id").agg(min(col("ts")).as(outCol))
+        // s1/s2 feed both their own count AND the next stage — persist
+        // so the 3-stage funnel scans events once per stage, not ~6
+        // times (each frame is per-user aggregates, funnel-shrinking)
         val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val s2 = stage("click", s1, "t1", "t2")
+          .groupBy("user_id").agg(min(col("ts")).as("t1")).persist()
+        val s2 = stage("click", s1, "t1", "t2").persist()
         val s3 = stage("purchase", s2.select("user_id", "t2"), "t2", "t3")
         // fixed-order single-row output: exact BIGINT counts
         s1.agg(count(lit(1)).as("n_signup"))

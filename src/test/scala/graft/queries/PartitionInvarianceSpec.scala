@@ -23,6 +23,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // drop memoized ANN training: without this, q_ann_pq's second run
+    // would reuse the first run's centroids/codebooks and the test
+    // would never exercise training at the second partition count —
+    // exactly the order-dependent-accumulation regression it exists
+    // to catch
+    graft.ext.SimilarityQueries.clearTrainingMemo()
     try SparkEntry.queries(name)(spark, sf)
       .collect().map(_.toString).toSeq
     finally spark.conf.set("spark.sql.shuffle.partitions", prior)
