@@ -122,6 +122,31 @@ object EventsStream {
       queryName: String): StreamingQuery =
     startMemoryQuery(spark, sourceDir, queryName, slidingRollup)
 
+  /** Stream-static dimension enrichment: events joined against a
+    * STATIC user-tier dimension, rolled up per (hour, tier). The
+    * batch/stream-shared definition — Spark plans the stream-static
+    * equi-join with the static side broadcast fresh each micro-batch
+    * (dimension updates between batches are picked up; the STREAM
+    * side never shuffles for the join and carries no join state,
+    * unlike a stream-stream join). This is the standard streaming
+    * dimension-lookup shape for a warehouse ingest at any scale: the
+    * dim must fit in a broadcast, the stream is unbounded. */
+  def enrichedRollup(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("tier"), col("n_events"))
+
+  /** Streaming twin of [[enrichedRollup]] (same watermark + dedup
+    * harness as the other rollups). */
+  def streamingEnrichedRollup(
+      spark: SparkSession,
+      sourceDir: String,
+      userDim: DataFrame,
+      queryName: String): StreamingQuery =
+    startMemoryQuery(spark, sourceDir, queryName, enrichedRollup(_, userDim))
+
   private def startMemoryQuery(
       spark: SparkSession,
       sourceDir: String,

@@ -54,6 +54,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum === 6)
   }
 
+  test("stream-static dimension join matches batch; static side broadcast, no join state") {
+    val dir = Files.createTempDirectory("events_dim").toString
+    mkEvents.write.mode("overwrite").parquet(dir)
+    val userDim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+
+    val q = EventsStream.streamingEnrichedRollup(spark, dir, userDim, "t_dim")
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("t_dim")
+      .orderBy("hour_start", "tier")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = EventsStream
+      .enrichedRollup(mkEvents.dropDuplicates("event_id"), userDim)
+      .orderBy("hour_start", "tier")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._3).sum === 3) // dedup collapsed the replay
+    // the join itself must be a broadcast hash join (static side
+    // broadcast per micro-batch) — a shuffle or stream-stream state
+    // store here would be the wrong plan class
+    val plan = EventsStream
+      .enrichedRollup(mkEvents.dropDuplicates("event_id"), userDim)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val dir = Files.createTempDirectory("events_ssjoin").toString
     val events = Seq(
