@@ -99,6 +99,49 @@ object EventsQueries extends QueryModule {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- Event-type transition matrix (first-order Markov fit):
+    // count (from_type -> to_type) over each user's time-ordered
+    // stream, plus the row-conditional probability. The lag is a
+    // USER-partitioned window — the stream orders within a user only
+    // (one shuffle on user_id, no global sort), and the probability
+    // is an exact-count ratio: one IEEE division, oracle-bit-exact.
+    // Tie-break (ts, event_id) because timestamps can collide.
+    "q_event_transitions" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = Tables(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          // persisted: totals AND the final join both read it — the
+          // lag window over the full event stream must run once
+          .persist()
+        val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+        trans.join(totals, "from_type")
+          .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+          .select("from_type", "to_type", "n", "p")
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        |WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |totals AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n,
+        |  CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+        |FROM trans t JOIN totals tt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- OHLC downsampling: per (hour, event_type) open/high/low/
     // close of `value` — the classic time-series bar compaction. Pure
     // SELECTION aggregates (min_by/max_by/min/max — no arithmetic on
