@@ -49,21 +49,68 @@ object RollupMaintenance {
       .partitionBy("hour", "event_type")
       .parquet(storeDir)
 
+  /** The rollup aggregation in store shape — shared by the streaming
+    * maintainer, the batch store builder, and the batch delta merge
+    * (one definition, so the three paths cannot drift). */
+  private def rollupShape(src: DataFrame): DataFrame = src
+    .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    .select(hourCol.as("hour"), col("event_type"),
+      col("n_events"), col("total_value"))
+
+  /** Batch-build the store from an event frame (initial load). */
+  def buildStore(events: DataFrame, storeDir: String): Unit =
+    upsertBatch(rollupShape(events), storeDir)
+
+  /** Batch twin of the streaming maintenance: fold a LATE/NEW events
+    * delta into the store without re-scanning the event log. Only the
+    * delta's (hour, type) groups are read back, merged, and
+    * overwritten (dynamic partition overwrite) — untouched
+    * partitions' files are never rewritten (spec-proven by file
+    * listing). Merge math is exact: counts add as BIGINTs, and
+    * totals re-enter DECIMAL(12,2) before adding — the store's
+    * double is an exact image of a 2-dp decimal at these magnitudes,
+    * so round-trip + decimal addition is bit-equal to a full
+    * recompute (spec-proven). The merged frame is localCheckpoint'ed
+    * before the write because it READS the same partitions it
+    * overwrites (Spark refuses a self-overwrite unless the lineage
+    * is truncated); it holds only the delta's affected groups —
+    * hours × types rows, aggregate-class, never event-class. */
+  def mergeDelta(spark: SparkSession, storeDir: String,
+      delta: DataFrame): Unit = {
+    val d = rollupShape(delta)
+    val hours = d.select("hour").distinct()
+      .collect().map(_.getString(0)) // bounded by the delta's time span
+    val base = spark.read.parquet(storeDir)
+      .filter(col("hour").isin(hours.toIndexedSeq: _*))
+      .select("hour", "event_type", "n_events", "total_value")
+    val merged = base.unionByName(d)
+      .groupBy("hour", "event_type")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("total_value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .localCheckpoint(true)
+    upsertBatch(merged, storeDir)
+    // deterministic release of the checkpoint blocks (Dataset.unpersist
+    // is a no-op for localCheckpoint data — same reach-through as
+    // PipelineOps.connectedComponents)
+    merged.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Start maintaining `storeDir` from the parquet event stream at
     * `sourceDir`. */
   def start(spark: SparkSession, sourceDir: String, storeDir: String,
       watermark: String = "2 hours"): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
-    val rollup = spark.readStream
+    val rollup = rollupShape(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(sourceDir)
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
-      .select(hourCol.as("hour"), col("event_type"),
-        col("n_events"), col("total_value"))
+      .withWatermark("ts", watermark))
     rollup.writeStream
       .outputMode("update") // emit only changed groups per batch
       .foreachBatch { (batch: DataFrame, _: Long) =>
