@@ -494,6 +494,85 @@ object DedupQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ---- Passage SCRUB — the removal write-path of the ExactSubstr
+    // rule (q_repeated_passages DETECTS; this emits cleaned docs):
+    // drop every token covered by an 8-token window that also occurs
+    // in another document. Positioned grams (doc, win_start, gram)
+    // shuffle once keyed on the gram (xxhash64(g) at 100 TB — the
+    // string is kept for the oracle); sharing is the same min≠max
+    // aggregation (never a pair join); flagged window starts come
+    // back per doc as a BOUNDED int set, and the token mask is one
+    // narrow indexed array-filter — the document text itself never
+    // shuffles. Output is (counts, md5 of the cleaned text) so the
+    // frame stays hash-checkable without shipping documents.
+    "q_passage_scrub" -> QueryDef(
+      fn = (spark, dir) => {
+        val n = 8
+        val docs = Tables(spark, dir, "documents")
+        val planted = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            concat(lit("mirror"), col("doc_id").cast("string"), lit(" "),
+              col("text")).as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val tok = corpus.select(col("doc_id"),
+          filter(TextFunctions.wsTokens(col("text")), t => t =!= "").as("toks"))
+        val grams = tok.select(col("doc_id"), col("toks"),
+            explode(when(size(col("toks")) >= n,
+                sequence(lit(0), size(col("toks")) - n))
+              .otherwise(array().cast("array<int>"))).as("p"))
+          .select(col("doc_id"), col("p"),
+            concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+        val shared = grams.groupBy("g")
+          .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select("g")
+        val starts = grams.join(shared, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(collect_set(col("p")).as("ss"))
+        tok.join(starts, Seq("doc_id"), "left")
+          .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+          .withColumn("kept", filter(col("toks"),
+            (x, i) => !exists(col("ss"), w => i >= w && i <= w + (n - 1))))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(concat_ws(" ", col("kept")).cast("binary")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id,
+        |         'mirror' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, p, array_to_string(toks[p+1:p+8], ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(CASE WHEN len(toks) >= 8
+        |                 THEN generate_series(0, len(toks) - 8)
+        |                 ELSE [] END) AS p
+        |        FROM tok)),
+        |shared AS (SELECT g FROM g GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |starts AS (
+        |  SELECT doc_id, list(DISTINCT p) AS ss FROM g
+        |  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id),
+        |clean AS (
+        |  SELECT t.doc_id, t.toks,
+        |    list_filter(t.toks, (x, i) ->
+        |      len(list_filter(COALESCE(s.ss, []),
+        |          w -> (i-1) >= w AND (i-1) <= w + 7)) = 0) AS kept
+        |  FROM tok t LEFT JOIN starts s USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+        |FROM clean ORDER BY doc_id""".stripMargin)),
+
     // ---- Snapshot reconciliation (anti-entropy table diff): ONE
     // co-partitioned full-outer equi-join on the key, comparing
     // narrow per-row content hashes — the standard added / removed /
