@@ -99,6 +99,87 @@ object EventsQueries extends QueryModule {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- Cross-series correlation: Pearson r between the hourly
+    // count series of every event-type pair, from EXACT integer
+    // moments (the q_weather_trend discipline — counts are BIGINTs,
+    // so Σx/Σx²/Σxy accumulate exactly in any order; the only double
+    // ops are two casts, one multiply, one sqrt, one division — all
+    // correctly-rounded IEEE, so the oracle matches bit-for-bit). The
+    // hour grid zero-fills via two NARROW explodes (hour sequence ×
+    // literal type list — no cross join of data-sized inputs); the
+    // pair join is keyed on the hour with a bounded 5-row fanout per
+    // side. Zero-variance pairs are filtered identically on both
+    // engines BEFORE the division (Spark 0/0 → NULL vs DuckDB NaN
+    // would otherwise diverge).
+    "q_type_correlation" -> QueryDef(
+      fn = (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = Tables(spark, dir, "events")
+        val counts = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+          .select(col("h"), explode(array(types.map(lit): _*)).as("event_type"))
+        val series = spine.join(counts, Seq("h", "event_type"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        val pairs = series
+          .select(col("h"), col("event_type").as("ta"), col("n").as("x"))
+          .join(series.select(col("h"), col("event_type").as("tb"),
+            col("n").as("y")), "h")
+          .filter(col("ta") < col("tb"))
+        val mom = pairs.groupBy("ta", "tb").agg(
+          count(lit(1)).as("nh"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val vx = col("nh") * col("sxx") - col("sx") * col("sx")
+        val vy = col("nh") * col("syy") - col("sy") * col("sy")
+        mom.filter(vx > 0 && vy > 0)
+          .withColumn("r",
+            (col("nh") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")))
+          .select(col("ta").as("type_a"), col("tb").as("type_b"),
+            col("nh").as("n_hours"), col("r"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some("""
+        |WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |         date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT s.h, t.event_type FROM spine s CROSS JOIN
+        |    (SELECT unnest(['click','error','purchase','signup','view'])
+        |       AS event_type) t),
+        |series AS (
+        |  SELECT g.h, g.event_type, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c USING (h, event_type)),
+        |pairs AS (
+        |  SELECT a.h, a.event_type AS ta, b.event_type AS tb, a.n AS x, b.n AS y
+        |  FROM series a JOIN series b USING (h)
+        |  WHERE a.event_type < b.event_type),
+        |mom AS (
+        |  SELECT ta, tb, COUNT(*) AS nh,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY ta, tb)
+        |SELECT ta AS type_a, tb AS type_b, nh AS n_hours,
+        |  CAST(nh*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(nh*sxx - sx*sx AS DOUBLE) * CAST(nh*syy - sy*sy AS DOUBLE)) AS r
+        |FROM mom
+        |WHERE (nh*sxx - sx*sx) > 0 AND (nh*syy - sy*sy) > 0
+        |ORDER BY type_a, type_b""".stripMargin)),
+
     // ---- Event-type transition matrix (first-order Markov fit):
     // count (from_type -> to_type) over each user's time-ordered
     // stream, plus the row-conditional probability. The lag is a
