@@ -572,6 +572,44 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, rnk, term, tf, df, score
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // ---- Length-decile profile: exact decile boundaries of the
+    // document-length distribution, broadcast back for a NARROW bin
+    // assignment (bin = #boundaries ≤ length, one array-filter per
+    // row), then per-bin counts and exact-ratio mean length. The
+    // exact `percentile` is safe here because the VALUE DOMAIN is
+    // bounded (doc lengths — its internal counts-map is
+    // domain-sized, not corpus-sized); an unbounded-domain column
+    // would swap in approx_percentile and drop to a rows-only check.
+    // Spark `percentile` ↔ DuckDB `quantile_cont` parity is already
+    // proven by q_percentiles.
+    "q_length_deciles" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val bounds = docs.agg(percentile(col("n_chars"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+        docs.crossJoin(broadcast(bounds))
+          .withColumn("bin", size(filter(col("bs"),
+            b => b <= col("n_chars").cast("double"))).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .withColumn("avg_chars",
+            col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .select("bin", "n_docs", "avg_chars")
+          .orderBy("bin")
+      },
+      oracle = Some("""
+        |WITH b AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM documents),
+        |binned AS (
+        |  SELECT d.n_chars,
+        |    len(list_filter(b.bs, x -> x <= d.n_chars)) AS bin
+        |  FROM documents d CROSS JOIN b)
+        |SELECT bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // ---- Adjacent-token association (lift): which bigrams co-occur
     // MORE than their marginals predict — the market-basket lift
     // statistic over the same shifted-slice pair stream as
