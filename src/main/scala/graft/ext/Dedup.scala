@@ -124,6 +124,11 @@ object DedupFunctions {
   private[ext] val lastSigs =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_passage_scrub's positioned-gram frame cache — bounded at one
+    * copy across invocations (the lastSigs pattern). */
+  private[ext] val lastGrams =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** DuckDB CTE mirroring [[withPlantedNearDups]]. */
   val plantedCte: String =
     """WITH docs AS (
@@ -517,12 +522,19 @@ object DedupQueries extends QueryModule {
           .unionByName(planted)
         val tok = corpus.select(col("doc_id"),
           filter(TextFunctions.wsTokens(col("text")), t => t =!= "").as("toks"))
+        // persisted: the positioned-gram explosion is the expensive
+        // frame and feeds BOTH the sharing aggregation and the
+        // flagged-starts semi-join — unpersisted it would compute
+        // twice (and tokenization three times). Previous invocation's
+        // copy released (lastSigs pattern, bounded at one)
         val grams = tok.select(col("doc_id"), col("toks"),
             explode(when(size(col("toks")) >= n,
                 sequence(lit(0), size(col("toks")) - n))
               .otherwise(array().cast("array<int>"))).as("p"))
           .select(col("doc_id"), col("p"),
             concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
+          .persist()
+        Option(DedupFunctions.lastGrams.getAndSet(grams)).foreach(_.unpersist())
         val shared = grams.groupBy("g")
           .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
           .filter(col("__mn") =!= col("__mx"))

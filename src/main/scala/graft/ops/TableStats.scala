@@ -25,20 +25,24 @@ object TableStats {
     * count rides along. Output: one row per column. */
   def collect(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
+    // backtick-quote every dynamic name: a legal column like `user.id`
+    // would otherwise parse as struct-field access and fail resolution
+    // (an ANALYZE utility must take schemas as they come)
+    def q(c: String) = col(s"`$c`")
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
         cols.flatMap { c =>
-          Seq(count(col(c)).as(s"nn_$c"),
-            approx_count_distinct(col(c)).as(s"ndv_$c"),
-            min(col(c)).cast("string").as(s"min_$c"),
-            max(col(c)).cast("string").as(s"max_$c"))
+          Seq(count(q(c)).as(s"nn_$c"),
+            approx_count_distinct(q(c)).as(s"ndv_$c"),
+            min(q(c)).cast("string").as(s"min_$c"),
+            max(q(c)).cast("string").as(s"max_$c"))
         }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // melt the single wide row to (column, n_rows, n_nonnull, ndv, min, max)
     val stacked = cols.map { c =>
       struct(lit(c).as("column"), col("n_rows"),
-        col(s"nn_$c").as("n_nonnull"), col(s"ndv_$c").as("ndv"),
-        col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+        q(s"nn_$c").as("n_nonnull"), q(s"ndv_$c").as("ndv"),
+        q(s"min_$c").as("min_s"), q(s"max_$c").as("max_s"))
     }
     one.select(explode(array(stacked: _*)).as("s")).select("s.*")
   }

@@ -11,6 +11,14 @@ import graft.streaming.EventsStream
   */
 object EventsQueries extends QueryModule {
 
+  /** Per-query internal-frame caches, each bounded at ONE copy across
+    * invocations (the Dedup.lastSigs release pattern): repeated
+    * Bench/Verify runs must not accumulate cache entries. */
+  private val lastSeries =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val lastTrans =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Tumbling 1-hour window aggregation (event time).
@@ -110,7 +118,11 @@ object EventsQueries extends QueryModule {
     // pair join is keyed on the hour with a bounded 5-row fanout per
     // side. Zero-variance pairs are filtered identically on both
     // engines BEFORE the division (Spark 0/0 → NULL vs DuckDB NaN
-    // would otherwise diverge).
+    // would otherwise diverge). RANGE CAVEAT: BIGINT moments are
+    // exact while hourly counts stay under ~3e9 (x² and n·Σx² must
+    // fit 64 bits; ANSI mode fails LOUDLY on overflow, it cannot
+    // silently wrap) — beyond that, lift the moment sums to
+    // DECIMAL(38,0), which stays exact and oracle-replayable.
     "q_type_correlation" -> QueryDef(
       fn = (spark, dir) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
@@ -123,8 +135,14 @@ object EventsQueries extends QueryModule {
           .select(explode(sequence(col("h0"), col("h1"),
             expr("interval 1 hour"))).as("h"))
           .select(col("h"), explode(array(types.map(lit): _*)).as("event_type"))
+        // persisted: the self-join below reads series on BOTH sides —
+        // unpersisted, the events scan + counts agg + spine scan all
+        // run twice (~4 events scans for one query). Previous
+        // invocation's copy released (bounded at one)
         val series = spine.join(counts, Seq("h", "event_type"), "left")
           .withColumn("n", coalesce(col("n"), lit(0L)))
+          .persist()
+        Option(lastSeries.getAndSet(series)).foreach(_.unpersist())
         val pairs = series
           .select(col("h"), col("event_type").as("ta"), col("n").as("x"))
           .join(series.select(col("h"), col("event_type").as("tb"),
@@ -198,8 +216,10 @@ object EventsQueries extends QueryModule {
           .groupBy(col("event_type").as("from_type"), col("to_type"))
           .agg(count(lit(1)).as("n"))
           // persisted: totals AND the final join both read it — the
-          // lag window over the full event stream must run once
+          // lag window over the full event stream must run once.
+          // Previous invocation's copy released (bounded at one)
           .persist()
+        Option(lastTrans.getAndSet(trans)).foreach(_.unpersist())
         val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
         trans.join(totals, "from_type")
           .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))

@@ -59,46 +59,77 @@ object RollupMaintenance {
     .select(hourCol.as("hour"), col("event_type"),
       col("n_events"), col("total_value"))
 
-  /** Batch-build the store from an event frame (initial load). */
+  /** Batch-build the store from an event frame (initial load). The
+    * batch-maintained store carries a `last_batch` stamp column —
+    * the per-partition idempotency guard [[mergeDelta]] reads. */
   def buildStore(events: DataFrame, storeDir: String): Unit =
-    upsertBatch(rollupShape(events), storeDir)
+    upsertBatch(rollupShape(events)
+      .withColumn("last_batch", lit("__init")), storeDir)
 
   /** Batch twin of the streaming maintenance: fold a LATE/NEW events
     * delta into the store without re-scanning the event log. Only the
-    * delta's (hour, type) groups are read back, merged, and
-    * overwritten (dynamic partition overwrite) — untouched
-    * partitions' files are never rewritten (spec-proven by file
-    * listing). Merge math is exact: counts add as BIGINTs, and
-    * totals re-enter DECIMAL(12,2) before adding — the store's
-    * double is an exact image of a 2-dp decimal at these magnitudes,
-    * so round-trip + decimal addition is bit-equal to a full
-    * recompute (spec-proven). The merged frame is localCheckpoint'ed
-    * before the write because it READS the same partitions it
-    * overwrites (Spark refuses a self-overwrite unless the lineage
-    * is truncated); it holds only the delta's affected groups —
-    * hours × types rows, aggregate-class, never event-class. */
+    * delta's exact (hour, type) groups are read back, merged, and
+    * overwritten (dynamic partition overwrite) — a partition the
+    * delta never mentions is neither read nor rewritten (spec-proven
+    * by file listing, including a touched-hour/other-type partition).
+    *
+    * IDEMPOTENT PER PARTITION under retry via the `batchId` stamp:
+    * each written row records the batch that produced it, and the
+    * merge KEEPS a base row whose stamp already equals this batchId
+    * instead of re-adding the delta. A retry after success is a
+    * no-op rewrite of identical rows; a retry after a MID-WRITE
+    * crash re-merges exactly the partitions that missed the first
+    * attempt and passes through the ones that got it — the
+    * read-modify-write trap (double-counting whatever the first
+    * attempt managed to write) cannot happen. Same principle as
+    * [[CurationIngest]]'s batch-keyed ledger.
+    *
+    * Merge math is exact: counts add as BIGINTs, totals re-enter
+    * DECIMAL(12,2) before adding (the store's double is an exact
+    * image of a 2-dp decimal at these magnitudes), so the result is
+    * bit-equal to a full recompute (spec-proven). The merged frame is
+    * localCheckpoint'ed before the write because it READS the same
+    * partitions it overwrites; it holds only the delta's affected
+    * groups — hours × types rows, aggregate-class, never
+    * event-class. */
   def mergeDelta(spark: SparkSession, storeDir: String,
-      delta: DataFrame): Unit = {
-    val d = rollupShape(delta)
-    val hours = d.select("hour").distinct()
-      .collect().map(_.getString(0)) // bounded by the delta's time span
-    val base = spark.read.parquet(storeDir)
-      .filter(col("hour").isin(hours.toIndexedSeq: _*))
-      .select("hour", "event_type", "n_events", "total_value")
-    val merged = base.unionByName(d)
-      .groupBy("hour", "event_type")
-      .agg(sum(col("n_events")).as("n_events"),
-        sum(col("total_value").cast("decimal(12,2)")).cast("double")
-          .as("total_value"))
-      .localCheckpoint(true)
-    upsertBatch(merged, storeDir)
-    // deterministic release of the checkpoint blocks (Dataset.unpersist
-    // is a no-op for localCheckpoint data — same reach-through as
-    // PipelineOps.connectedComponents)
-    merged.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+      delta: DataFrame, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__init", s"bad batchId $batchId")
+    // ONE materialization of the delta aggregation: both the
+    // affected-group list and the merge read the persisted frame
+    val d = rollupShape(delta).persist()
+    try {
+      val affected = d.select("hour", "event_type").distinct()
+      val base = spark.read.parquet(storeDir)
+        .join(affected, Seq("hour", "event_type"), "left_semi")
+        .select(col("hour"), col("event_type"),
+          col("n_events").as("b_n"), col("total_value").as("b_t"),
+          col("last_batch"))
+      // full outer: the delta can open brand-new (hour, type) groups
+      val dec = lit(0).cast("decimal(12,2)")
+      val merged = base.join(
+          d.select(col("hour"), col("event_type"),
+            col("n_events").as("d_n"), col("total_value").as("d_t")),
+          Seq("hour", "event_type"), "full_outer")
+        .select(col("hour"), col("event_type"),
+          when(col("last_batch") === batchId, col("b_n"))
+            .otherwise(coalesce(col("b_n"), lit(0L)) +
+              coalesce(col("d_n"), lit(0L))).as("n_events"),
+          when(col("last_batch") === batchId, col("b_t"))
+            .otherwise((coalesce(col("b_t").cast("decimal(12,2)"), dec) +
+              coalesce(col("d_t").cast("decimal(12,2)"), dec))
+              .cast("double")).as("total_value"),
+          lit(batchId).as("last_batch"))
+        .localCheckpoint(true)
+      upsertBatch(merged, storeDir)
+      // deterministic release of the checkpoint blocks
+      // (Dataset.unpersist is a no-op for localCheckpoint data — same
+      // reach-through as PipelineOps.connectedComponents)
+      merged.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    } finally d.unpersist()
   }
 
   /** Start maintaining `storeDir` from the parquet event stream at

@@ -28,6 +28,14 @@ class TableStatsSpec extends SparkSpec {
     } finally stats.unpersist()
   }
 
+  test("collect handles column names containing dots") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("user.id", "v")
+    val stats = TableStats.collect(df)
+    assert(stats.count() === 2)
+    assert(TableStats.rowCount(stats) === 2L)
+    assert(stats.filter(col("column") === "user.id").count() === 1L)
+  }
+
   test("statsJoin: measured counts pick the broadcast side; big-big degrades to shuffle") {
     val dir = Files.createTempDirectory("tstats").toString
     val nation = Tables(spark, sf, "nation")

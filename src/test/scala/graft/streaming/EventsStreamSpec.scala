@@ -71,13 +71,17 @@ class EventsStreamSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(streamed === batch)
     assert(streamed.map(_._3).sum === 3) // dedup collapsed the replay
-    // the join itself must be a broadcast hash join (static side
-    // broadcast per micro-batch) — a shuffle or stream-stream state
-    // store here would be the wrong plan class
-    val plan = EventsStream
-      .enrichedRollup(mkEvents.dropDuplicates("event_id"), userDim)
-      .queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the join must be a broadcast hash join IN THE MICRO-BATCH PLAN
+    // (static side broadcast per micro-batch, no stream-stream state
+    // store) — asserting on a batch twin's plan would not catch a
+    // streaming-specific planner regression, so read the streaming
+    // query's own last incremental execution
+    val lastPlan = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.lastExecution.executedPlan.toString()
+    }
+    assert(lastPlan.contains("BroadcastHashJoin"), lastPlan)
+    assert(!lastPlan.contains("StreamingSymmetricHashJoin"), lastPlan)
   }
 
   test("stream-stream interval join matches the batch twin") {

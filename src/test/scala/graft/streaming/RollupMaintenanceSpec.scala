@@ -66,15 +66,17 @@ class RollupMaintenanceSpec extends SparkSpec {
     assert(got.sorted === Seq(1L, 2L)) // counts unchanged, rows not doubled
   }
 
-  test("batch mergeDelta: bit-equal to full recompute, untouched partitions' files not rewritten") {
+  test("batch mergeDelta: bit-equal to full recompute, untouched partitions' files not rewritten, retry idempotent") {
     val base = Files.createTempDirectory("rollup_merge").toString
     val store = s"$base/store"
     val part1 = Seq(
       ev(1, "click", 5.25, "2024-01-01 10:05:00"),
       ev(2, "click", 3.10, "2024-01-01 10:40:00"),
+      ev(6, "view", 9.99, "2024-01-01 10:20:00"), // touched HOUR, other TYPE
       ev(3, "view", 1.05, "2024-01-01 11:10:00"))
       .toDF("event_id", "user_id", "event_type", "value", "ts")
-    // delta: a LATE click into hour 10 + a brand-new hour 12
+    // delta: a LATE click into hour 10 + a brand-new hour 12 — the
+    // delta mentions (10, click) and (12, view) and NOTHING else
     val part2 = Seq(
       ev(4, "click", 2.20, "2024-01-01 10:50:00"),
       ev(5, "view", 7.77, "2024-01-01 12:01:00"))
@@ -84,19 +86,27 @@ class RollupMaintenanceSpec extends SparkSpec {
     def files(p: String) =
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getName, f.lastModified())).toSet
-    val untouched = files(s"$store/hour=2024-01-01-11/event_type=view")
+    // untouched in BOTH senses: a different hour, and the delta's own
+    // hour but a type the delta does not carry — neither may be read
+    // back and rewritten
+    val otherHour = files(s"$store/hour=2024-01-01-11/event_type=view")
+    val otherType = files(s"$store/hour=2024-01-01-10/event_type=view")
 
-    RollupMaintenance.mergeDelta(spark, store, part2)
+    RollupMaintenance.mergeDelta(spark, store, part2, batchId = "b1")
 
     // bit-parity with a full recompute over all events (decimal totals
     // round-trip the store's double exactly, so merged doubles match)
-    val got = RollupMaintenance.read(spark, store)
+    def state() = RollupMaintenance.read(spark, store)
       .as[(String, String, Long, Double)].collect().toSet
     val want = EventsStream.hourlyRollup(part1.unionByName(part2))
       .as[(String, String, Long, Double)].collect().toSet
-    assert(got === want)
-    // the (11, view) partition the delta never mentioned: same files,
-    // same mtimes — dynamic overwrite left it alone
-    assert(files(s"$store/hour=2024-01-01-11/event_type=view") === untouched)
+    assert(state() === want)
+    assert(files(s"$store/hour=2024-01-01-11/event_type=view") === otherHour)
+    assert(files(s"$store/hour=2024-01-01-10/event_type=view") === otherType)
+
+    // retried batch (same batchId): the per-partition stamp keeps the
+    // already-merged rows — no double counting, store unchanged
+    RollupMaintenance.mergeDelta(spark, store, part2, batchId = "b1")
+    assert(state() === want)
   }
 }
