@@ -782,6 +782,53 @@ object SimilarityQueries extends QueryModule {
     // recall-based ANN check). nprobe is THE recall/cost dial
     // (AnnRecallSpec measures 0.78 @ nprobe=2, >=0.9 @ nprobe=4 on
     // this corpus); the oracle pins nprobe=2.
+    // ---- Clustering-quality metric: purity of the Lloyd-trained IVF
+    // buckets against the label ground truth — Σ_bucket max_label
+    // count / N. Pure COUNTING (exact BIGINTs, one final IEEE ratio),
+    // so unlike the recall specs this quality measure IS
+    // oracle-hash-checkable: DuckDB replays training, assignment, and
+    // the purity rollup bit-for-bit. One corpus pass (broadcast
+    // centroids + max_by agg) + two bounded aggregations over
+    // nlist×labels cells.
+    "q_cluster_purity" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val centroids = centroidsFor(spark, dir, iters = 2)
+        val assigned = emb.join(broadcast(centroids))
+          .withColumn("c_sim", cosine(col("v"), col("c_v")))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"),
+              struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
+            first(col("label")).as("label")) // label constant per vec_id
+        val cells = assigned.groupBy("bucket", "label")
+          .agg(count(lit(1)).as("n"))
+        cells.groupBy("bucket")
+          .agg(max(col("n")).as("n_top"), sum(col("n")).as("n_bucket"))
+          .agg(sum(col("n_bucket")).as("n_vectors"),
+            sum(col("n_top")).as("n_majority"))
+          .withColumn("purity",
+            col("n_majority").cast("double") / col("n_vectors").cast("double"))
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT vec_id, label, c_id AS bucket FROM (
+        |    SELECT e.vec_id, e.label, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |cells AS (
+        |  SELECT bucket, label, COUNT(*) AS n FROM assigned
+        |  GROUP BY bucket, label),
+        |per_bucket AS (
+        |  SELECT bucket, MAX(n) AS n_top, SUM(n) AS n_bucket
+        |  FROM cells GROUP BY bucket)
+        |SELECT CAST(SUM(n_bucket) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(n_top) AS BIGINT) AS n_majority,
+        |  CAST(SUM(n_top) AS DOUBLE) / CAST(SUM(n_bucket) AS DOUBLE) AS purity
+        |FROM per_bucket""".stripMargin)),
+
     "q_ann_ivf" -> QueryDef(
       fn = (spark, dir) => ivfTopK(spark, dir, nprobe = 2),
       oracle = Some(embCte + s""",
