@@ -402,22 +402,39 @@ object SimilarityQueries extends QueryModule {
     * and the DuckDB oracle independently replays the identical
     * training chain — correctness is untouched, only repeat-call
     * latency changes. */
-  private val centMemo = scala.collection.concurrent.TrieMap
+  private[graft] val centMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int), Seq[(Long, Seq[Double])]]
-  private val bookMemo = scala.collection.concurrent.TrieMap
+  private[graft] val bookMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int), Seq[(Int, Long, Seq[Double])]]
+
+  /** Hard cap on memoized training entries. Each entry is a bounded
+    * sketch (nlist×d or m×16×subDim doubles, a few KB), but a
+    * long-lived session iterating over MANY dataset dirs must not
+    * grow the memo without bound — on overflow the whole memo is
+    * dropped (training is deterministic and cheap to redo, so
+    * clear-on-overflow is simpler and just as correct as LRU). */
+  private[graft] val MemoMaxEntries = 32
+
+  private[graft] def boundedMemo[K, V](
+      memo: scala.collection.concurrent.TrieMap[K, V], k: K)(train: => V): V =
+    memo.get(k) match {
+      case Some(v) => v
+      case None =>
+        if (memo.size >= MemoMaxEntries) memo.clear()
+        memo.getOrElseUpdate(k, train)
+    }
 
   private def centroidsFor(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
     import spark.implicits._
-    centMemo.getOrElseUpdate((dir, iters),
+    boundedMemo(centMemo, (dir, iters))(
       Similarity.trainedCentroidSeq(embFrame(spark, dir), iters))
       .toDF("c_id", "c_v")
   }
 
   private def codebooksFor(spark: SparkSession, dir: String, m: Int,
       subDim: Int, iters: Int): Seq[(Int, Long, Seq[Double])] =
-    bookMemo.getOrElseUpdate((dir, m, subDim, iters),
+    boundedMemo(bookMemo, (dir, m, subDim, iters))(
       Similarity.pqCodebooks(embFrame(spark, dir), m, subDim, iters))
 
   /** The previous invocation's persisted PQ-code index — released when

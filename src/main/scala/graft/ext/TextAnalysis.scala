@@ -176,6 +176,11 @@ object TextQueries extends QueryModule {
   private def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val stopList = listSql(enStop)
 
+  /** q_token_lift's pair-count frame cache — bounded at one copy
+    * across invocations (the Dedup.lastSigs swap-release pattern). */
+  private val lastPairs =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Decontamination: corpus docs sharing any 8-token shingle
@@ -635,6 +640,7 @@ object TextQueries extends QueryModule {
         // computing them straight off `p` would tokenize + explode
         // the corpus four times
         val ab = p.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).persist()
+        Option(lastPairs.getAndSet(ab)).foreach(_.unpersist())
         val la = ab.groupBy("a").agg(sum("c_ab").as("c_a"))
         val rb = ab.groupBy("b").agg(sum("c_ab").as("c_b"))
         val n = ab.agg(sum("c_ab").as("n_pairs"))

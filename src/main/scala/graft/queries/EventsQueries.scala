@@ -18,6 +18,10 @@ object EventsQueries extends QueryModule {
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
   private val lastTrans =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val lastFunnelS1 =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val lastFunnelS2 =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
@@ -302,7 +306,9 @@ object EventsQueries extends QueryModule {
         // times (each frame is per-user aggregates, funnel-shrinking)
         val s1 = ev.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("t1")).persist()
+        Option(lastFunnelS1.getAndSet(s1)).foreach(_.unpersist())
         val s2 = stage("click", s1, "t1", "t2").persist()
+        Option(lastFunnelS2.getAndSet(s2)).foreach(_.unpersist())
         val s3 = stage("purchase", s2.select("user_id", "t2"), "t2", "t3")
         // fixed-order single-row output: exact BIGINT counts
         s1.agg(count(lit(1)).as("n_signup"))

@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSpec {
       s"missed: ${unblocked -- blocked}; extra: ${blocked -- unblocked}")
   }
 
+  test("training memo is bounded: overflow clears instead of growing") {
+    // synthetic keys through the same code path the queries use —
+    // after MemoMaxEntries+1 distinct keys the memo must have shrunk,
+    // never exceeded the cap, and still return the value it trained
+    SimilarityQueries.clearTrainingMemo()
+    val n = SimilarityQueries.MemoMaxEntries + 1
+    val vals = (0 until n).map { i =>
+      SimilarityQueries.boundedMemo(
+        SimilarityQueries.centMemo, (s"dir_$i", i))(Seq((i.toLong, Seq(i.toDouble))))
+    }
+    assert(vals.zipWithIndex.forall { case (v, i) => v.head._1 == i.toLong })
+    assert(SimilarityQueries.centMemo.size <= SimilarityQueries.MemoMaxEntries)
+    assert(SimilarityQueries.centMemo.size < n) // the clear actually fired
+    SimilarityQueries.clearTrainingMemo()
+  }
+
   test("near-dup candidates are an equi-join on (label, bucket), never label alone") {
     val (_, cand) = SimilarityQueries.neardupCandidates(spark, sf)
     val joinConds = cand.queryExecution.optimizedPlan.collect {
