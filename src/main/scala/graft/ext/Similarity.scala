@@ -446,7 +446,9 @@ object SimilarityQueries extends QueryModule {
     * to RE-RUN under a changed runtime config (partition counts etc.).
     * Without this, invariance tests would silently compare one
     * training run against itself. */
-  def clearTrainingMemo(): Unit = { centMemo.clear(); bookMemo.clear() }
+  def clearTrainingMemo(): Unit = {
+    centMemo.clear(); bookMemo.clear(); pqIndexMemo.clear()
+  }
 
   /** The fixed demo query set: corpus vectors with id < 20, as
     * (q_id, q_v). */
@@ -639,6 +641,76 @@ object SimilarityQueries extends QueryModule {
       .withColumn("adc", (0 until m).map(look).reduceLeft(_ + _))
       .filter(col("n_id") =!= col("q_id"))
     adcRerank(scored, emb, queries)
+  }
+
+  /** Build-once memo for the MATERIALIZED IVF-PQ index ("build once on
+    * disk, probe many"): first use per (dataset dir, m, subDim) trains
+    * (via the bounded training memos), encodes, and writes the
+    * [[graft.ops.VectorIndex.buildPq]] layout; repeat uses return the
+    * index path. Bounded like the training memos — on overflow the map
+    * clears and a later use rebuilds (the orphaned temp dirs are
+    * harness-lifetime only; a production deployment pins ONE index dir
+    * per corpus). */
+  private[graft] val pqIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), String]
+
+  private def pqIndexFor(spark: SparkSession, dir: String, m: Int,
+      subDim: Int): String =
+    boundedMemo(pqIndexMemo, (dir, m, subDim)) {
+      import spark.implicits._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      val emb = embFrame(spark, dir)
+      val centroids = centroidsFor(spark, dir, iters = 2)
+      val books = codebooksFor(spark, dir, m, subDim, iters = 1)
+      val assigned = assignBuckets(emb, centroids)
+      graft.ops.VectorIndex.buildPq(
+        codes = assigned.select(col("n_id") +: col("bucket") +:
+          pqCodeCols(books, col("n_v"), m, subDim): _*),
+        vectors = assigned.select(col("n_id").as("vec_id"),
+          col("n_v").as("v"), col("bucket")),
+        centroids = centroids,
+        codebooks = books.toDF("s", "c_id", "c_v"),
+        dir = idx)
+      idx
+    }
+
+  /** IVF-PQ top-k served from the MATERIALIZED on-disk index — the
+    * production shape of [[ivfPqTopK]] (which demonstrates the same
+    * semantics fully in-memory): every per-vector input is read from
+    * the [[graft.ops.VectorIndex.buildPq]] layout with the probed
+    * buckets as a literal IN-list, so BOTH the ADC code scan and the
+    * exact-rerank vector fetch are statically partition-pruned to
+    * nprobe/nlist of the corpus (candidates can only come from probed
+    * buckets, so the pruned `vectors/` read is lossless). The corpus
+    * table itself is touched only for the 20 query vectors. Training
+    * sketches (centroids, codebooks) come back from the index dir —
+    * doubles round-trip parquet bit-exactly, and the ADC sum / ranking
+    * expressions are the shared ones, so the result is bit-identical
+    * to [[ivfPqTopK]] and replays against the SAME DuckDB oracle. */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String, nprobe: Int = 2,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    val idx = pqIndexFor(spark, dir, m, subDim)
+    val queries = queryVecs(embFrame(spark, dir))
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    // bounded sketch reads: m×16 codebook rows, ≤ queries×nprobe ids
+    val books = spark.read.parquet(s"$idx/codebooks")
+      .select("s", "c_id", "c_v").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val probes = probeBuckets(queries, centroids, nprobe)
+      .select("q_id", "bucket")
+    val buckets = probes.select("bucket").distinct().as[Long].collect()
+    val codes = spark.read.parquet(s"$idx/codes")
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    val look = Similarity.adcLookups(pqLutAll(queries, books, subDim), m, maxQ = 20)
+    val scored = broadcast(probes).join(codes, "bucket")
+      .withColumn("adc", (0 until m).map(look).reduceLeft(_ + _))
+      .filter(col("n_id") =!= col("q_id"))
+    val vecs = spark.read.parquet(s"$idx/vectors")
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+      .select("vec_id", "v")
+    adcRerank(scored, vecs, queries)
   }
 
   /** Candidate (q_id, n_id) pairs from the OR-amplified multi-table
@@ -983,7 +1055,61 @@ object SimilarityQueries extends QueryModule {
     // stage by stage — hash-exact.
     "q_ann_ivfpq" -> QueryDef(
       fn = (spark, dir) => ivfPqTopK(spark, dir),
-      oracle = Some {
+      oracle = Some(ivfPqOracleSql)),
+
+    // ---- IVF-PQ served from the MATERIALIZED index — the same
+    // composed operator as q_ann_ivfpq but reading the on-disk
+    // VectorIndex.buildPq layout ("build once, probe many"): the ADC
+    // code scan AND the exact-rerank vector fetch are statically
+    // partition-pruned to the probed buckets (IndexedAnnSpec asserts
+    // the PartitionFilters in both scans). Bit-identical output, same
+    // oracle. This is the benched entry: at 100 TB nobody retrains or
+    // re-encodes per query — the probe cost IS the serving cost.
+    "q_ann_ivfpq_indexed" -> QueryDef(
+      fn = (spark, dir) => ivfPqTopKIndexed(spark, dir),
+      oracle = Some(ivfPqOracleSql),
+      bench = true),
+
+    // ---- LSH-bucketed ANN (random-hyperplane family), OR-amplified:
+    // L=4 independent 8-plane tables give per-table 256-bucket sign
+    // signatures; neighbors are searched only inside the query's
+    // (table, bucket) — an equi-join, never a scan per query — and the
+    // candidate union over tables recovers the recall a single table
+    // can't reach. The hyperplanes are DERIVED FROM THE CORPUS
+    // (differences of fixed vector pairs) so both engines construct
+    // them exactly — a seeded RNG would not be reproducible in SQL.
+    // Same staged shape as MinHash-LSH: narrow signature pass,
+    // fixed-width join keys, ids-only candidates, vectors re-fetched
+    // for survivors.
+    "q_ann_lsh" -> QueryDef(
+      fn = (spark, dir) => lshTopK(spark, dir), // (L=4, Hamming<=2), oracle-pinned
+      oracle = Some(embCte + s""",
+        |${Similarity.lshSql(Similarity.LshTables, "emb", Seq.empty)},
+        |probes AS (
+        |  SELECT vec_id, tbl, xor(bucket, d.d) AS bucket
+        |  FROM signed,
+        |    (SELECT unnest([${Similarity.hamming2Deltas.mkString(",")}]) AS d) d
+        |  WHERE vec_id < 20),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM probes p JOIN signed n ON p.tbl = n.tbl AND p.bucket = n.bucket
+        |  WHERE n.vec_id != p.vec_id)
+        |SELECT q_id, rank, n_id, sim FROM (
+        |  SELECT c.q_id, c.n_id,
+        |    $cosSql AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY c.q_id
+        |      ORDER BY $cosSql DESC, c.n_id) AS rank
+        |  FROM cand c
+        |  JOIN emb q ON q.vec_id = c.q_id
+        |  JOIN emb n ON n.vec_id = c.n_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+  )
+
+  /** DuckDB replay of the full IVF-PQ composition (training, bucketing,
+    * coding, LUT, ADC, exact re-rank) — shared verbatim by
+    * `q_ann_ivfpq` (in-memory) and `q_ann_ivfpq_indexed` (on-disk
+    * layout): the two paths are bit-identical by construction. */
+  private lazy val ivfPqOracleSql: String = {
         val m = 8
         val codeJoins = (0 until m).map { s =>
           s"JOIN (SELECT vec_id AS n_id, k AS k$s FROM codes WHERE s = $s) c$s ON c$s.n_id = a.n_id"
@@ -1036,41 +1162,5 @@ object SimilarityQueries extends QueryModule {
         |  JOIN emb q ON q.vec_id = c.q_id
         |  JOIN emb n ON n.vec_id = c.n_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-      },
-      bench = true), // the composed flagship: IVF+PQ training + probe cost tracked
-
-    // ---- LSH-bucketed ANN (random-hyperplane family), OR-amplified:
-    // L=4 independent 8-plane tables give per-table 256-bucket sign
-    // signatures; neighbors are searched only inside the query's
-    // (table, bucket) — an equi-join, never a scan per query — and the
-    // candidate union over tables recovers the recall a single table
-    // can't reach. The hyperplanes are DERIVED FROM THE CORPUS
-    // (differences of fixed vector pairs) so both engines construct
-    // them exactly — a seeded RNG would not be reproducible in SQL.
-    // Same staged shape as MinHash-LSH: narrow signature pass,
-    // fixed-width join keys, ids-only candidates, vectors re-fetched
-    // for survivors.
-    "q_ann_lsh" -> QueryDef(
-      fn = (spark, dir) => lshTopK(spark, dir), // (L=4, Hamming<=2), oracle-pinned
-      oracle = Some(embCte + s""",
-        |${Similarity.lshSql(Similarity.LshTables, "emb", Seq.empty)},
-        |probes AS (
-        |  SELECT vec_id, tbl, xor(bucket, d.d) AS bucket
-        |  FROM signed,
-        |    (SELECT unnest([${Similarity.hamming2Deltas.mkString(",")}]) AS d) d
-        |  WHERE vec_id < 20),
-        |cand AS (
-        |  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
-        |  FROM probes p JOIN signed n ON p.tbl = n.tbl AND p.bucket = n.bucket
-        |  WHERE n.vec_id != p.vec_id)
-        |SELECT q_id, rank, n_id, sim FROM (
-        |  SELECT c.q_id, c.n_id,
-        |    $cosSql AS sim,
-        |    ROW_NUMBER() OVER (PARTITION BY c.q_id
-        |      ORDER BY $cosSql DESC, c.n_id) AS rank
-        |  FROM cand c
-        |  JOIN emb q ON q.vec_id = c.q_id
-        |  JOIN emb n ON n.vec_id = c.n_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
-  )
+  }
 }

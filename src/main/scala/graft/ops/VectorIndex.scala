@@ -42,6 +42,34 @@ object VectorIndex {
       .partitionBy("bucket")
       .parquet(dir)
 
+  /** Write the composed IVF-PQ layout — the on-disk index the
+    * `q_ann_ivfpq_indexed` probe reads ("build once, probe many"):
+    *
+    *  - `codes/`     (n_id, k0..k{m-1}) hive-partitioned by IVF bucket
+    *                 — the 9-small-ints index row; the ADC scan reads
+    *                 only the probed bucket partitions.
+    *  - `vectors/`   (vec_id, v) hive-partitioned by the same bucket —
+    *                 the exact-rerank fetch is pruned to the SAME
+    *                 probed partitions (candidates can only come from
+    *                 probed buckets, so the full vectors needed are
+    *                 all inside them).
+    *  - `centroids/` and `codebooks/` — the two bounded training
+    *                 sketches (nlist rows; m×16 rows), materialized so
+    *                 a probe session needs no retraining.
+    *
+    * All frames are computed by the caller (training + encoding live in
+    * `ext/Similarity.scala`); this module owns only the physical
+    * layout, mirroring [[build]]/[[probe]] for plain IVF. */
+  def buildPq(codes: DataFrame, vectors: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, dir: String): Unit = {
+    codes.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$dir/codes")
+    vectors.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$dir/vectors")
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    codebooks.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+  }
+
   /** Top-k neighbors for each query vector, reading ONLY the probed
     * buckets (partition pruning: `bucket` is a partition column and the
     * probe set is a literal IN-list resolved before the scan). */
