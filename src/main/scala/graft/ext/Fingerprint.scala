@@ -47,13 +47,37 @@ object FingerprintQueries extends QueryModule {
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Per-document 64-bit SimHash fingerprint (custom Expression;
-    // xxhash64-based, deterministic but not SQL-expressible => rows-only).
+    // xxhash64-based — the KERNEL is not SQL-expressible, so the
+    // fingerprint frame is exported (the q_neardup_simhash precedent)
+    // and DuckDB hash-verifies everything DOWNSTREAM of it: the
+    // set-bit count and the per-language lag-window Hamming profile
+    // (partitioned by the bounded lang key — never a global window).
     "q_doc_fingerprint" -> QueryDef(
-      fn = (spark, dir) => Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          simhash64(spark, TextFunctions.wsTokens(col("text"))).as("simhash"))
-        .orderBy("doc_id"),
-      oracle = None),
+      fn = (spark, dir) => {
+        val fp = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            simhash64(spark, TextFunctions.wsTokens(col("text"))).as("simhash"))
+        if (DedupFunctions.exportOracleFrames) {
+          fp.coalesce(1).write.mode("overwrite")
+            .parquet(s"$oracleExportDir/doc_fp")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+        fp.withColumn("n_bits", bit_count(col("simhash")).cast("long"))
+          .withColumn("ham_prev",
+            bit_count(col("simhash").bitwiseXOR(lag(col("simhash"), 1).over(w)))
+              .cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |WITH fp AS (
+        |  SELECT * FROM read_parquet('$oracleExportDir/doc_fp/*.parquet'))
+        |SELECT doc_id, lang, simhash,
+        |  CAST(bit_count(simhash) AS BIGINT) AS n_bits,
+        |  CAST(bit_count(xor(simhash,
+        |    lag(simhash) OVER (PARTITION BY lang ORDER BY doc_id))) AS BIGINT)
+        |    AS ham_prev
+        |FROM fp ORDER BY doc_id""".stripMargin)),
 
     // ---- SimHash near-dup: planted near-identical copies land within
     // a small Hamming distance of their source. Candidates via the

@@ -130,12 +130,34 @@ object MultimodalQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Stubbed decode + feature extraction (mapPartitions batch
-    // shape). Not SQL-expressible => rows-only check + ScalaTest spec.
+    // shape). The STUB checksum is a polynomial byte hash
+    // (acc*31 + byte mod 1e9+7) over an ASCII payload, so DuckDB
+    // replays the whole decode with a list_reduce over code points —
+    // full hash check, no kernel-frame export needed. (A real codec
+    // kernel would be spec-covered instead; the oracle verifies the
+    // mapPartitions plumbing delivers every byte, in order, exactly
+    // once per row.)
     "q_multimodal_features" -> QueryDef(
       fn = (spark, dir) => Multimodal
         .extractFeatures(Multimodal.asMedia(Tables(spark, dir, "documents")))
         .orderBy("doc_id"),
-      oracle = None),
+      oracle = Some("""
+        |WITH cs AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE WHEN length(text) > 0 AND ord(substr(text, 1, 1)) < 128
+        |         THEN 'fake/rgb8' ELSE 'fake/rgb16' END AS format,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, format,
+        |  CAST(checksum % 640 + 1 AS INT) AS width,
+        |  CAST((checksum // 640) % 480 + 1 AS INT) AS height,
+        |  checksum
+        |FROM cs ORDER BY doc_id""".stripMargin)),
 
     // ---- Frame sampling: every 3rd 64-byte frame, checkable via byte
     // length + hash of each sampled frame (documents are ASCII, so the
