@@ -42,11 +42,21 @@ object Bench {
     spark.catalog.clearCache() // drop warmup persists
 
     val results = SparkEntry.benchQueries.map { name =>
-      // min of 3 runs: on shared hardware single runs vary +-25%
+      // one untimed pass at the TARGET dir first: the sf0.001 warmup
+      // covers JIT/codegen but not the target-scale page cache, AQE
+      // stats, or build-once index materialization — without this the
+      // first timed run absorbs all of them and run-to-run agreement
+      // degrades past the ±20% the driver gates on
+      try { queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      // min of 5 runs: on shared hardware single runs vary +-25%
       // from scheduler noise (observed run-to-run on the heavier
-      // joins); the min measures the plan. A FAILING query reports
-      // -1, never a near-zero "fast success".
-      val runs = (1 to 3).map { _ =>
+      // joins), and even min-of-3 left sub-second queries swinging
+      // past the ±20% run-to-run agreement the driver gates on; the
+      // min measures the plan. A FAILING query reports -1, never a
+      // near-zero "fast success".
+      val runs = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { queries(name)(spark, sfDir).count(); true }
