@@ -155,6 +155,81 @@ object WeatherQueries extends QueryModule {
         |FROM enriched
         |GROUP BY station_id, recorded_season_local
         |ORDER BY station_id, record_season""".stripMargin),
+      bench = true),
+
+    // ---- O-28 served from the WRITTEN warehouse — the written-once
+    // counterpart to q_weather_star's re-fan-per-query demo: the star
+    // is materialized ONCE per dataset (StarSink: record_date hive
+    // partitioning + station range-clustering + record_id blooms) and
+    // the query then reads it like a user would — a date-windowed
+    // seasonal aggregate whose fact scan is STATICALLY pruned to the
+    // last 7 of ~30 date partitions (literal cutoff, PartitionFilters
+    // in the plan — StarLayoutSpec asserts it) and whose time-dim join
+    // broadcasts the date-filtered dim slice. The other three dims
+    // carry no date column, so their joins stay cost-model-chosen
+    // (broadcast at this SF, SMJ at 100 TB — the healthy flip
+    // PLANS.md documents); with the reference's 1:1 dims a frozen
+    // broadcast hint on them would OOM the driver at scale.
+    "q_weather_star_warehouse" -> QueryDef(
+      fn = (spark, dir) => {
+        val wh = warehouseFor(spark, dir)
+        val fact = spark.read.parquet(s"$wh/fact")
+        val timeDim = spark.read.parquet(s"$wh/time_dim")
+        val paramDim = spark.read.parquet(s"$wh/param_dim")
+        val tempDim = spark.read.parquet(s"$wh/temp_dim")
+        val hiDim = spark.read.parquet(s"$wh/heat_index_dim")
+        // literal cutoff => static partition pruning (a subquery would
+        // prune only at runtime via DPP). One narrow dim agg + a
+        // driver-side date subtraction — the bounded metadata class.
+        val maxDate = timeDim.agg(max(col("record_date"))).head().getString(0)
+        val cutoff = java.time.LocalDate.parse(maxDate).minusDays(7).toString
+        fact.filter(col("record_date") >= lit(cutoff))
+          .join(broadcast(timeDim.filter(col("record_date") >= lit(cutoff))),
+            "time_id")
+          .join(paramDim, "parameter_id")
+          .join(tempDim, "temp_id")
+          .join(hiDim, "heat_index_id")
+          .groupBy(col("station_id"), col("record_season"))
+          .agg(
+            count(lit(1)).as("n_obs"),
+            (sum(col("dew_point").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_dew_point"),
+            (sum(col("heat_index").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_heat_index"),
+            (sum(col("temp_range_max").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_temp_max"),
+            sum(col("humidity")).as("sum_humidity"))
+          .orderBy("station_id", "record_season")
+      },
+      oracle = Some(enrichedCte + """
+        |, windowed AS (
+        |  SELECT * FROM enriched
+        |  WHERE recorded_date_local >= (
+        |    SELECT strftime(CAST(max(recorded_date_local) AS DATE)
+        |      - INTERVAL 7 DAY, '%Y-%m-%d')
+        |    FROM enriched))
+        |SELECT station_id, recorded_season_local AS record_season,
+        |       COUNT(*) AS n_obs,
+        |       CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_dew_point,
+        |       CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_heat_index,
+        |       CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_temp_max,
+        |       CAST(SUM(humidity) AS BIGINT) AS sum_humidity
+        |FROM windowed
+        |GROUP BY station_id, recorded_season_local
+        |ORDER BY station_id, record_season""".stripMargin),
       bench = true)
   )
+
+  /** Build-once memo for the written star warehouse (one per dataset
+    * dir) — bounded like the index memos. The warehouse is what
+    * q_weather_star_warehouse and its spec read; production pins ONE
+    * warehouse dir per corpus and re-runs StarSink per batch. */
+  private val warehouseMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def warehouseFor(spark: SparkSession, dir: String): String =
+    graft.ext.SimilarityQueries.boundedMemo(warehouseMemo, dir) {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_star_wh").toString
+      graft.pipeline.StarSink.write(
+        WeatherEtl.enrich(obs(spark, dir)), wh)
+      wh
+    }
 }

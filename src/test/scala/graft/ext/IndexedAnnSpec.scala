@@ -1,8 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-
 import graft.{SparkEntry, SparkSpec}
 
 /** The "build once on disk, probe many" serving contract for the two
@@ -15,29 +12,6 @@ import graft.{SparkEntry, SparkSpec}
 class IndexedAnnSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-
-  /** All file scans in the executed plan as (rootPath,
-    * partitionFilterString, partitionsRead). AQE hides scans inside
-    * materialized QueryStageExec leaves, so plain collect misses them —
-    * recurse through adaptive plans, query stages, and subqueries. */
-  private def fileScans(df: org.apache.spark.sql.DataFrame)
-      : Seq[(String, String, Long)] = {
-    df.collect() // materialize so AQE finalizes the plan
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scansOf(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other =>
-        (other.children ++ other.subqueries).flatMap(scansOf)
-    }
-    scansOf(df.queryExecution.executedPlan).map { s =>
-      (s.relation.location.rootPaths.mkString(","),
-        s.partitionFilters.mkString(" AND "),
-        s.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
-    }
-  }
 
   test("q_ann_ivfpq_indexed is bit-identical to the in-memory q_ann_ivfpq") {
     val fromIndex = SparkEntry.queries("q_ann_ivfpq_indexed")(spark, sf)

@@ -104,4 +104,32 @@ class StarLayoutSpec extends SparkSpec {
     val scanned = Layout.scannedRows(q)
     assert(scanned <= 500L + 2000L, s"fact+dim scanned $scanned")
   }
+
+  test("q_weather_star_warehouse: statically pruned fact scan + broadcast time-dim join") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q_weather_star_warehouse")(spark, sf)
+    val scans = fileScans(df)
+    // the fact scan reads ONLY the 7-day window's hive partitions —
+    // a literal cutoff, so the pruning is static (PartitionFilters),
+    // not a runtime DPP filter
+    val factScans = scans.filter(_._1.contains("/fact"))
+    assert(factScans.nonEmpty, scans.mkString("\n"))
+    val whRoot = factScans.head._1.stripSuffix("/fact")
+    val totalDates = spark.read.parquet(s"$whRoot/fact")
+      .select("record_date").distinct().count()
+    factScans.foreach { case (path, pf, nParts) =>
+      assert(pf.contains("record_date"), s"$path: $pf")
+      assert(nParts > 0 && nParts < totalDates,
+        s"$path read $nParts of $totalDates date partitions")
+    }
+    // the date-filtered time-dim join is a broadcast hash join (the
+    // filtered slice is the small side); the other three dims are
+    // cost-model-chosen on purpose — no assertion
+    val joins = execNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.mkString(",") + "|" + j.rightKeys.mkString(",")
+    }
+    assert(joins.exists(_.contains("time_id")),
+      s"no broadcast join on time_id in:\n${joins.mkString("\n")}")
+  }
 }
