@@ -52,6 +52,17 @@ object IncrementalNearDup {
       batchId: Long, tau: Double = 0.5): DataFrame = {
     import DedupFunctions._
 
+    // register the native kernels against the BATCH's own session: in
+    // foreachBatch the frame belongs to the streaming clone session,
+    // and the per-call helpers register against SparkSession.active —
+    // which is NOT the clone there, so a stream started in a session
+    // that never ran a batch query first would fail analysis with
+    // UNRESOLVED_ROUTINE (sessions built with GraftExtensions are
+    // immune; this keeps plain sessions working too)
+    graft.functions.ShingleSet.register(batch.sparkSession)
+    graft.functions.MinHashSig.register(batch.sparkSession)
+    graft.functions.SigAgreement.register(batch.sparkSession)
+
     val sigs = batch
       .select(col("doc_id"), minhashSignature(distinctShingles(col("text")), K).as("sig"))
       .persist()

@@ -61,10 +61,15 @@ object RollupMaintenance {
 
   /** Batch-build the store from an event frame (initial load). The
     * batch-maintained store carries a `last_batch` stamp column —
-    * the per-partition idempotency guard [[mergeDelta]] reads. */
-  def buildStore(events: DataFrame, storeDir: String): Unit =
+    * the per-partition idempotency guard [[mergeDelta]] reads.
+    * `stamp` defaults to the init sentinel; a pipeline whose FIRST
+    * batch creates the store passes its own batch id instead, so a
+    * retry of that same batch is recognized by the stamp guard and
+    * does not double-merge ([[graft.streaming.CurationPipeline]]). */
+  def buildStore(events: DataFrame, storeDir: String,
+      stamp: String = "__init"): Unit =
     upsertBatch(rollupShape(events)
-      .withColumn("last_batch", lit("__init")), storeDir)
+      .withColumn("last_batch", lit(stamp)), storeDir)
 
   /** Batch twin of the streaming maintenance: fold a LATE/NEW events
     * delta into the store without re-scanning the event log. Only the

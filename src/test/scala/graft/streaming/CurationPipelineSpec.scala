@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed DAG (ingest → near-dup admission → rollup → atomic
+  * publish) end-to-end: a real file-stream run with a mid-stream
+  * restart, and a crash-injection pass that kills the epoch at EVERY
+  * inter-stage boundary and proves the retried epoch converges to the
+  * crash-free state (exactly-once effects all the way down).
+  */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four distinct high-quality English families (pass the quality
+  // floor + language agreement); in-family perturbations stay above
+  // the LSH admission threshold, cross-family Jaccard is ~0
+  private def fam(sentence: String) = (sentence + " ") * 3
+  private val famA = fam("the quick brown fox jumps over the lazy dog and then the fox rests in the shade of a tall tree because it is tired")
+  private val famB = fam("a gentle river flows through the wide green valley while the clear water shines under the warm morning sun and small birds sing")
+  private val famC = fam("the old library keeps many ancient books on long wooden shelves and the patient readers enjoy the quiet rooms during every afternoon")
+  private val famD = fam("fresh bread bakes slowly in the warm stone oven while the busy cook prepares a rich soup for the hungry guests there tonight")
+  private val famE = fam("seven silver boats sail across the calm blue harbor as the evening light fades behind the distant hills and the crews wave home")
+  private def perturb(t: String) = t.split(" ").updated(5, "CHANGED").mkString(" ")
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src").as("source"), length(col("text")).as("n_chars"))
+
+  private def publishedIds(publishDir: String): Seq[Long] = {
+    val dirs = Option(new java.io.File(publishDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    // readers gate on the manifest: every batch dir must carry _SUCCESS
+    dirs.foreach { d =>
+      assert(new java.io.File(d, "_SUCCESS").exists(), s"no _SUCCESS in $d")
+    }
+    dirs.flatMap { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      parts.flatMap(p =>
+        scala.io.Source.fromFile(p).getLines().map(_.split("\t")(0).toLong))
+    }
+  }
+
+  private def indexedIds(dirs: CurationPipeline.Dirs): Seq[Long] =
+    spark.read.option("basePath", s"${dirs.nearDupIndex}/sigs")
+      .parquet(s"${dirs.nearDupIndex}/sigs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("composed file-stream DAG with mid-stream restart: exactly-once all the way down") {
+    val base = Files.createTempDirectory("curation_pipe").toString
+    val dirs = CurationPipeline.Dirs(s"$base/pipe")
+    val src = s"$base/src"
+
+    // run 1: two fresh families
+    docs((1L, famA), (2L, famB)).coalesce(1).write.parquet(src)
+    CurationPipeline.start(spark, src, dirs).awaitTermination(120000)
+
+    // new files arrive, then a NEW query resumes from the checkpoint:
+    //  - 3 near-dups famA  (must be caught against the PRE-restart index)
+    //  - 4 exact-dups famB (punctuation only — same normalized hash)
+    //  - 5 fresh famC, 6 fails the quality floor
+    //  - 7 near-dups famC (same post-restart run), 8 fresh famD
+    docs((3L, perturb(famA)), (4L, famB + "!!!"), (5L, famC),
+      (6L, "short low quality")).coalesce(1).write.mode("append").parquet(src)
+    docs((7L, perturb(famC)), (8L, famD)).coalesce(1)
+      .write.mode("append").parquet(src)
+    CurationPipeline.start(spark, src, dirs).awaitTermination(120000)
+
+    val expected = Set(1L, 2L, 5L, 8L)
+    val published = publishedIds(dirs.publish)
+    assert(published.length === published.distinct.length,
+      s"duplicate publishes: $published")
+    assert(published.toSet === expected, published.sorted)
+    assert(indexedIds(dirs).toSet === expected)
+
+    // the rollup counted each admitted doc exactly once, with the
+    // admitted quality mass (no double-merge across restart)
+    val rollup = spark.read.parquet(dirs.rollup)
+      .agg(sum("n_events"), sum(col("total_value").cast("decimal(12,2)")))
+      .head()
+    assert(rollup.getLong(0) === 4L, rollup)
+    val quality = spark.read.option("basePath", dirs.curated)
+      .parquet(dirs.curated)
+      .filter(col("doc_id").isin(expected.toSeq: _*))
+      .agg(sum(col("quality").cast("decimal(12,2)"))).head().getDecimal(0)
+    assert(rollup.getDecimal(1) === quality, s"$rollup vs $quality")
+  }
+
+  test("a crash at EVERY inter-stage boundary converges on retry") {
+    val base = Files.createTempDirectory("curation_crash").toString
+    val dirs = CurationPipeline.Dirs(s"$base/pipe")
+
+    def survivorsWithText(b: org.apache.spark.sql.DataFrame, id: Long) =
+      spark.read.parquet(s"${dirs.curated}/batch_id=$id")
+        .join(b.select("doc_id", "text"), "doc_id")
+
+    // batch 0: crash-free
+    CurationPipeline.processBatch(spark,
+      docs((1L, famA), (2L, famB)), dirs, 0L)
+
+    // batch 1 — crash AFTER stage 1 (exact ledger written, nothing
+    // else): the retry must re-run the suffix without re-admitting
+    val b1 = docs((3L, perturb(famA)), (4L, famC))
+    CurationIngest.processBatch(spark, b1, dirs.curated, dirs.ledger, 1L)
+    CurationPipeline.processBatch(spark, b1, dirs, 1L) // retry
+
+    // batch 2 — crash AFTER stage 2 (signature index also written)
+    val b2 = docs((5L, perturb(famC)), (6L, famD))
+    CurationIngest.processBatch(spark, b2, dirs.curated, dirs.ledger, 2L)
+    IncrementalNearDup.processBatch(spark,
+      survivorsWithText(b2, 2L).select("doc_id", "text"), dirs.nearDupIndex, 2L)
+    CurationPipeline.processBatch(spark, b2, dirs, 2L) // retry
+
+    // batch 3 — crash AFTER stage 3 (rollup already merged with this
+    // batch's stamp): the retry must NOT double-merge
+    val b3 = docs((7L, famE))
+    CurationIngest.processBatch(spark, b3, dirs.curated, dirs.ledger, 3L)
+    val admitted3 = IncrementalNearDup.processBatch(spark,
+      survivorsWithText(b3, 3L).select("doc_id", "text"), dirs.nearDupIndex, 3L)
+    val events3 = survivorsWithText(b3, 3L)
+      .join(admitted3, Seq("doc_id"), "left_semi")
+      .select(to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") * 60)).as("ts"),
+        col("lang").as("event_type"), col("quality").cast("double").as("value"))
+    RollupMaintenance.mergeDelta(spark, dirs.rollup, events3, "b3")
+    CurationPipeline.processBatch(spark, b3, dirs, 3L) // retry
+
+    // converged state == the crash-free outcome
+    val expected = Set(1L, 2L, 4L, 6L, 7L)
+    val published = publishedIds(dirs.publish)
+    assert(published.length === published.distinct.length,
+      s"duplicate publishes: $published")
+    assert(published.toSet === expected, published.sorted)
+    assert(indexedIds(dirs).toSet === expected)
+
+    // rollup: exactly one count per admitted doc (the crash-C
+    // double-merge trap), quality mass equal to the admitted docs'
+    val rollup = spark.read.parquet(dirs.rollup)
+      .agg(sum("n_events"), sum(col("total_value").cast("decimal(12,2)")))
+      .head()
+    assert(rollup.getLong(0) === 5L, rollup)
+    val quality = spark.read.option("basePath", dirs.curated)
+      .parquet(dirs.curated)
+      .filter(col("doc_id").isin(expected.toSeq: _*))
+      .agg(sum(col("quality").cast("decimal(12,2)"))).head().getDecimal(0)
+    assert(rollup.getDecimal(1) === quality, s"$rollup vs $quality")
+  }
+}
