@@ -44,6 +44,38 @@ object FingerprintQueries extends QueryModule {
     }: _*)
   }
 
+  /** q_phash_neardup's fingerprint frame — (doc_id, f_lo, f_hi, blks):
+    * the aHash of the planted corpus as two 32-bit halves plus the 5
+    * pigeonhole blocks (13/13/13/13/12 bits). Extracted so the
+    * blocking frontier spec (PhashFrontierSpec) measures recall/cost
+    * from the exact production fingerprints — same construction, no
+    * drift. */
+  private[graft] def phashFps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("zz"),
+            expr("substring(text, 13)")).as("text")))
+    val pix = transform(sequence(lit(0), lit(63)),
+      i => ascii(rpad(col("text"), 64, " ").substr(i + 1, lit(1))))
+    def bitAt(i: Int) = when(
+      element_at(col("p"), i + 1) * 64 >= col("ps"), 1L).otherwise(0L)
+    def bitSum(lo: Int, hi: Int, shiftBase: Int) =
+      (lo to hi).map(i => bitAt(i) * lit(1L << (i - shiftBase)))
+        .reduceLeft(_ + _)
+    planted
+      .withColumn("p", pix)
+      .withColumn("ps", aggregate(col("p"), lit(0), (acc, x) => acc + x))
+      .select(col("doc_id"),
+        bitSum(0, 31, 0).as("f_lo"), bitSum(32, 63, 32).as("f_hi"),
+        array((0 until 5).map { j =>
+          val lo = 13 * j; val hi = math.min(lo + 12, 63)
+          bitSum(lo, hi, lo)
+        }: _*).as("blks"))
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Per-document 64-bit SimHash fingerprint (custom Expression;
@@ -137,29 +169,8 @@ object FingerprintQueries extends QueryModule {
     // whole operator, no kernel-frame export.
     "q_phash_neardup" -> QueryDef(
       fn = (spark, dir) => {
-        val docs = Tables(spark, dir, "documents")
-        val planted = docs.select(col("doc_id"), col("text"))
-          .unionByName(docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + 2000000).as("doc_id"),
-              concat(substring(col("text"), 1, 10), lit("zz"),
-                expr("substring(text, 13)")).as("text")))
-        val pix = transform(sequence(lit(0), lit(63)),
-          i => ascii(rpad(col("text"), 64, " ").substr(i + 1, lit(1))))
-        def bitAt(i: Int) = when(
-          element_at(col("p"), i + 1) * 64 >= col("ps"), 1L).otherwise(0L)
-        def bitSum(lo: Int, hi: Int, shiftBase: Int) =
-          (lo to hi).map(i => bitAt(i) * lit(1L << (i - shiftBase)))
-            .reduceLeft(_ + _)
-        val fps = planted
-          .withColumn("p", pix)
-          .withColumn("ps", aggregate(col("p"), lit(0), (acc, x) => acc + x))
-          .select(col("doc_id"),
-            bitSum(0, 31, 0).as("f_lo"), bitSum(32, 63, 32).as("f_hi"),
-            array((0 until 5).map { j =>
-              val lo = 13 * j; val hi = math.min(lo + 12, 63)
-              bitSum(lo, hi, lo)
-            }: _*).as("blks"))
-        val exploded = fps.select(col("doc_id"), col("f_lo"), col("f_hi"),
+        val exploded = phashFps(spark, dir)
+          .select(col("doc_id"), col("f_lo"), col("f_hi"),
           posexplode(col("blks")).as(Seq("block_idx", "block_val")))
         exploded.as("x").join(exploded.as("y"),
             col("x.block_idx") === col("y.block_idx") &&
