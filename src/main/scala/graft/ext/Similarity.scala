@@ -336,28 +336,30 @@ object Similarity {
 
   /** DuckDB CTE chain for the ADC scoring stage over [[pqSql]]'s
     * `codes`/`pcent$iters`: `lut` (query×codeword dot products) and
-    * `adc` — the m per-subspace lookups summed in FIXED left-to-right
-    * order (`l0.l + l1.l + ...`), matching Spark's column sum. */
+    * `adc` — ONE linear join (codes × queries ⨝ lut) grouped per
+    * (query, candidate), with the m per-subspace lookups summed via
+    * `list_reduce(list(l ORDER BY s), ..)` — explicitly left-to-right,
+    * matching Spark's `l0 + l1 + ... + l7` column sum bit-for-bit.
+    * (An earlier m-way self-join shape let DuckDB's join-order
+    * enumerator cross the tiny per-subspace `lut` relations on `q_id`
+    * alone — 16^m rows per query id; see [[SimilarityQueries]]'
+    * ivfPqOracleSql note. The linear shape makes that unpickable.) */
   def pqAdcSql(m: Int, subDim: Int, iters: Int): String = {
-    val codeJoins = (0 until m).map { s =>
-      val src = s"(SELECT vec_id AS n_id, k AS k$s FROM codes WHERE s = $s) c$s"
-      if (s == 0) s"FROM $src" else s"JOIN $src USING (n_id)"
-    }.mkString("\n        |  ")
-    val lutJoins = (0 until m).map { s =>
-      s"JOIN lut l$s ON l$s.q_id = q.q_id AND l$s.s = $s AND l$s.c_id = c$s.k$s"
-    }.mkString("\n        |  ")
-    val adcSum = (0 until m).map(s => s"l$s.l").mkString(" + ")
     s"""lut AS (
        |  SELECT q.vec_id AS q_id, c.s, c.c_id,
        |    list_inner_product(
        |      q.v[c.s * $subDim + 1 : c.s * $subDim + $subDim], c.c_v) AS l
        |  FROM emb q JOIN pcent$iters c ON q.vec_id < 20),
        |adc AS (
-       |  SELECT q.q_id, c0.n_id, $adcSum AS adc
-       |  $codeJoins
-       |  CROSS JOIN (SELECT vec_id AS q_id FROM emb WHERE vec_id < 20) q
-       |  $lutJoins
-       |  WHERE c0.n_id != q.q_id)""".stripMargin
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(l ORDER BY s), (a, b) -> a + b) AS adc
+       |  FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id, c.s, lu.l
+       |    FROM codes c
+       |    CROSS JOIN (SELECT vec_id AS q_id FROM emb WHERE vec_id < 20) q
+       |    JOIN lut lu ON lu.q_id = q.q_id AND lu.s = c.s AND lu.c_id = c.k
+       |    WHERE c.vec_id != q.q_id)
+       |  GROUP BY q_id, n_id)""".stripMargin
   }
 
   /** DuckDB CTE chain mirroring [[trainedCentroids]]: `cent0` ..
@@ -1108,16 +1110,20 @@ object SimilarityQueries extends QueryModule {
   /** DuckDB replay of the full IVF-PQ composition (training, bucketing,
     * coding, LUT, ADC, exact re-rank) — shared verbatim by
     * `q_ann_ivfpq` (in-memory) and `q_ann_ivfpq_indexed` (on-disk
-    * layout): the two paths are bit-identical by construction. */
+    * layout): the two paths are bit-identical by construction.
+    *
+    * The ADC stage is ONE linear join (probes⨝assigned⨝codes⨝lut)
+    * grouped per candidate, with the m per-subspace LUT values summed
+    * via `list_reduce(list(l ORDER BY s), ..)` — explicitly
+    * left-to-right, matching Spark's `l0 + l1 + ... + l7` column sum
+    * bit-for-bit. The previous shape (8 self-joins of `codes` + 8 of
+    * `lut`, 17 relations) was semantically identical but let DuckDB's
+    * join-order enumerator chain the tiny `lut` relations together on
+    * `q_id` alone — a 16^m cross-blowup per query id that spilled
+    * >50 GB at sf1 before dying. Linear join + ordered reduce makes
+    * that order unpickable. */
   private lazy val ivfPqOracleSql: String = {
         val m = 8
-        val codeJoins = (0 until m).map { s =>
-          s"JOIN (SELECT vec_id AS n_id, k AS k$s FROM codes WHERE s = $s) c$s ON c$s.n_id = a.n_id"
-        }.mkString("\n        |  ")
-        val lutJoins = (0 until m).map { s =>
-          s"JOIN lut l$s ON l$s.q_id = p.q_id AND l$s.s = $s AND l$s.c_id = c$s.k$s"
-        }.mkString("\n        |  ")
-        val adcSum = (0 until m).map(s => s"l$s.l").mkString(" + ")
         embCte + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
         |assigned AS (
@@ -1140,12 +1146,16 @@ object SimilarityQueries extends QueryModule {
         |    list_inner_product(q.v[c.s * 8 + 1 : c.s * 8 + 8], c.c_v) AS l
         |  FROM emb q JOIN pcent1 c ON q.vec_id < 20),
         |adc AS (
-        |  SELECT p.q_id, a.n_id, $adcSum AS adc
-        |  FROM probes p
-        |  JOIN assigned a ON a.bucket = p.bucket
-        |  $codeJoins
-        |  $lutJoins
-        |  WHERE a.n_id != p.q_id),
+        |  SELECT q_id, n_id,
+        |    list_reduce(list(l ORDER BY s), (a, b) -> a + b) AS adc
+        |  FROM (
+        |    SELECT p.q_id, a.n_id, c.s, lu.l
+        |    FROM probes p
+        |    JOIN assigned a ON a.bucket = p.bucket
+        |    JOIN codes c ON c.vec_id = a.n_id
+        |    JOIN lut lu ON lu.q_id = p.q_id AND lu.s = c.s AND lu.c_id = c.k
+        |    WHERE a.n_id != p.q_id)
+        |  GROUP BY q_id, n_id),
         |cand AS (
         |  SELECT q_id, n_id FROM (
         |    SELECT q_id, n_id,

@@ -91,6 +91,15 @@ def main():
     only = set(sys.argv[3:])
     dag_ok = check_dag() if not only else True
     con = duckdb.connect()
+    # resource caps for large sfDirs: DuckDB's default memory limit is
+    # 80% of RAM with no spill path, so a heavy oracle at sf1 can OOM
+    # the whole box. Opt-in via env so the driver's sf0.01 gate is
+    # untouched.
+    if os.environ.get("GRAFT_ORACLE_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
+        con.sql("SET temp_directory='/tmp/graft_duck_spill'")
+    if os.environ.get("GRAFT_ORACLE_THREADS"):
+        con.sql(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
     for t in TABLES:
         # driver testdata is one file per table; Spark-written dirs
         # (e.g. tools.ScaleUp output) are directories of part files
