@@ -48,7 +48,12 @@ object Bench {
       // first timed run absorbs all of them and run-to-run agreement
       // degrades past the ±20% the driver gates on
       try { queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // loud but not fatal: the timed runs below will report -1 and
+        // attribute the failure; a silent eat here would misattribute
+        // a target-scale-only failure to the timed pass
+        System.err.println(s"[bench] target warm $name: $e")
+      }
       spark.catalog.clearCache()
       // min of 5 runs: on shared hardware single runs vary +-25%
       // from scheduler noise (observed run-to-run on the heavier

@@ -9,8 +9,12 @@ object Verify {
       s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
     // kernel-frame exports (minhash sigs, simhash fps) feed the DuckDB
-    // oracle; only the correctness harness needs them written
+    // oracle; only the correctness harness needs them written. The
+    // export dir lives INSIDE this run's outDir (set before any query
+    // module initializes, so the oracle SQL embeds the same path) —
+    // runs at different scales can't clobber each other's exports.
     sys.props("graft.oracle.export") = "true"
+    sys.props("graft.oracle.exportDir") = s"$outDir/graft_oracle"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

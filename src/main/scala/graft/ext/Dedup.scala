@@ -26,9 +26,17 @@ object DedupFunctions {
     * xxhash64 — can re-derive the candidate-join/verify stages from
     * the same kernel output (the kernels themselves are spec-covered).
     * The oracle runs next to the Spark driver, so a local path works.
-    */
+    *
+    * [[graft.Verify]] points this INSIDE its output dir (the property
+    * is read before any oracle SQL is constructed, so the embedded
+    * read_parquet paths follow): exports are keyed to the verify run
+    * that produced them. With a shared fixed path, a Verify at one
+    * scale would silently overwrite the exports a concurrent/later
+    * oracle check at another scale still needs — the oracle then
+    * joins sf0.001-sized kernel frames against sf1 query output. */
   val oracleExportDir: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_oracle"
+    sys.props.getOrElse("graft.oracle.exportDir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_oracle")
 
   /** Export only under the correctness harness ([[graft.Verify]] sets
     * the property) — the bench run measures query time, not oracle

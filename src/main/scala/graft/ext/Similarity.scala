@@ -404,39 +404,22 @@ object SimilarityQueries extends QueryModule {
     * and the DuckDB oracle independently replays the identical
     * training chain — correctness is untouched, only repeat-call
     * latency changes. */
-  private[graft] val centMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), Seq[(Long, Seq[Double])]]
-  private[graft] val bookMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int), Seq[(Int, Long, Seq[Double])]]
-
-  /** Hard cap on memoized training entries. Each entry is a bounded
-    * sketch (nlist×d or m×16×subDim doubles, a few KB), but a
-    * long-lived session iterating over MANY dataset dirs must not
-    * grow the memo without bound — on overflow the whole memo is
-    * dropped (training is deterministic and cheap to redo, so
-    * clear-on-overflow is simpler and just as correct as LRU). */
-  private[graft] val MemoMaxEntries = 32
-
-  private[graft] def boundedMemo[K, V](
-      memo: scala.collection.concurrent.TrieMap[K, V], k: K)(train: => V): V =
-    memo.get(k) match {
-      case Some(v) => v
-      case None =>
-        if (memo.size >= MemoMaxEntries) memo.clear()
-        memo.getOrElseUpdate(k, train)
-    }
+  private val centMemo =
+    graft.ops.BuildOnce.memo[(String, Int), Seq[(Long, Seq[Double])]]()
+  private val bookMemo = graft.ops.BuildOnce
+    .memo[(String, Int, Int, Int), Seq[(Int, Long, Seq[Double])]]()
 
   private def centroidsFor(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
     import spark.implicits._
-    boundedMemo(centMemo, (dir, iters))(
+    graft.ops.BuildOnce.cached(centMemo, (dir, iters))(
       Similarity.trainedCentroidSeq(embFrame(spark, dir), iters))
       .toDF("c_id", "c_v")
   }
 
   private def codebooksFor(spark: SparkSession, dir: String, m: Int,
       subDim: Int, iters: Int): Seq[(Int, Long, Seq[Double])] =
-    boundedMemo(bookMemo, (dir, m, subDim, iters))(
+    graft.ops.BuildOnce.cached(bookMemo, (dir, m, subDim, iters))(
       Similarity.pqCodebooks(embFrame(spark, dir), m, subDim, iters))
 
   /** The previous invocation's persisted PQ-code index — released when
@@ -444,13 +427,13 @@ object SimilarityQueries extends QueryModule {
   private val lastCodes =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
-  /** Test hook: drop memoized training so a spec can force training
-    * to RE-RUN under a changed runtime config (partition counts etc.).
-    * Without this, invariance tests would silently compare one
-    * training run against itself. */
-  def clearTrainingMemo(): Unit = {
-    centMemo.clear(); bookMemo.clear(); pqIndexMemo.clear()
-  }
+  /** Test hook: drop EVERY build-once memo (training, index layouts,
+    * the star warehouse) so a spec can force the artifacts to be
+    * REBUILT under a changed runtime config (partition counts etc.).
+    * Without this, invariance tests would silently compare one build
+    * against itself. Delegates to the shared registry so memos added
+    * in other modules are covered automatically. */
+  def clearTrainingMemo(): Unit = graft.ops.BuildOnce.clearAll()
 
   /** The fixed demo query set: corpus vectors with id < 20, as
     * (q_id, q_v). */
@@ -653,12 +636,12 @@ object SimilarityQueries extends QueryModule {
     * clears and a later use rebuilds (the orphaned temp dirs are
     * harness-lifetime only; a production deployment pins ONE index dir
     * per corpus). */
-  private[graft] val pqIndexMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int), String]
+  private val pqIndexMemo =
+    graft.ops.BuildOnce.memo[(String, Int, Int), String]()
 
   private def pqIndexFor(spark: SparkSession, dir: String, m: Int,
       subDim: Int): String =
-    boundedMemo(pqIndexMemo, (dir, m, subDim)) {
+    graft.ops.BuildOnce.cached(pqIndexMemo, (dir, m, subDim)) {
       import spark.implicits._
       val idx = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_index").toString

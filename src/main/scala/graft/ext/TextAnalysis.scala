@@ -688,11 +688,9 @@ object TextQueries extends QueryModule {
     //    term), and BM25Spec pins the single-term ranking identical
     //    to the log form while measuring multi-term top-k agreement.
     // The per-term scores combine in a FIXED-ORDER column sum.
-    //
-    // Scale shape: tf/dl are narrow per-row expressions (no token
-    // explode — the term list is in the lambda); corpus stats are ONE
-    // partial agg broadcast back; top-10 plans as TakeOrdered. The
-    // only wide op in the whole plan is the single-row stats agg.
+    // (Applies to BOTH entries: q_bm25_indexed probes the on-disk
+    // posting lists, q_bm25 full-scans; bit-identical by
+    // InvertedIndexSpec, one shared oracle.)
     "q_bm25_indexed" -> QueryDef(
       // BM25 served from the MATERIALIZED inverted index — the same
       // retrieval as q_bm25 below but reading the on-disk
@@ -709,6 +707,11 @@ object TextQueries extends QueryModule {
       oracle = Some(bm25OracleSql),
       bench = true),
 
+    // The full-scan formulation — scale shape: tf/dl are narrow
+    // per-row expressions (no token explode — the term list is in the
+    // lambda); corpus stats are ONE partial agg broadcast back; top-10
+    // plans as TakeOrdered. The only wide op in the whole plan is the
+    // single-row stats agg.
     "q_bm25" -> QueryDef(
       fn = (spark, dir) => {
         val terms = bm25Terms
@@ -745,11 +748,10 @@ object TextQueries extends QueryModule {
     * dataset dir) — bounded like the ANN training memos. Orphaned temp
     * dirs on overflow are harness-lifetime only; production pins ONE
     * index dir per corpus. */
-  private val invIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val invIndexMemo = graft.ops.BuildOnce.memo[String, String]()
 
   private def invIndexFor(spark: SparkSession, dir: String): String =
-    SimilarityQueries.boundedMemo(invIndexMemo, dir) {
+    graft.ops.BuildOnce.cached(invIndexMemo, dir) {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_inv_index").toString
       graft.ops.InvertedIndex.build(Tables(spark, dir, "documents"), idx)

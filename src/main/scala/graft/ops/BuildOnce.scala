@@ -1,0 +1,54 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+/** Build-once memo registry for deterministic derived artifacts —
+  * trained centroids/codebooks, materialized index layouts, the
+  * written star warehouse. One query session builds each artifact the
+  * first time it's needed and probes it thereafter (the served-index
+  * semantics every "build once on disk, probe many" path models).
+  *
+  * Every memo is created through [[memo]] so that:
+  *   - it is BOUNDED: on reaching [[MemoMaxEntries]] the whole map is
+  *     dropped — entries are deterministic and cheap to rebuild, so
+  *     clear-on-overflow is as correct as LRU and simpler. A
+  *     long-lived session iterating over many dataset dirs cannot
+  *     grow the driver.
+  *   - it is CLEARABLE: [[clearAll]] resets every registered memo in
+  *     one call. Invariance tests MUST clear between runs — otherwise
+  *     the second run reuses the first run's artifact and the test
+  *     silently compares one build against itself
+  *     (PartitionInvarianceSpec does; new memos get the hook for free
+  *     by being created here instead of hand-rolling a TrieMap).
+  */
+object BuildOnce {
+
+  /** Hard cap on entries per memo. Each entry is a bounded
+    * sketch-class value (nlist×d doubles, an index dir path, ...). */
+  val MemoMaxEntries = 32
+
+  private val registry = new java.util.concurrent.CopyOnWriteArrayList[TrieMap[_, _]]
+
+  /** Create a bounded, registered memo. */
+  def memo[K, V](): TrieMap[K, V] = {
+    val m = TrieMap.empty[K, V]
+    registry.add(m)
+    m
+  }
+
+  /** First call builds, repeat calls reuse; clear-on-overflow bound. */
+  def cached[K, V](memo: TrieMap[K, V], k: K)(build: => V): V =
+    memo.get(k) match {
+      case Some(v) => v
+      case None =>
+        if (memo.size >= MemoMaxEntries) memo.clear()
+        memo.getOrElseUpdate(k, build)
+    }
+
+  /** Reset every registered memo (test hook — forces the next query
+    * to rebuild its artifact under the current session config). */
+  def clearAll(): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) it.next().clear()
+  }
+}

@@ -123,11 +123,6 @@ object StarSink {
     } finally cleanup()
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(dir))
-  }
+  private def deleteRecursively(dir: String): Unit =
+    graft.ops.Fs.deleteRecursively(new java.io.File(dir))
 }

@@ -244,7 +244,7 @@ object AnalyticsQueries extends QueryModule {
         |SELECT o_orderkey, o_custkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  COUNT(*) OVER w AS n_7day,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7day
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_7day
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)

@@ -24,8 +24,8 @@ object FunctionQueries extends QueryModule {
         .orderBy("l_returnflag"),
       oracle = Some("""
         |SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wavg_discount
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS wavg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- Rolling-hash fingerprint (native expression; winnowing-style

@@ -35,13 +35,13 @@ object RelationalQueries extends QueryModule {
     // agg with map-side partial aggregation; 6 groups only => tiny shuffle).
     q("q_pricing_summary", bench = true, oracle = """
       |SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,7 +69,7 @@ object RelationalQueries extends QueryModule {
     // on l_orderkey only.
     q("q_top_unshipped_orders", bench = true, oracle = """
       |SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -100,7 +100,7 @@ object RelationalQueries extends QueryModule {
     q("q_outer_joins", oracle = """
       |WITH agg AS (
       |  SELECT o_custkey, COUNT(*) AS n_orders,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |  FROM orders WHERE o_custkey < 150 GROUP BY o_custkey)
       |SELECT COALESCE(c.c_custkey, a.o_custkey) AS cust_key,
       |  CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
@@ -152,7 +152,7 @@ object RelationalQueries extends QueryModule {
     // shape.
     q("q_nation_revenue", bench = true, oracle = """
       |SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -185,7 +185,7 @@ object RelationalQueries extends QueryModule {
     // small SF, a shuffle join once part outgrows the threshold.
     q("q_part_brand_volume", oracle = """
       |SELECT p_brand,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { implicit sd =>
@@ -279,7 +279,7 @@ object RelationalQueries extends QueryModule {
     q("q_rollup_flag_status", oracle = """
       |SELECT l_returnflag, l_linestatus,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { implicit sd =>
       t("lineitem")
@@ -294,7 +294,7 @@ object RelationalQueries extends QueryModule {
     q("q_cube_status_priority", oracle = """
       |SELECT o_orderstatus, o_orderpriority,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { implicit sd =>
       t("orders")
@@ -338,8 +338,8 @@ object RelationalQueries extends QueryModule {
     // ---- Conditional aggregation (manual pivot on linestatus).
     q("q_conditional_agg", oracle = """
       |SELECT l_returnflag,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS open_price,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS fulfilled_price,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS open_price,
+      |  CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS fulfilled_price,
       |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { implicit sd =>
       t("lineitem").groupBy("l_returnflag").agg(
@@ -355,10 +355,10 @@ object RelationalQueries extends QueryModule {
     // lineitems under 20% of their part's average quantity.
     q("q_small_quantity_revenue", oracle = """
       |SELECT COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM lineitem JOIN (
       |  SELECT l_partkey AS pk,
-      |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS threshold
+      |    0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)) AS threshold
       |  FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
       |WHERE l_quantity < threshold""".stripMargin) { implicit sd =>
       val li = t("lineitem")

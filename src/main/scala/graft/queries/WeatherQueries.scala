@@ -148,9 +148,9 @@ object WeatherQueries extends QueryModule {
       oracle = Some(enrichedCte + """
         |SELECT station_id, recorded_season_local AS record_season,
         |       COUNT(*) AS n_obs,
-        |       CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_dew_point,
-        |       CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_heat_index,
-        |       CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_temp_max,
+        |       CAST(CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_dew_point,
+        |       CAST(CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_heat_index,
+        |       CAST(CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_temp_max,
         |       CAST(SUM(humidity) AS BIGINT) AS sum_humidity
         |FROM enriched
         |GROUP BY station_id, recorded_season_local
@@ -207,9 +207,9 @@ object WeatherQueries extends QueryModule {
         |    FROM enriched))
         |SELECT station_id, recorded_season_local AS record_season,
         |       COUNT(*) AS n_obs,
-        |       CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_dew_point,
-        |       CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_heat_index,
-        |       CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_temp_max,
+        |       CAST(CAST(SUM(CAST(dew_point AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_dew_point,
+        |       CAST(CAST(SUM(CAST(heat_index AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_heat_index,
+        |       CAST(CAST(SUM(CAST(temp_max AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_temp_max,
         |       CAST(SUM(humidity) AS BIGINT) AS sum_humidity
         |FROM windowed
         |GROUP BY station_id, recorded_season_local
@@ -221,11 +221,10 @@ object WeatherQueries extends QueryModule {
     * dir) — bounded like the index memos. The warehouse is what
     * q_weather_star_warehouse and its spec read; production pins ONE
     * warehouse dir per corpus and re-runs StarSink per batch. */
-  private val warehouseMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val warehouseMemo = graft.ops.BuildOnce.memo[String, String]()
 
   private[graft] def warehouseFor(spark: SparkSession, dir: String): String =
-    graft.ext.SimilarityQueries.boundedMemo(warehouseMemo, dir) {
+    graft.ops.BuildOnce.cached(warehouseMemo, dir) {
       val wh = java.nio.file.Files
         .createTempDirectory("graft_star_wh").toString
       graft.pipeline.StarSink.write(

@@ -115,10 +115,8 @@ class AtomicBatchWrite(path: String, queryId: String, schema: StructType)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     deleteRecursively(new File(staging))
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: File): Unit =
+    graft.ops.Fs.deleteRecursively(f)
 }
 
 case class AtomicCommit(file: String, rows: Long) extends WriterCommitMessage

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** The composed streaming curation DAG — the four spec-tested stages
   * wired into ONE per-micro-batch pipeline:
   *
@@ -67,8 +69,25 @@ object CurationPipeline {
       batchId: Long, tau: Double = 0.5): Unit = {
     // stage 1 — exact: score, filter, dedup vs ledger; batch-keyed write
     CurationIngest.processBatch(spark, batch, dirs.curated, dirs.ledger, batchId)
-    val survivors = spark.read
-      .parquet(s"${dirs.curated}/batch_id=$batchId") // (doc_id, lang, quality)
+    // read the batch's survivors back (the durable form IS the stage
+    // boundary — a retry sees exactly what the first attempt
+    // committed). An all-filtered batch commits a partition with no
+    // data files, which parquet schema inference can't read — feed the
+    // downstream stages an explicitly-typed empty frame instead so an
+    // empty micro-batch flows through the DAG rather than wedging it.
+    val batchDir = s"${dirs.curated}/batch_id=$batchId"
+    val survivors = // (doc_id, lang, quality)
+      if (Fs.hasCommittedParquet(new java.io.File(batchDir)))
+        spark.read.parquet(batchDir)
+      else batch.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("quality",
+            org.apache.spark.sql.types.DoubleType))))
     val withText = survivors.join(batch.select("doc_id", "text"), "doc_id")
 
     // stage 2 — near-dup: LSH admission vs the signature index
@@ -78,10 +97,16 @@ object CurationPipeline {
       .select("doc_id", "lang", "quality").persist()
     try {
       // stage 3 — rollup: per-(hour, lang) admitted-doc metrics,
-      // stamp-guarded so a replayed epoch can't double-merge
+      // stamp-guarded so a replayed epoch can't double-merge. The
+      // bootstrap-vs-merge dispatch checks for COMMITTED parquet data,
+      // not bare directory existence: an all-filtered first batch (an
+      // empty partitioned write commits no data files) or a crash
+      // inside buildStore would otherwise leave a dataless directory
+      // that sends every retry down mergeDelta's store read — failing
+      // schema inference deterministically, wedging the stream.
       val events = admitted.select(docTs.as("ts"),
         col("lang").as("event_type"), col("quality").cast("double").as("value"))
-      if (!new java.io.File(dirs.rollup).exists())
+      if (!Fs.hasCommittedParquet(new java.io.File(dirs.rollup)))
         RollupMaintenance.buildStore(events, dirs.rollup, stamp = s"b$batchId")
       else
         RollupMaintenance.mergeDelta(spark, dirs.rollup, events, s"b$batchId")
@@ -90,7 +115,7 @@ object CurationPipeline {
       // replay REPLACES a previously-committed copy instead of adding
       // files beside it; the sink stages per-task and manifests last
       val target = s"${dirs.publish}/batch_id=$batchId"
-      deleteRecursively(new java.io.File(target))
+      Fs.deleteRecursively(new java.io.File(target))
       admitted.write.format("graft.sources.AtomicSink")
         .option("path", target).mode("append").save()
     } finally admitted.unpersist()
@@ -114,10 +139,5 @@ object CurationPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", dirs.checkpoint)
       .start()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
   }
 }

@@ -38,9 +38,20 @@ class IndexedAnnSpec extends SparkSpec {
       assert(nParts > 0 && nParts <= 16, s"$path read $nParts partitions")
     }
     // the corpus parquet appears only as the bounded query-vector
-    // reads (q_id < 20), never as a neighbor-side scan
-    val corpusScans = scans.filter(_._1.contains("embeddings"))
-    corpusScans.foreach { case (path, _, _) => assert(path.nonEmpty) }
+    // reads: every embeddings scan must carry the vec_id < 20 bound
+    // as a pushed data filter — a rerank path regressed to fetching
+    // neighbor vectors from the full corpus would scan embeddings
+    // WITHOUT that bound and fail here
+    val embScans = execNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains("embeddings") => s
+    }
+    assert(embScans.nonEmpty, "expected bounded query-vector scans of embeddings")
+    embScans.foreach { s =>
+      val filters = (s.dataFilters ++ s.partitionFilters).mkString(" AND ")
+      assert(filters.contains("vec_id") && filters.contains("20"),
+        s"embeddings scanned without the query-vector bound: [$filters]")
+    }
 
     // strict-pruning mechanics on the REAL materialized layout: a
     // 2-bucket probe reads exactly 2 of the 16 hive partitions, pruned

@@ -69,20 +69,21 @@ class SimilaritySpec extends SparkSpec {
       s"missed: ${unblocked -- blocked}; extra: ${blocked -- unblocked}")
   }
 
-  test("training memo is bounded: overflow clears instead of growing") {
-    // synthetic keys through the same code path the queries use —
-    // after MemoMaxEntries+1 distinct keys the memo must have shrunk,
-    // never exceeded the cap, and still return the value it trained
-    SimilarityQueries.clearTrainingMemo()
-    val n = SimilarityQueries.MemoMaxEntries + 1
-    val vals = (0 until n).map { i =>
-      SimilarityQueries.boundedMemo(
-        SimilarityQueries.centMemo, (s"dir_$i", i))(Seq((i.toLong, Seq(i.toDouble))))
-    }
-    assert(vals.zipWithIndex.forall { case (v, i) => v.head._1 == i.toLong })
-    assert(SimilarityQueries.centMemo.size <= SimilarityQueries.MemoMaxEntries)
-    assert(SimilarityQueries.centMemo.size < n) // the clear actually fired
-    SimilarityQueries.clearTrainingMemo()
+  test("build-once memo is bounded: overflow clears instead of growing") {
+    // the shared mechanics every build-once artifact (training,
+    // index layouts, warehouse) goes through — after MemoMaxEntries+1
+    // distinct keys the memo must have shrunk, never exceeded the
+    // cap, still returned the value it built, and be covered by the
+    // registry's clearAll (the invariance-test hook)
+    import graft.ops.BuildOnce
+    val m = BuildOnce.memo[Int, Long]()
+    val n = BuildOnce.MemoMaxEntries + 1
+    val vals = (0 until n).map(i => BuildOnce.cached(m, i)(i.toLong))
+    assert(vals.zipWithIndex.forall { case (v, i) => v == i.toLong })
+    assert(m.size <= BuildOnce.MemoMaxEntries)
+    assert(m.size < n) // the clear actually fired
+    BuildOnce.clearAll()
+    assert(m.isEmpty) // registered: the test hook resets it
   }
 
   test("near-dup candidates are an equi-join on (label, bucket), never label alone") {

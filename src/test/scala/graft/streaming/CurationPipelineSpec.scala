@@ -90,6 +90,26 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rollup.getDecimal(1) === quality, s"$rollup vs $quality")
   }
 
+  test("an all-filtered FIRST batch leaves a bootstrappable rollup store") {
+    // batch 0 admits nothing (every doc fails the quality floor): the
+    // partitioned store write commits a directory with NO data files.
+    // The next batch's bootstrap-vs-merge dispatch must treat that as
+    // "no store yet" — a bare dir-exists check would send batch 1 down
+    // mergeDelta's store read, which fails schema inference on a
+    // dataless dir, deterministically, on every retry (stream wedged).
+    val base = Files.createTempDirectory("curation_empty").toString
+    val dirs = CurationPipeline.Dirs(s"$base/pipe")
+    CurationPipeline.processBatch(spark,
+      docs((1L, "short low quality"), (2L, "tiny")), dirs, 0L)
+    CurationPipeline.processBatch(spark, docs((3L, famA)), dirs, 1L)
+    CurationPipeline.processBatch(spark, docs((3L, famA)), dirs, 1L) // retry
+
+    assert(publishedIds(dirs.publish).toSet === Set(3L))
+    val rollup = spark.read.parquet(dirs.rollup)
+      .agg(sum("n_events")).head()
+    assert(rollup.getLong(0) === 1L, rollup)
+  }
+
   test("a crash at EVERY inter-stage boundary converges on retry") {
     val base = Files.createTempDirectory("curation_crash").toString
     val dirs = CurationPipeline.Dirs(s"$base/pipe")
