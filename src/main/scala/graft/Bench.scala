@@ -48,10 +48,11 @@ object Bench {
       // first timed run absorbs all of them and run-to-run agreement
       // degrades past the ±20% the driver gates on
       try { queries(name)(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(e) =>
-        // loud but not fatal: the timed runs below will report -1 and
-        // attribute the failure; a silent eat here would misattribute
-        // a target-scale-only failure to the timed pass
+      catch { case e: Throwable =>
+        // loud but not fatal — Throwable, like the timed runs: a
+        // target-scale OOM here must degrade THIS query to -1 below,
+        // not abort main before any JSON is emitted (the driver would
+        // lose the whole round's measurement to one bad query)
         System.err.println(s"[bench] target warm $name: $e")
       }
       spark.catalog.clearCache()

@@ -423,15 +423,13 @@ object DedupQueries extends QueryModule {
         //     just those docs.
         val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
           .select(col("doc_id"), col("text"))
-        val sigs = docs
-          .select(col("doc_id"),
-            minhashSignature(distinctShingles(col("text")), k).as("sig"))
-          .persist()
         // the returned plan reads sigs several times (band self-join +
         // two pre-filter lookups), so it must stay cached through the
         // caller's execution; the PREVIOUS invocation's copy is
-        // released here so repeated runs don't accumulate cache
-        Option(lastSigs.getAndSet(sigs)).foreach(_.unpersist())
+        // released (bounded at one — see BuildOnce.swapPersist)
+        val sigs = graft.ops.BuildOnce.swapPersist(lastSigs, docs
+          .select(col("doc_id"),
+            minhashSignature(distinctShingles(col("text")), k).as("sig")))
         val exploded = sigs.select(col("doc_id"),
           posexplode(bandHashes(col("sig"), bands, rows))
             .as(Seq("band_idx", "band_hash")))
@@ -535,14 +533,13 @@ object DedupQueries extends QueryModule {
         // flagged-starts semi-join — unpersisted it would compute
         // twice (and tokenization three times). Previous invocation's
         // copy released (lastSigs pattern, bounded at one)
-        val grams = tok.select(col("doc_id"), col("toks"),
+        val grams = graft.ops.BuildOnce.swapPersist(DedupFunctions.lastGrams,
+          tok.select(col("doc_id"), col("toks"),
             explode(when(size(col("toks")) >= n,
                 sequence(lit(0), size(col("toks")) - n))
               .otherwise(array().cast("array<int>"))).as("p"))
           .select(col("doc_id"), col("p"),
-            concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g"))
-          .persist()
-        Option(DedupFunctions.lastGrams.getAndSet(grams)).foreach(_.unpersist())
+            concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))).as("g")))
         val shared = grams.groupBy("g")
           .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
           .filter(col("__mn") =!= col("__mx"))

@@ -612,10 +612,10 @@ object SimilarityQueries extends QueryModule {
     // swap-release below (a bare persist per call would accumulate
     // pinned copies for the session's lifetime — CacheManager holds
     // strong references).
-    val codes = assignBuckets(emb, centroids).select(
-      col("n_id") +: col("bucket") +:
-        pqCodeCols(books, col("n_v"), m, subDim): _*).persist()
-    Option(lastCodes.getAndSet(codes)).foreach(_.unpersist())
+    val codes = graft.ops.BuildOnce.swapPersist(lastCodes,
+      assignBuckets(emb, centroids).select(
+        col("n_id") +: col("bucket") +:
+          pqCodeCols(books, col("n_v"), m, subDim): _*))
     val queries = queryVecs(emb)
     val probes = probeBuckets(queries, centroids, nprobe)
       .select("q_id", "bucket")

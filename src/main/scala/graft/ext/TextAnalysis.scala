@@ -639,8 +639,8 @@ object TextQueries extends QueryModule {
         // etc.), so everything past `ab` aggregates ≤|vocab|² rows —
         // computing them straight off `p` would tokenize + explode
         // the corpus four times
-        val ab = p.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).persist()
-        Option(lastPairs.getAndSet(ab)).foreach(_.unpersist())
+        val ab = graft.ops.BuildOnce.swapPersist(lastPairs,
+          p.groupBy("a", "b").agg(count(lit(1)).as("c_ab")))
         val la = ab.groupBy("a").agg(sum("c_ab").as("c_a"))
         val rb = ab.groupBy("b").agg(sum("c_ab").as("c_b"))
         val n = ab.agg(sum("c_ab").as("n_pairs"))

@@ -51,4 +51,20 @@ object BuildOnce {
     val it = registry.iterator()
     while (it.hasNext) it.next().clear()
   }
+
+  /** One-slot persisted-frame cache: release the PREVIOUS invocation's
+    * copy FIRST, then persist the new one. The reverse order
+    * (persist-then-release) self-defeats whenever consecutive
+    * invocations build the same canonical plan: CacheManager dedups
+    * entries by canonicalized plan, so the new persist is a no-op
+    * against the old entry and the follow-up unpersist drops that
+    * shared entry — leaving the new invocation uncached and every
+    * downstream read recomputing. Returns the (persisted) frame. */
+  def swapPersist(
+      ref: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.DataFrame],
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    Option(ref.getAndSet(df)).foreach(_.unpersist())
+    df.persist()
+  }
 }

@@ -143,10 +143,9 @@ object EventsQueries extends QueryModule {
         // unpersisted, the events scan + counts agg + spine scan all
         // run twice (~4 events scans for one query). Previous
         // invocation's copy released (bounded at one)
-        val series = spine.join(counts, Seq("h", "event_type"), "left")
-          .withColumn("n", coalesce(col("n"), lit(0L)))
-          .persist()
-        Option(lastSeries.getAndSet(series)).foreach(_.unpersist())
+        val series = graft.ops.BuildOnce.swapPersist(lastSeries,
+          spine.join(counts, Seq("h", "event_type"), "left")
+            .withColumn("n", coalesce(col("n"), lit(0L))))
         val pairs = series
           .select(col("h"), col("event_type").as("ta"), col("n").as("x"))
           .join(series.select(col("h"), col("event_type").as("tb"),
@@ -213,17 +212,16 @@ object EventsQueries extends QueryModule {
       fn = (spark, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
-        val trans = Tables(spark, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("to_type", lead(col("event_type"), 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("to_type"))
-          .agg(count(lit(1)).as("n"))
-          // persisted: totals AND the final join both read it — the
-          // lag window over the full event stream must run once.
-          // Previous invocation's copy released (bounded at one)
-          .persist()
-        Option(lastTrans.getAndSet(trans)).foreach(_.unpersist())
+        // persisted: totals AND the final join both read it — the
+        // lag window over the full event stream must run once.
+        // Previous invocation's copy released (bounded at one)
+        val trans = graft.ops.BuildOnce.swapPersist(lastTrans,
+          Tables(spark, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+            .withColumn("to_type", lead(col("event_type"), 1).over(w))
+            .filter(col("to_type").isNotNull)
+            .groupBy(col("event_type").as("from_type"), col("to_type"))
+            .agg(count(lit(1)).as("n")))
         val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
         trans.join(totals, "from_type")
           .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
@@ -304,11 +302,11 @@ object EventsQueries extends QueryModule {
         // s1/s2 feed both their own count AND the next stage — persist
         // so the 3-stage funnel scans events once per stage, not ~6
         // times (each frame is per-user aggregates, funnel-shrinking)
-        val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t1")).persist()
-        Option(lastFunnelS1.getAndSet(s1)).foreach(_.unpersist())
-        val s2 = stage("click", s1, "t1", "t2").persist()
-        Option(lastFunnelS2.getAndSet(s2)).foreach(_.unpersist())
+        val s1 = graft.ops.BuildOnce.swapPersist(lastFunnelS1,
+          ev.filter(col("event_type") === "signup")
+            .groupBy("user_id").agg(min(col("ts")).as("t1")))
+        val s2 = graft.ops.BuildOnce.swapPersist(lastFunnelS2,
+          stage("click", s1, "t1", "t2"))
         val s3 = stage("purchase", s2.select("user_id", "t2"), "t2", "t3")
         // fixed-order single-row output: exact BIGINT counts
         s1.agg(count(lit(1)).as("n_signup"))

@@ -79,15 +79,13 @@ object CurationPipeline {
     val survivors = // (doc_id, lang, quality)
       if (Fs.hasCommittedParquet(new java.io.File(batchDir)))
         spark.read.parquet(batchDir)
-      else batch.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("quality",
-            org.apache.spark.sql.types.DoubleType))))
+      else
+        // derive the empty frame from the SAME lineage CurationIngest
+        // writes (score → project), so the two schemas cannot drift —
+        // a hand-built StructType here would silently diverge the
+        // empty-batch path when the ingest stage adds/renames a column
+        graft.ext.PipelineOps.curationScore(batch)
+          .select("doc_id", "lang", "quality").filter(lit(false))
     val withText = survivors.join(batch.select("doc_id", "text"), "doc_id")
 
     // stage 2 — near-dup: LSH admission vs the signature index

@@ -10,6 +10,7 @@ name (like the driver). Prints per-query PASS/FAIL + first diffs.
 """
 import json
 import sys
+import tempfile
 
 import duckdb
 
@@ -97,7 +98,10 @@ def main():
     # untouched.
     if os.environ.get("GRAFT_ORACLE_MEM"):
         con.sql(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
-        con.sql("SET temp_directory='/tmp/graft_duck_spill'")
+        # per-process spill dir: concurrent oracle runs (e.g. sf1 and
+        # sf0.01 gates side by side) must not clobber each other's
+        # temp blocks in a shared directory
+        con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='graft_duck_spill_')}'")
     if os.environ.get("GRAFT_ORACLE_THREADS"):
         con.sql(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
     for t in TABLES:
