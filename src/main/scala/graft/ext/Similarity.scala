@@ -809,6 +809,48 @@ object SimilarityQueries extends QueryModule {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       bench = true),
 
+    // ---- Filtered similarity search: top-k under a metadata
+    // predicate (here: neighbors sharing the query's label — "find
+    // similar items in MY category", the filter every production
+    // vector search carries). This is the exact PRE-FILTER strategy:
+    // the predicate is an equi-key, so it becomes part of the join key
+    // — the corpus is filtered by the broadcast query side before any
+    // distance math, result exactness is unconditional, and no row
+    // outside the label ever scores. Its complement is IVF
+    // POST-filtering (`VectorIndex.probe(metaFilter=...)`): keep the
+    // index's bucket pruning and apply the predicate inside the pruned
+    // scan — cheaper per query, but a predicate rare within the probed
+    // buckets can starve top-k below k (VectorIndexSpec measures that
+    // trade; pre-filter wins for selective equi-predicates, post-filter
+    // for broad ones).
+    "q_ann_filtered" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("q_v"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        broadcast(queries)
+          .join(emb.select(col("vec_id").as("n_id"), col("label"),
+              col("v").as("n_v")),
+            col("label") === col("q_label") && col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "label", "rank", "n_id", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + s"""
+        |SELECT q_id, label, rank, n_id, sim FROM (
+        |  SELECT q.vec_id AS q_id, n.label AS label, n.vec_id AS n_id,
+        |    $cosSql AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                       ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |  FROM emb q JOIN emb n ON q.vec_id < 20 AND n.label = q.label
+        |    AND n.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- Embedding near-dup: same-label pairs above a cosine
     // threshold, with planted perturbed copies as guaranteed positives.
     // Candidates are an equi-join on (label, hyperplane sign-bucket)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,12 +17,20 @@ import graft.ext.VectorFunctions.cosine
   * its `nprobe` partitions — `nprobe/nlist` of the data, enforced by
   * partition pruning in the scan (visible as PartitionFilters in the
   * plan), not by a runtime filter.
+  *
+  * The index is MAINTAINED, not rebuilt: [[mergeDelta]] appends new
+  * vectors against the frozen centroids (assignment is per-row
+  * deterministic, so the merged index is bit-identical to a full
+  * rebuild over the union corpus — spec-proven), and replaying the
+  * same delta is a no-op (vec_id anti-join admission). Retraining
+  * centroids is a separate, rarer event that rewrites the layout.
   */
 object VectorIndex {
 
-  /** Assign every corpus vector to its nearest centroid and write the
-    * index partitioned by the centroid id. `centroids` must be small
-    * (it is broadcast: nlist rows).
+  /** Nearest-centroid assignment of `emb` — (vec_id, v, bucket) plus
+    * any metadata columns `emb` carries (e.g. `label`), preserved via
+    * first() so filtered probes can push predicates into the stored
+    * layout.
     *
     * The argmax is a `max_by` AGGREGATION, not a window: an
     * aggregation partially reduces map-side, so ~1 row per vec_id per
@@ -30,17 +38,52 @@ object VectorIndex {
     * cross join would shuffle nlist expanded copies of every vector.
     * Tie-break (equal c_sim → smallest c_id) matches the query-side
     * ROW_NUMBER formulation via the (c_sim, -c_id) struct order. */
-  def build(emb: DataFrame, centroids: DataFrame, dir: String): Unit =
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val meta = emb.columns.filterNot(Set("vec_id", "v")) // e.g. label
     emb.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("v"), col("c_v")))
       .groupBy("vec_id")
       .agg(
         max_by(col("c_id"), struct(col("c_sim"), (-col("c_id")).as("nc"))).as("bucket"),
-        first(col("v")).as("v")) // v is constant per vec_id
-      .select(col("vec_id"), col("v"), col("bucket"))
+        first(col("v")).as("v") +: // v (and meta) constant per vec_id
+          meta.toIndexedSeq.map(c => first(col(c)).as(c)): _*)
+      .select(col("vec_id") +: col("v") +:
+        meta.toIndexedSeq.map(col) :+ col("bucket"): _*)
+  }
+
+  /** Assign every corpus vector to its nearest centroid and write the
+    * index partitioned by the centroid id. `centroids` must be small
+    * (it is broadcast: nlist rows). */
+  def build(emb: DataFrame, centroids: DataFrame, dir: String): Unit =
+    assign(emb, centroids)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(dir)
+
+  /** Append NEW vectors to an existing index against the FROZEN
+    * centroids — the maintenance path of "build once, probe many":
+    * a corpus growing by deltas must not re-encode what's already
+    * indexed. Admission is a `vec_id` anti-join against the stored
+    * index, so replaying a delta (crash/retry) appends nothing twice —
+    * the one column read from the existing index is the vec_id ints,
+    * a pruned columnar scan (at larger scale, swap for the bloom-
+    * prefilter admission `ext/Dedup.q_bloom_delta` demonstrates).
+    * Assignment against fixed centroids is per-row deterministic, so
+    * probe-after-merge is bit-identical to a rebuild over the union
+    * corpus (spec-proven). Returns the number of rows appended. */
+  def mergeDelta(spark: SparkSession, dir: String, delta: DataFrame,
+      centroids: DataFrame): Long = {
+    val existing = spark.read.parquet(dir).select("vec_id")
+    val admitted = assign(
+      delta.join(existing, Seq("vec_id"), "left_anti"), centroids)
+      .persist() // read twice: the count and the append
+    try {
+      val n = admitted.count()
+      if (n > 0)
+        admitted.write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
+      n
+    } finally { admitted.unpersist(); () }
+  }
 
   /** Write the composed IVF-PQ layout — the on-disk index the
     * `q_ann_ivfpq_indexed` probe reads ("build once, probe many"):
@@ -72,9 +115,21 @@ object VectorIndex {
 
   /** Top-k neighbors for each query vector, reading ONLY the probed
     * buckets (partition pruning: `bucket` is a partition column and the
-    * probe set is a literal IN-list resolved before the scan). */
+    * probe set is a literal IN-list resolved before the scan).
+    *
+    * `metaFilter` is the filtered-search hook: a predicate on the
+    * index's stored metadata columns (e.g. `col("label") === 7`),
+    * applied INSIDE the pruned scan — it reaches the parquet reader as
+    * a pushed data filter, so a selective predicate skips row groups
+    * on top of the partition pruning. This is IVF post-filtering:
+    * candidates come from the probed buckets only, so a filter that is
+    * rare inside those buckets can starve top-k below k — the
+    * recall/selectivity trade the spec measures. (The exact pre-filter
+    * formulation is `q_ann_filtered`; it wins when the predicate is an
+    * equi-key, losing the index but keeping exactness.) */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      centroids: DataFrame, nprobe: Int, k: Int,
+      metaFilter: Option[Column] = None): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
@@ -87,8 +142,9 @@ object VectorIndex {
     // with DPP; an IN-list is statically pruned in every Spark version)
     val buckets = probes.select("bucket").distinct()
       .collect().map(_.getLong(0)) // nlist-bounded: ≤ queries × nprobe ids
-    val index = spark.read.parquet(dir)
+    val pruned = spark.read.parquet(dir)
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    val index = metaFilter.map(f => pruned.filter(f)).getOrElse(pruned)
 
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     broadcast(probes)

@@ -42,4 +42,95 @@ class VectorIndexSpec extends SparkSpec {
     val fromIndex = probed.collect().map(_.toSeq).sortBy(_.toString)
     assert(fromIndex.toSeq === inMemory.toSeq)
   }
+
+  private def embWithLabel = Tables(spark, sf, "embeddings")
+    .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+
+  test("mergeDelta: merged index probes bit-identical to a full rebuild; replay is a no-op") {
+    val base = Files.createTempDirectory("ivf_merge").toString
+    val emb = embWithLabel
+    val centroids = graft.ext.Similarity.trainedCentroids(
+      emb.select("vec_id", "v"), iters = 2)
+
+    // grown index: build on half the corpus, merge the other half in
+    val grown = s"$base/grown"
+    VectorIndex.build(emb.filter(col("vec_id") % 2 === 0), centroids, grown)
+    val appended = VectorIndex.mergeDelta(spark, grown,
+      emb.filter(col("vec_id") % 2 === 1), centroids)
+    assert(appended > 0)
+
+    // rebuilt index: one build over the union corpus, same centroids
+    val rebuilt = s"$base/rebuilt"
+    VectorIndex.build(emb, centroids, rebuilt)
+
+    // assignment against FROZEN centroids is per-row deterministic, so
+    // the two layouts must probe bit-identically
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    def probeAll(dir: String) =
+      VectorIndex.probe(spark, dir, queries, centroids, nprobe = 2, k = 5)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(probeAll(grown) === probeAll(rebuilt))
+
+    // replaying the SAME delta (crash/retry) admits nothing: the
+    // vec_id anti-join makes maintenance idempotent
+    val replayed = VectorIndex.mergeDelta(spark, grown,
+      emb.filter(col("vec_id") % 2 === 1), centroids)
+    assert(replayed === 0L)
+    assert(spark.read.parquet(grown).count() ===
+      spark.read.parquet(rebuilt).count())
+  }
+
+  test("filtered probe: metadata predicate is pushed into the pruned scan") {
+    val dir = Files.createTempDirectory("ivf_filtered").toString + "/index"
+    val emb = embWithLabel
+    val centroids = graft.ext.Similarity.trainedCentroids(
+      emb.select("vec_id", "v"), iters = 2)
+    VectorIndex.build(emb, centroids, dir) // label rides along into the layout
+
+    val lbl = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val filtered = VectorIndex.probe(spark, dir, queries, centroids,
+      nprobe = 4, k = 5, metaFilter = Some(col("label") === lbl))
+
+    // the label predicate reaches the index scan as a DATA filter on
+    // top of the bucket PartitionFilters — post-filtering skips row
+    // groups inside the probed partitions, it never widens the scan
+    filtered.collect()
+    val idxScans = execNodes(filtered).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains("ivf_filtered") => s
+    }
+    assert(idxScans.nonEmpty)
+    idxScans.foreach { s =>
+      assert(s.partitionFilters.mkString(" ").contains("bucket"),
+        s"no bucket partition pruning: ${s.partitionFilters}")
+      assert(s.dataFilters.mkString(" ").contains("label"),
+        s"label predicate not pushed into the scan: ${s.dataFilters}")
+    }
+
+    // post-filter semantics: identical to re-ranking the UNfiltered
+    // probe's label survivors (computed with an un-capped k so no
+    // survivor is cut before the filter) — and the starvation trade is
+    // real: rows-per-query may drop below k when the label is rare in
+    // the probed buckets
+    val corpus = spark.read.parquet(dir).count().toInt
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val expected = VectorIndex.probe(spark, dir, queries, centroids,
+        nprobe = 4, k = corpus)
+      .join(emb.filter(col("label") === lbl).select(col("vec_id").as("n_id")),
+        "n_id")
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "sim")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val got = filtered.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got === expected)
+    val perQuery = filtered.groupBy("q_id").count()
+      .agg(min("count"), max("count")).head()
+    info(s"filtered probe rows/query: min=${perQuery.getLong(0)} " +
+      s"max=${perQuery.getLong(1)} (k=5; < k ⇒ label starved in probed buckets)")
+  }
 }
