@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Iterative graph ranking over relationship graphs a warehouse
+  * already holds (entity importance for curation weighting — e.g.
+  * rank web domains by their link graph before sampling a pretraining
+  * mix). Companion to [[PipelineOps.connectedComponents]]: components
+  * answer "which rows are the same thing", ranking answers "which
+  * things matter most".
+  */
+object GraphOps {
+
+  /** Weighted PageRank in EXACT fixed-point integer arithmetic —
+    * power iteration with damping 0.85, every quantity a BIGINT so
+    * any engine replays the identical ranks (double summation is
+    * order-sensitive and would never hash-match across engines;
+    * integer arithmetic commutes).
+    *
+    * Semantics per iteration, all integer ops:
+    *   contribution along edge e=(u,v,w) = (pr(u) * w) div out_w(u)
+    *   pr'(v) = scale*15/100 + (85 * sum_contrib(v)) div 100
+    *
+    * Truncation: each `div` rounds toward zero, so a node's out-mass
+    * can lose up to out_degree ulps per round — at scale=1e9 that is
+    * a 1e-9-relative artifact, far below any ranking decision, and
+    * identical in every engine (determinism is the point; doubles
+    * would diverge engine-to-engine instead).
+    *
+    * Overflow bound: pr(u) ≤ n_nodes*scale and the per-edge product
+    * pr(u)*w must stay under 2^63 — with scale=1e9 that holds to
+    * ~10^9 nodes × weight 8, comfortably past a web-scale domain
+    * graph (document the bound, don't discover it in production).
+    *
+    * Scale shape: each iteration is ONE equi-join of ranks against
+    * the edge list on `src` plus one partial-aggregated groupBy on
+    * `dst` — the canonical distributed PageRank. Edges carry their
+    * out-weight (joined once, up front), ranks and edges co-partition
+    * on the join key, and nothing ever collects to the driver. Fixed
+    * `iters` (power iteration), so the whole run is one declarative
+    * plan; past ~10 iterations chain [[PipelineOps.connectedComponents]]'s
+    * localCheckpoint-per-round pattern to stop lineage growth.
+    *
+    * Dangling nodes: the node set is derived from edge SOURCES, so
+    * callers passing both edge directions (the undirected/bipartite
+    * case, like `q_pagerank`) have none by construction; for a truly
+    * directed graph, redistribute or drop dangling mass upstream.
+    *
+    * @param edges (src, dst, w) directed weighted edges
+    * @return (node, pr) fixed-point ranks, pr ≈ rank × scale
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    // every edge carries its source's total out-weight; this join
+    // happens ONCE, not per iteration, and both sides arrive already
+    // hash-partitioned on src
+    val withOw = e.join(outw, "src")
+    val nodes = e.select(col("src").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
+    val base = lit(scale * 15L / 100L)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(withOw, ranks("node") === withOw("src"))
+        .select(col("dst").as("node"), expr("pr * w div ow").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (base + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("pr"))
+    }
+    ranks
+  }
+}
+
+object GraphQueries extends QueryModule {
+
+  /** Shared SQL for one oracle power-iteration step (unrolled —
+    * fixed iteration count means the oracle needs no recursion). */
+  private def iterCte(prev: String, cur: String): String = s"""
+    |$cur AS (
+    |  SELECT n.node,
+    |    CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+    |  FROM nodes n LEFT JOIN (
+    |    SELECT e.dst AS node, CAST(SUM((r.pr * e.w) // o.ow) AS BIGINT) AS s
+    |    FROM $prev r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = e.src
+    |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- PageRank over the customer–supplier order graph: an edge
+    // (customer, supplier) weighted by how many lineitems connect
+    // them, both directions included (bipartite random walk), 5 power
+    // iterations in exact fixed-point arithmetic, top suppliers by
+    // rank. The iterative-graph twin of the one-shot star join: rank
+    // flows customer→supplier→customer, so a supplier scores high for
+    // serving well-connected customers, not merely many of them.
+    "q_pagerank" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(
+            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("S"), col("l_suppkey").cast("string")).as("s"))
+          .agg(count(lit(1)).as("w"))
+        val edges = cs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+          .union(cs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+        GraphOps.pageRank(edges, iters = 5)
+          .filter(col("node").startsWith("S"))
+          .orderBy(col("pr").desc, col("node"))
+          .limit(25)
+      },
+      oracle = Some(s"""
+        |WITH cs AS (
+        |  SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |         'S' || CAST(l.l_suppkey AS VARCHAR) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c AS src, s AS dst, w FROM cs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, w FROM cs),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+        |${(0 until 5).map(i => iterCte(s"it$i", s"it${i + 1}").trim).mkString(",\n")}
+        |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
+        |ORDER BY pr DESC, node LIMIT 25""".stripMargin))
+  )
+}

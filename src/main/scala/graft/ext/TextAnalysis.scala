@@ -737,7 +737,55 @@ object TextQueries extends QueryModule {
           .orderBy(col("score").desc, col("doc_id")).limit(10)
           .select("doc_id", "dl", "score")
       },
-      oracle = Some(bm25OracleSql))
+      oracle = Some(bm25OracleSql)),
+
+    // ---- Model-based quality filtering: a fasttext-style LINEAR
+    // classifier over hashed bag-of-words features — the "model
+    // filter" stage of a pretraining pipeline (CCNet-style), scoring
+    // docs with a fixed weight table instead of heuristics. The
+    // feature hash is the first 3 hex digits of md5(token) (a 4096-
+    // bucket feature space both engines compute identically); the
+    // weight table is a fixed multiplicative-hash function of the
+    // bucket id (stand-in for trained weights — at production scale
+    // the 4096-entry table broadcasts and nothing changes shape).
+    // Score = EXACT BIGINT sum of per-token weights: integer addition
+    // commutes, so any engine replays the identical score (a double
+    // dot product would be summation-order-sensitive and never
+    // hash-match). Scale shape: one narrow codegen'd expression per
+    // row — transform + aggregate over the token array, no explode,
+    // no shuffle; the classifier costs exactly one corpus scan.
+    "q_quality_classifier" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val weight = (t: org.apache.spark.sql.Column) =>
+          conv(substring(md5(t.cast("binary")), 1, 3), 16, 10).cast("long") *
+            2654435761L % 1000003L - 501501L
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+              .as("score"))
+          .withColumn("kept", (col("score") > 0).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |SELECT doc_id, lang,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |      t -> md5(t)),
+        |    h -> ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))
+        |        * 2654435761 % 1000003 - 501501)), 0) AS BIGINT) AS score,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+        |      t -> md5(t)),
+        |    h -> ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))
+        |        * 2654435761 % 1000003 - 501501)), 0) > 0 AS BIGINT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —

@@ -52,6 +52,75 @@ object InvertedIndex {
     } finally base.unpersist()
   }
 
+  /** Append NEW documents to an existing index — the maintenance path
+    * of "build once, probe many", mirroring [[VectorIndex.mergeDelta]]:
+    * a corpus growing by deltas must not re-tokenize what's already
+    * indexed. Admission is a `doc_id` anti-join against `docstats`
+    * (the narrowest stored table — one row per doc), so replaying the
+    * same delta after a SUCCESSFUL merge appends nothing twice. The
+    * corpus stats row is folded forward with exact integer adds
+    * (old + delta), so probe-after-merge is bit-identical to a full
+    * rebuild over the union corpus ([[graft.InvertedIndexSpec]]
+    * proves it).
+    *
+    * Write order: postings → docstats → stats. A crash BETWEEN the
+    * three writes leaves a window where replay double-appends
+    * postings — per-batch atomicity across tables is the batch-ledger
+    * pattern ([[graft.streaming.BatchLedger]] / `AtomicSink`), which
+    * a production deployment wraps around this call; the function
+    * itself stays a pure layout operation.
+    *
+    * Returns the number of documents appended. */
+  def mergeDelta(spark: SparkSession, dir: String, delta: DataFrame): Long = {
+    val existing = spark.read.parquet(s"$dir/docstats").select("doc_id")
+    // localCheckpoint, NOT persist: the admission plan READS
+    // $dir/docstats, which this function also APPENDS to — a cached
+    // plan over that path is invalidated by the write (recacheByPath)
+    // and would recompute admission against the post-append table
+    // (empty delta, NULL stats fold). Eager checkpoint severs the
+    // lineage, freezing admission at call time (same hazard + fix as
+    // RollupMaintenance.mergeDelta).
+    val base = delta.join(existing, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    try {
+      val n = base.count()
+      if (n > 0) {
+        val stats = spark.read.parquet(s"$dir/stats").head()
+        val (nDocs, totalDl, nBuckets) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+        base.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode(SaveMode.Append)
+          .partitionBy("bucket").parquet(s"$dir/postings")
+        base.select("doc_id", "dl")
+          .write.mode(SaveMode.Append).parquet(s"$dir/docstats")
+        val d = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("td")).head()
+        import spark.implicits._
+        Seq((nDocs + d.getLong(0), totalDl + d.getLong(1), nBuckets))
+          .toDF("n_docs", "total_dl", "n_buckets")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+      }
+      n
+    } finally release(base)
+  }
+
+  /** Deterministic release of a localCheckpoint'ed frame —
+    * Dataset.unpersist alone does not drop checkpoint RDD blocks
+    * (same reach-through as RollupMaintenance/PipelineOps). */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** BM25 top-k over the index for a fixed term list — BIT-IDENTICAL
     * to the full-scan `q_bm25` on the same corpus (spec-proven): the
     * probed postings pivot to fixed per-term tf columns, so the score

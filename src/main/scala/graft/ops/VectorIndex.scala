@@ -74,15 +74,27 @@ object VectorIndex {
   def mergeDelta(spark: SparkSession, dir: String, delta: DataFrame,
       centroids: DataFrame): Long = {
     val existing = spark.read.parquet(dir).select("vec_id")
+    // localCheckpoint, NOT persist: the admission plan READS `dir`,
+    // which the append below WRITES — a cache-evicted partition
+    // recomputed mid-append would re-scan the half-written index
+    // (and the write itself invalidates caches over the path). Eager
+    // checkpoint freezes admission at call time (same hazard + fix
+    // as InvertedIndex/RollupMaintenance.mergeDelta).
     val admitted = assign(
       delta.join(existing, Seq("vec_id"), "left_anti"), centroids)
-      .persist() // read twice: the count and the append
+      .localCheckpoint(true)
     try {
       val n = admitted.count()
       if (n > 0)
         admitted.write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
       n
-    } finally { admitted.unpersist(); () }
+    } finally {
+      admitted.unpersist()
+      admitted.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
   }
 
   /** Write the composed IVF-PQ layout — the on-disk index the

@@ -60,6 +60,57 @@ object AnalyticsQueries extends QueryModule {
         |    ORDER BY o_orderdate) IS NULL AS BIGINT) AS is_current
         |FROM chg ORDER BY o_custkey, valid_from""".stripMargin)),
 
+    // ---- SCD2 point-in-time lookup (pipeline/Scd2.asOf): the
+    // dimension AS IT STOOD on 1996-06-01 — the version whose
+    // [valid_from, valid_to) interval covers the probe instant, one
+    // row per key then known. This is the read path every fact-table
+    // backfill join uses against a versioned dimension; the interval
+    // predicate is a plain filter over the rebuilt dim (at warehouse
+    // scale: a partition-pruned read of the is_current=false slice
+    // plus the open one — no join, no window).
+    "q_scd2_asof" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy("o_orderkey")
+        val log = Tables(spark, dir, "orders")
+          .filter(col("o_custkey") < 200)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderpriority"),
+            col("o_orderdate").as("effective_ts"))
+        val dim = graft.pipeline.Scd2.rebuild(log, "o_custkey",
+          Seq("o_orderpriority"))
+        graft.pipeline.Scd2.asOf(dim, lit("1996-06-01").cast("timestamp"))
+          .select(col("o_custkey"), col("o_orderpriority"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        |WITH log AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate FROM (
+        |    SELECT o_custkey, o_orderpriority, o_orderdate,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                         ORDER BY o_orderkey) AS rn
+        |    FROM orders WHERE o_custkey < 200) WHERE rn = 1),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderpriority, o_orderdate,
+        |      LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate) AS prev
+        |    FROM log)
+        |  WHERE prev IS NULL OR o_orderpriority != prev),
+        |dim AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    o_orderdate AS valid_from,
+        |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate) AS valid_to
+        |  FROM chg)
+        |SELECT o_custkey, o_orderpriority,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+        |FROM dim
+        |WHERE valid_from <= TIMESTAMP '1996-06-01'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')
+        |ORDER BY o_custkey""".stripMargin)),
+
     // ---- Data-contract report (ops/QualityChecks): nullability +
     // domain checks fold into ONE conditional-aggregation pass per
     // table; duplicate keys are a count-distinct; FK orphans are

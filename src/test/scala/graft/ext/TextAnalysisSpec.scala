@@ -204,4 +204,31 @@ class TextAnalysisSpec extends SparkSpec {
     info(s"ratio-idf vs log-idf top-10 overlap: $overlap/10")
     assert(overlap >= 6, s"overlap $overlap")
   }
+
+  test("quality classifier scores replay bit-for-bit in plain Scala") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_quality_classifier")(spark, sf)
+      .select("doc_id", "score", "kept")
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // independent single-threaded replication of the hashed linear
+    // model: JDK MessageDigest md5, same 3-hex-digit bucket, same
+    // multiplicative weight — scores are exact integers so equality
+    // is bitwise, no tolerance
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 3)
+      java.lang.Long.parseLong(hex, 16) * 2654435761L % 1000003L - 501501L
+    }
+    val want = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) =>
+        val score = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          .map(weight).sum
+        (id, score, if (score > 0) 1L else 0L)
+      }
+      .sortBy(_._1)
+    assert(got === want)
+  }
 }

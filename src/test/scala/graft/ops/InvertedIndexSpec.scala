@@ -49,4 +49,30 @@ class InvertedIndexSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters: [bucket"), plan)
   }
+
+  test("mergeDelta: probe after incremental append == probe of full rebuild") {
+    val docs = Tables(spark, sf, "documents")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+
+    val merged = Files.createTempDirectory("invidx_merge").toString
+    InvertedIndex.build(half, merged)
+    val appended = InvertedIndex.mergeDelta(spark, merged, rest)
+    assert(appended === rest.count())
+
+    val rebuilt = Files.createTempDirectory("invidx_rebuild").toString
+    InvertedIndex.build(docs, rebuilt)
+
+    def rows(dir: String) =
+      InvertedIndex.probe(spark, dir, TextQueries.bm25Terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+    // bit-identical, not approximate: tf/dl/df are integers, the
+    // folded stats row is exact integer adds, and the score is the
+    // same fixed-order double expression on both layouts
+    assert(rows(merged) === rows(rebuilt))
+
+    // replaying the same delta admits nothing (doc_id anti-join)
+    assert(InvertedIndex.mergeDelta(spark, merged, rest) === 0L)
+    assert(rows(merged) === rows(rebuilt))
+  }
 }
