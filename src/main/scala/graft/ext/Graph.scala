@@ -59,9 +59,15 @@ object GraphOps {
     val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
     // every edge carries its source's total out-weight; this join
     // happens ONCE, not per iteration, and both sides arrive already
-    // hash-partitioned on src
-    val withOw = e.join(outw, "src")
-    val nodes = e.select(col("src").as("node")).distinct()
+    // hash-partitioned on src. PERSISTED: the returned plan embeds
+    // `iters` references to the edge frame and one more to the node
+    // list — uncached, every iteration would re-derive the whole
+    // edge-building subtree (measured: the sf0.1 order graph rebuilt
+    // lineitem⨝orders 5×). Swap-release refs bound the cache at one
+    // copy per frame across invocations (the lastLabels pattern).
+    val withOw = graft.ops.BuildOnce.swapPersist(lastEdges, e.join(outw, "src"))
+    val nodes = graft.ops.BuildOnce.swapPersist(lastNodes,
+      withOw.select(col("src").as("node")).distinct())
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
     val base = lit(scale * 15L / 100L)
     for (_ <- 1 to iters) {
@@ -74,6 +80,13 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Bounded caches for the iteration-invariant frames (one live copy
+    * each across invocations; superseded copies released on swap). */
+  private val lastEdges =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private val lastNodes =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 }
 
 object GraphQueries extends QueryModule {
@@ -132,6 +145,7 @@ object GraphQueries extends QueryModule {
         |it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
         |${(0 until 5).map(i => iterCte(s"it$i", s"it${i + 1}").trim).mkString(",\n")}
         |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
-        |ORDER BY pr DESC, node LIMIT 25""".stripMargin))
+        |ORDER BY pr DESC, node LIMIT 25""".stripMargin),
+      bench = true)
   )
 }

@@ -46,6 +46,38 @@ class GraphSpec extends SparkSpec {
     assert(got === reference())
   }
 
+  test("random directed multigraphs replay bit-for-bit (seeded property)") {
+    // 5 seeded random graphs — multi-edges, self-loops, dst-only
+    // nodes (dropped by the sources-define-nodes contract on both
+    // sides) — each checked exactly against the same single-threaded
+    // reference recurrence
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(8)
+      val raw = Seq.fill(20 + rnd.nextInt(20))(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n + 2)}",
+          1L + rnd.nextInt(9)))
+      val iters = 2 + rnd.nextInt(4)
+      val scale = 1000000000L
+
+      val outw = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = raw.map(_._1).distinct
+      var pr = nodes.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val contrib = raw
+          .flatMap { case (s, d, w) =>
+            if (nodes.contains(d)) Some(d -> (pr(s) * w / outw(s))) else None }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        pr = nodes.map(x =>
+          x -> (scale * 15L / 100L + 85L * contrib.getOrElse(x, 0L) / 100L)).toMap
+      }
+
+      val got = GraphOps.pageRank(raw.toDF("src", "dst", "w"), iters, scale)
+        .as[(String, Long)].collect().toMap
+      assert(got === pr, s"trial $trial: n=$n iters=$iters")
+    }
+  }
+
   test("q_pagerank ranks suppliers and conserves bounded mass") {
     val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = df.as[(String, Long)].collect()
