@@ -38,11 +38,25 @@ object GraphOps {
     * Scale shape: each iteration is ONE equi-join of ranks against
     * the edge list on `src` plus one partial-aggregated groupBy on
     * `dst` — the canonical distributed PageRank. Edges carry their
-    * out-weight (joined once, up front), ranks and edges co-partition
-    * on the join key, and nothing ever collects to the driver. Fixed
-    * `iters` (power iteration), so the whole run is one declarative
-    * plan; past ~10 iterations chain [[PipelineOps.connectedComponents]]'s
-    * localCheckpoint-per-round pattern to stop lineage growth.
+    * out-weight (joined once, up front) and nothing ever collects to
+    * the driver. Fixed `iters` (power iteration), so the whole run is
+    * one declarative plan; past ~10 iterations chain
+    * [[PipelineOps.connectedComponents]]'s localCheckpoint-per-round
+    * pattern to stop lineage growth.
+    *
+    * Two join regimes, gated on the measured node count (the same
+    * stats-gated idea as [[graft.ops.TableStats.broadcastIfSmall]]):
+    *   - node set ≤ `broadcastNodes` (the common curation case —
+    *     ranks is one row per ENTITY, edges are the big side): ranks
+    *     and contributions broadcast, so an iteration never moves the
+    *     edge list at all — its only shuffle is the partial-aggregated
+    *     contribution rollup. Without this, every iteration
+    *     shuffle-sorts the full edge frame to meet the join's
+    *     distribution (measured 3 exchanges/iteration at sf0.1).
+    *   - larger graphs: edges are hash-partitioned on `src` ONCE at
+    *     build (the `repartition` below persists WITH that layout), so
+    *     per-iteration joins reuse the exchange and only the tiny
+    *     ranks side moves.
     *
     * Dangling nodes: the node set is derived from edge SOURCES, so
     * callers passing both edge directions (the undirected/bipartite
@@ -53,32 +67,65 @@ object GraphOps {
     * @return (node, pr) fixed-point ranks, pr ≈ rank × scale
     */
   def pageRank(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, broadcastNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters $iters")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
     // every edge carries its source's total out-weight; this join
-    // happens ONCE, not per iteration, and both sides arrive already
-    // hash-partitioned on src. PERSISTED: the returned plan embeds
-    // `iters` references to the edge frame and one more to the node
-    // list — uncached, every iteration would re-derive the whole
+    // happens ONCE, not per iteration. PERSISTED: the returned plan
+    // embeds `iters` references to the edge frame and one more to the
+    // node list — uncached, every iteration would re-derive the whole
     // edge-building subtree (measured: the sf0.1 order graph rebuilt
-    // lineitem⨝orders 5×). Swap-release refs bound the cache at one
-    // copy per frame across invocations (the lastLabels pattern).
-    val withOw = graft.ops.BuildOnce.swapPersist(lastEdges, e.join(outw, "src"))
+    // lineitem⨝orders 5×). The repartition pins the persisted layout
+    // to hash(src) so the co-partitioned regime reuses it every
+    // iteration. Swap-release refs bound the cache at one copy per
+    // frame across invocations (the lastLabels pattern).
+    val flat = graft.ops.BuildOnce.swapPersist(lastEdges, e.join(outw, "src"))
     val nodes = graft.ops.BuildOnce.swapPersist(lastNodes,
-      withOw.select(col("src").as("node")).distinct())
-    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
-    val base = lit(scale * 15L / 100L)
+      flat.select(col("src").as("node")).distinct())
+    // one count against the (persisted) node list picks the regime —
+    // and doubles as eager cache warm-up, so the iterations never
+    // re-derive the build
+    val small = nodes.count() <= broadcastNodes
+    // only the co-partitioned regime pays the layout-pinning shuffle;
+    // in the broadcast regime the edge frame never moves, so pinning
+    // it would be a pure waste (swapPersist releases the flat copy)
+    val withOw =
+      if (small) flat
+      else graft.ops.BuildOnce.swapPersist(lastEdges,
+        flat.repartition(col("src")))
+    // pr as a pure BIGINT function of the previous contribution sum
+    // (absent sum ⇒ 0); `div`/left-assoc precedence matches the doc'd
+    // recurrence exactly — never Column./ (double division)
+    val prSql =
+      s"(CAST(${scale * 15L / 100L} AS BIGINT)" +
+        " + 85 * coalesce(s, CAST(0 AS BIGINT)) div 100)"
+    // iterate on the CONTRIBUTION SUMS, not the rank vector: pr_i is a
+    // pure function of s_{i-1}, so the per-iteration plan is a single
+    // pass over the cached edges — left join the previous sums onto
+    // the edge list (no previous sum row ⇒ coalesce to 0 inside
+    // prSql; sums for dst-only nodes simply never match a src), emit
+    // the damped contribution, re-aggregate. This halves the
+    // joins/broadcasts per iteration vs materializing ranks each
+    // round; ranks reconstitutes ONCE, at the end, against the node
+    // list to reinstate zero-in-degree nodes.
+    var contrib: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(withOw, ranks("node") === withOw("src"))
-        .select(col("dst").as("node"), expr("pr * w div ow").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (base + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("pr"))
+      val joined = contrib match {
+        // iteration 1: every node holds exactly `scale`
+        case None => withOw.select(col("dst"),
+          expr(s"CAST($scale AS BIGINT) * w div ow").as("c"))
+        case Some(prev) =>
+          val p = if (small) broadcast(prev) else prev
+          withOw.join(p, withOw("src") === p("node"), "left")
+            .select(col("dst"), expr(s"$prSql * w div ow").as("c"))
+      }
+      contrib = Some(joined.groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s")))
     }
-    ranks
+    val cFinal = contrib.map(c => if (small) broadcast(c) else c).get
+    nodes.join(cFinal, Seq("node"), "left")
+      .select(col("node"), expr(prSql).as("pr"))
   }
 
   /** Bounded caches for the iteration-invariant frames (one live copy
@@ -117,13 +164,21 @@ object GraphQueries extends QueryModule {
           .select(col("o_orderkey"), col("o_custkey"))
         val li = Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
-        val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-          .groupBy(
-            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
-            concat(lit("S"), col("l_suppkey").cast("string")).as("s"))
+        // aggregate on the INTEGER keys (narrow shuffle, partial-agg
+        // friendly), label only the ~distinct pairs afterwards; the
+        // bidirectional expansion is one generator pass — a
+        // union(cs, cs.swapped) would execute the whole join+agg
+        // subtree twice (Spark does no CSE across union branches)
+        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_suppkey"))
           .agg(count(lit(1)).as("w"))
-        val edges = cs.select(col("c").as("src"), col("s").as("dst"), col("w"))
-          .union(cs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+          .select(
+            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("S"), col("l_suppkey").cast("string")).as("s"),
+            col("w"))
+          .select(expr(
+            "inline(array(struct(c AS src, s AS dst, w)," +
+              " struct(s AS src, c AS dst, w)))"))
         GraphOps.pageRank(edges, iters = 5)
           .filter(col("node").startsWith("S"))
           .orderBy(col("pr").desc, col("node"))
