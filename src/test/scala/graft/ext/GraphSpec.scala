@@ -46,6 +46,24 @@ class GraphSpec extends SparkSpec {
     assert(got === reference())
   }
 
+  test("co-partitioned big-graph regime is bit-identical to broadcast") {
+    // the oracle only ever exercises the broadcast regime (its node
+    // sets are tiny); force the layout-pinned co-partitioned path
+    // with broadcastNodes = 0 and require the exact same ranks on a
+    // graph with asymmetric weights and a zero-in-degree node
+    val raw = Seq(
+      ("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L), ("c", "d", 5L),
+      ("d", "b", 1L), ("e", "a", 4L), ("e", "c", 1L)) // nothing points at e
+    val viaBroadcast = GraphOps.pageRank(
+      raw.toDF("src", "dst", "w"), iters = 4)
+      .as[(String, Long)].collect().toMap
+    val viaShuffle = GraphOps.pageRank(
+      raw.toDF("src", "dst", "w"), iters = 4, broadcastNodes = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle("e") === 150000000L) // zero in-degree ⇒ base only
+  }
+
   test("random directed multigraphs replay bit-for-bit (seeded property)") {
     // 5 seeded random graphs — multi-edges, self-loops, dst-only
     // nodes (dropped by the sources-define-nodes contract on both
