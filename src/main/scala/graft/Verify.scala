@@ -5,9 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2,
+      s"usage: graft.Verify <sfDir> <outDir> [query ...] (got ${args.length} args)")
+    val Array(sfDir, outDir) = args.take(2)
+    // optional query-name filter for fast local iteration; the driver
+    // passes exactly two args and always dumps the full surface
+    val only = args.drop(2).toSet
     // kernel-frame exports (minhash sigs, simhash fps) feed the DuckDB
     // oracle; only the correctness harness needs them written. The
     // export dir lives INSIDE this run's outDir (set before any query
@@ -24,7 +27,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

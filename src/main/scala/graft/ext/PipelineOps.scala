@@ -428,7 +428,118 @@ object PipelineQueries extends QueryModule {
         |  list_min(list_transform(range(0, tickets),
         |    t -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR))))
         |    AS sample_key
-        |FROM w ORDER BY sample_key, doc_id LIMIT 100""".stripMargin))
+        |FROM w ORDER BY sample_key, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- Canonical-document selection: within each exact-duplicate
+    // group (normalized-content hash, same planted upper-case-twin
+    // corpus as q_dedup_normalized so groups really have >1 member)
+    // keep the HIGHEST-QUALITY copy, not the lowest id — the curation
+    // policy that decides which bytes a near-dup cluster contributes
+    // to training.
+    //
+    // Scale shape: ONE hash shuffle on content_hash, then rank +
+    // group size inside each partition (two window functions over the
+    // same partitioning — one exchange, analyzed together). No joins,
+    // no driver state. Ties on the DOUBLE quality break on doc_id;
+    // quality itself is a fixed-order sum of products, so both
+    // engines order identically (the oracle-parity rule that bans
+    // transcendentals and unordered double sums is what makes a
+    // quality ORDER BY hash-stable at all).
+    "q_canonical_docs" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val corpus = docs.unionByName(docs.select(
+          (col("doc_id") + 500000).as("doc_id"), upper(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+        val scored = corpus.select(col("doc_id"), col("lang"),
+          md5(normText(col("text")).cast("binary")).as("content_hash"),
+          qualityScore(col("text"), wsTokens(col("text"))).as("quality"))
+        val byGroup = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))
+        scored
+          .withColumn("rn", row_number().over(
+            byGroup.orderBy(col("quality").desc, col("doc_id"))))
+          .withColumn("n_copies", count(lit(1)).over(byGroup))
+          .filter(col("rn") === 1)
+          .select(col("content_hash"), col("doc_id").as("canonical_doc_id"),
+            col("lang"), col("quality"), col("n_copies"))
+          .orderBy("canonical_doc_id")
+      },
+      oracle = Some(s"""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, upper(text), lang FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |      + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |      AS quality
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT content_hash, doc_id, lang, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY content_hash
+        |                       ORDER BY quality DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+        |  FROM scored)
+        |SELECT content_hash, doc_id AS canonical_doc_id, lang, quality,
+        |       n_copies
+        |FROM ranked WHERE rn = 1 ORDER BY canonical_doc_id""".stripMargin)),
+
+    // ---- Leakage-safe train/val/test split: the split is a pure
+    // hash function of the duplicate-GROUP key (normalized-content
+    // hash), so exact/near-identical documents land in the same split
+    // BY CONSTRUCTION — the eval-contamination failure mode of
+    // row-level random splits can't occur, and re-running on a grown
+    // corpus never reassigns an existing group (stable splits across
+    // snapshots, the property that makes eval sets reusable).
+    //
+    // Scale shape: zero shuffles until the audit aggregation — the
+    // assignment is one narrow md5 expression per row (salted with a
+    // 'split:' prefix so the split hash is independent of the group
+    // hash); the ~80/10/10 draw is a lexicographic threshold on the
+    // hex digest, identical in any engine. PipelineOpsSpec asserts
+    // the no-straddle invariant on the planted-twin corpus.
+    "q_leakage_split" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val corpus = docs.unionByName(docs.select(
+          (col("doc_id") + 500000).as("doc_id"), upper(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+        val h = md5(concat(lit("split:"),
+          md5(normText(col("text")).cast("binary"))).cast("binary"))
+        corpus
+          .select(col("n_chars"),
+            md5(normText(col("text")).cast("binary")).as("content_hash"),
+            when(h < "cc", "train").when(h < "e6", "val")
+              .otherwise("test").as("split"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("content_hash")).as("n_groups"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, upper(text), n_chars FROM documents),
+        |keyed AS (
+        |  SELECT n_chars,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM corpus),
+        |assigned AS (
+        |  SELECT n_chars, content_hash,
+        |    CASE WHEN md5('split:' || content_hash) < 'cc' THEN 'train'
+        |         WHEN md5('split:' || content_hash) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM keyed)
+        |SELECT split, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT content_hash) AS n_groups,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin))
   )
 
   private def listSqlPub(ws: Seq[String]): String =

@@ -95,4 +95,51 @@ class PipelineOpsSpec extends SparkSpec {
     val b = PipelineOps.temperatureMix(docs, "lang").collect().toSeq
     assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
   }
+
+  test("q_leakage_split: no duplicate group straddles splits; all docs land") {
+    import graft.SparkEntry
+    // rebuild the query's own planted-twin corpus at DOC level (the
+    // query aggregates, so the invariant must be checked underneath):
+    // every content_hash maps to exactly one split — the twin pairs
+    // (doc, upper twin) are the adversarial case, sharing a hash by
+    // construction
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 500000).as("doc_id"), upper(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+    val h = md5(concat(lit("split:"),
+      md5(DedupFunctions.normText(col("text")).cast("binary"))).cast("binary"))
+    val assigned = corpus.select(
+      md5(DedupFunctions.normText(col("text")).cast("binary"))
+        .as("content_hash"),
+      when(h < "cc", "train").when(h < "e6", "val")
+        .otherwise("test").as("split"))
+    val straddlers = assigned.groupBy("content_hash")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1)
+    assert(straddlers.count() === 0L)
+
+    val agg = SparkEntry.queries("q_leakage_split")(spark, sf)
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs"))
+      .toMap
+    // every doc lands in exactly one split (the CASE is total)
+    assert(agg.values.sum === corpus.count())
+    // the 80/10/10 thresholds actually produce a dominant train split
+    assert(agg("train") > agg.getOrElse("val", 0L) &&
+      agg("train") > agg.getOrElse("test", 0L))
+  }
+
+  test("q_canonical_docs: keeps the argmax-quality copy of every group") {
+    import graft.SparkEntry
+    val out = SparkEntry.queries("q_canonical_docs")(spark, sf).persist()
+    try {
+      val rows = out.collect()
+      // one canonical doc per group, groups cover the planted corpus
+      assert(rows.map(_.getAs[String]("content_hash")).distinct.length ===
+        rows.length)
+      assert(rows.map(_.getAs[Long]("n_copies")).sum === docs.count() * 2)
+      // planted upper-case twins lower the stopword term, so the
+      // canonical copy is never drawn from the twin id range unless
+      // quality ties (then min doc_id wins — also the original)
+      assert(rows.forall(_.getAs[Long]("canonical_doc_id") < 500000L))
+    } finally out.unpersist()
+  }
 }
