@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupQueries, FingerprintQueries, GraphQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.ext.{DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
 import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
 
@@ -27,7 +27,8 @@ object SparkEntry {
     TextQueries,          // token counting / quality / language-ID
     MultimodalQueries,    // binary columns + stubbed decode
     PipelineQueries,      // dup-cluster resolution + curation pipeline
-    GraphQueries          // iterative graph ranking (fixed-point PageRank)
+    GraphQueries,         // iterative graph ranking (fixed-point PageRank)
+    LinkageQueries        // blocked fuzzy entity resolution
   )
 
   private lazy val allDefs: Seq[(String, QueryDef)] = modules.flatMap(_.defs)

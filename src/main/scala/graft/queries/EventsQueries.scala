@@ -370,6 +370,70 @@ object EventsQueries extends QueryModule {
         |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
         |       COUNT(DISTINCT user_id) AS n_active
         |FROM activity GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin))
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // ---- Robust (Tukey-fence) outlier detection per event type:
+    // quartiles as EXACT order statistics — the value at 0-based rank
+    // (n-1)//4 resp. 3*(n-1)//4 under the total order (value,
+    // event_id) — never interpolated, so both engines pick the same
+    // stored double and the fence arithmetic (one subtract, one
+    // multiply by the exactly-representable 1.5, one add, in the
+    // same order) is bit-identical IEEE. This is the oracle-parity
+    // trick that makes a double-valued "statistical" query
+    // hash-checkable at all: rank selection instead of averaging.
+    //
+    // Scale shape: one shuffle on event_type for the rank pass, then
+    // the per-type fence frame (<= #types rows) broadcasts back onto
+    // the raw scan — the detector itself is a codegen'd filter. At
+    // 100 TB the exact rank pass is the only O(n log n) piece; it
+    // swaps for approx_percentile without touching the fence join or
+    // the filter (the interface between the passes is just (type, q1,
+    // q3)). Exact is kept here because it is what the oracle can
+    // replay.
+    "q_iqr_outliers" -> QueryDef(
+      fn = (spark, dir) => {
+        val ev = Tables(spark, dir, "events")
+          .select("event_id", "event_type", "value")
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(
+            byType.orderBy(col("value"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(byType))
+        val fences = ranked
+          .filter(col("rn") === expr("(n-1) div 4 + 1") ||
+            col("rn") === expr("(3*(n-1)) div 4 + 1"))
+          .groupBy("event_type")
+          .agg(
+            min(when(col("rn") === expr("(n-1) div 4 + 1"), col("value")))
+              .as("q1"),
+            min(when(col("rn") === expr("(3*(n-1)) div 4 + 1"), col("value")))
+              .as("q3"))
+        ev.join(broadcast(fences), "event_type")
+          .filter(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+            col("value") > col("q3") + (col("q3") - col("q1")) * 1.5)
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+            (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        |WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e),
+        |f AS (SELECT event_type,
+        |        MIN(CASE WHEN rn = (n-1)//4 + 1 THEN value END) AS q1,
+        |        MIN(CASE WHEN rn = (3*(n-1))//4 + 1 THEN value END) AS q3
+        |      FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       f.q1 - (f.q3 - f.q1) * 1.5 AS lo_fence,
+        |       f.q3 + (f.q3 - f.q1) * 1.5 AS hi_fence
+        |FROM e JOIN f USING (event_type)
+        |WHERE e.value < f.q1 - (f.q3 - f.q1) * 1.5
+        |   OR e.value > f.q3 + (f.q3 - f.q1) * 1.5
+        |ORDER BY event_id""".stripMargin))
   )
 }
