@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.ext.{BpeQueries, DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
 import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
 
@@ -28,7 +28,8 @@ object SparkEntry {
     MultimodalQueries,    // binary columns + stubbed decode
     PipelineQueries,      // dup-cluster resolution + curation pipeline
     GraphQueries,         // iterative graph ranking (fixed-point PageRank)
-    LinkageQueries        // blocked fuzzy entity resolution
+    LinkageQueries,       // blocked fuzzy entity resolution
+    BpeQueries            // relational BPE vocabulary training
   )
 
   private lazy val allDefs: Seq[(String, QueryDef)] = modules.flatMap(_.defs)
