@@ -539,8 +539,58 @@ object PipelineQueries extends QueryModule {
         |SELECT split, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT content_hash) AS n_groups,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM assigned GROUP BY split ORDER BY split""".stripMargin))
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- Incrementally-maintained join view (ops/JoinView): the
+    // orders><lineitem view built ONLY through the delta-algebra path
+    // — two append batches per side, interleaved so every delta term
+    // (dA x B_old, A_old x dB, dA x dB) carries rows — then read back
+    // and compared against the oracle's plain one-shot join. The
+    // hash match proves the IVM algebra loses and duplicates nothing;
+    // JoinViewSpec adds the retry/crash schedules and the
+    // partition-pruned state-scan assert.
+    "q_join_view" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = joinViewFor(spark, dir)
+        // (o_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — total-order by EVERY output column, so any remaining
+        // ties are between fully identical rows (hash-invariant)
+        graft.ops.JoinView.read(spark, base)
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderstatus"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy("o_orderkey", "l_linenumber", "o_custkey",
+            "o_orderstatus", "l_quantity", "l_extendedprice")
+      },
+      oracle = Some("""
+        |SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |       l_quantity, l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin))
   )
+
+  /** Build-once memo for the incrementally-built join view (one per
+    * dataset dir). Orders split by KEY parity, lineitems by
+    * LINENUMBER parity — orthogonal splits, so batch 1 exercises
+    * dA x dB (even orders meet their odd-numbered lines) and batch 2
+    * exercises all three delta terms (dA x B_old, A_old x dB,
+    * dA x dB all non-empty). */
+  private val joinViewMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  private[graft] def joinViewFor(spark: SparkSession, dir: String): String =
+    graft.ops.BuildOnce.cached(joinViewMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_join_view").toString
+      val orders = Tables(spark, dir, "orders")
+      val line = Tables(spark, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      graft.ops.JoinView.applyDelta(spark, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 2 === 0),
+        line.filter(col("l_linenumber") % 2 === 1), "b1")
+      graft.ops.JoinView.applyDelta(spark, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 2 === 1),
+        line.filter(col("l_linenumber") % 2 === 0), "b2")
+      base
+    }
 
   private def listSqlPub(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString(", ")
