@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryModule, Tables}
 
 /** Byte-pair-encoding vocabulary training as a RELATIONAL fixed point:
-  * K greedy merge rounds over the corpus character stream, each round
-  * expressed entirely in window functions — no per-row fold, no UDF —
-  * so the DuckDB oracle replays the identical recurrence as unrolled
-  * CTEs and the merge table hash-matches cross-engine.
+  * K greedy merge rounds over the corpus, each round expressed
+  * entirely in window functions — no per-row fold, no UDF — so the
+  * DuckDB oracle replays the identical recurrence as unrolled CTEs
+  * and the merge table hash-matches cross-engine.
+  *
+  * Trains on the (word, count) VOCABULARY, the way production BPE
+  * trainers do: a pair's corpus frequency is the wcnt-weighted sum of
+  * its in-word occurrences, so the merge table is PROVABLY identical
+  * to training on the raw token stream (BpeSpec pins this against an
+  * imperative raw-stream reference) while the iterated data shrinks
+  * from corpus-size to vocabulary-size — by Heaps' law sublinear in
+  * corpus size, which is what makes 100 TB BPE training cheap: one
+  * corpus-wide word count shuffle up front, then rounds over a frame
+  * that fits anywhere.
   *
   * The interesting part is the greedy left-to-right merge APPLICATION
   * without sequential string processing:
@@ -27,18 +37,13 @@ import graft.{QueryDef, QueryModule, Tables}
   *   3. Active positions emit the merged symbol; their successors
   *      drop (lag(active)); positions renumber for the next round.
   *
-  * Scale shape: every pass is windowed over (doc_id, word_idx) —
-  * millions of tiny independent partitions, one shuffle per round on
-  * a uniform key, like the PageRank rounds. The argmax pair is a
-  * 1-row broadcast (sketch-class driver state, same family as the
-  * k-means centroids). Rounds are sequential BY DEFINITION (merge
-  * r+1 counts pairs created by merge r); per-round streams persist
-  * with swap-release bounding (one live generation set across
-  * invocations). At 100 TB the classic optimization is training the
-  * pair counts on the (word, count) VOCABULARY instead of the raw
-  * stream — a groupBy prepended to round 0 that shrinks the stream
-  * by the word-frequency skew factor without changing any round
-  * logic; kept raw here so the oracle replay covers the full path.
+  * Scale shape: the word-count aggregation is the only corpus-sized
+  * pass; rounds are windowed over the word key (uniform, fine
+  * grained). Rounds are sequential BY DEFINITION (merge r+1 counts
+  * pairs created by merge r); per-round streams persist with
+  * swap-release bounding (one live generation set across
+  * invocations). The argmax pair is a 1-row broadcast (sketch-class
+  * driver state, same family as the k-means centroids).
   */
 object BpeQueries extends QueryModule {
 
@@ -51,17 +56,16 @@ object BpeQueries extends QueryModule {
   override def defs: Seq[(String, QueryDef)] = Seq(
     "q_bpe_train" -> QueryDef(
       fn = (spark, dir) => {
-        val wWord = Window.partitionBy("doc_id", "widx").orderBy("pos")
+        val wWord = Window.partitionBy("word").orderBy("pos")
 
-        val words = Tables(spark, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), (col("pos") + 1).as("widx"), col("col").as("word"))
+        val vocab = Tables(spark, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
-        val s0 = words
-          .select(col("doc_id"), col("widx"),
-            explode(sequence(lit(1), length(col("word")))).as("pos"),
-            col("word"))
-          .select(col("doc_id"), col("widx"), col("pos"),
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        val s0 = vocab
+          .select(col("word"), col("wcnt"),
+            explode(sequence(lit(1), length(col("word")))).as("pos"))
+          .select(col("word"), col("wcnt"), col("pos"),
             expr("substring(word, pos, 1)").as("sym"))
 
         var stream = s0.persist()
@@ -72,25 +76,24 @@ object BpeQueries extends QueryModule {
             .withColumn("ra", lead(col("sym"), 1).over(wWord))
             .filter(col("ra").isNotNull)
             .groupBy(col("sym").as("la"), col("ra"))
-            .agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("wcnt")).as("cnt"))
             .orderBy(col("cnt").desc, col("la"), col("ra"))
             .limit(1)
           val hits = stream.crossJoin(broadcast(merge))
             .withColumn("hit", col("sym") === col("la") &&
               lead(col("sym"), 1).over(wWord) === col("ra"))
           val runs = hits.withColumn("grp", col("pos") - row_number().over(
-            Window.partitionBy(col("doc_id"), col("widx"), col("hit"))
-              .orderBy("pos")))
+            Window.partitionBy(col("word"), col("hit")).orderBy("pos")))
           val act = runs.withColumn("active", when(col("hit"),
             (col("pos") - min(col("pos")).over(
-              Window.partitionBy(col("doc_id"), col("widx"), col("grp"),
-                col("hit")))) % 2 === 0)
+              Window.partitionBy(col("word"), col("grp"), col("hit")))) % 2
+              === 0)
             .otherwise(lit(false)))
           stream = act
             .withColumn("dropd",
               coalesce(lag(col("active"), 1).over(wWord), lit(false)))
             .filter(!col("dropd"))
-            .select(col("doc_id"), col("widx"),
+            .select(col("word"), col("wcnt"),
               row_number().over(wWord).as("pos"),
               when(col("active"), concat(col("la"), col("ra")))
                 .otherwise(col("sym")).as("sym"))
@@ -105,7 +108,8 @@ object BpeQueries extends QueryModule {
           .foreach(_.foreach(_.unpersist()))
         merges.reduce(_.unionByName(_)).orderBy("it")
       },
-      oracle = Some(bpeOracle(ROUNDS)))
+      oracle = Some(bpeOracle(ROUNDS)),
+      bench = true)
   )
 
   /** The oracle is GENERATED from the same round template the Spark
@@ -113,41 +117,42 @@ object BpeQueries extends QueryModule {
     * literal SQL transcription of the window pipeline above. */
   private def bpeOracle(rounds: Int): String = {
     val base = """
-      |WITH words AS (
-      |  SELECT doc_id, w.widx, w.word
-      |  FROM documents,
-      |       LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
-      |                       generate_subscripts(string_split(text, ' '), 1) AS widx) w
-      |  WHERE length(w.word) > 0),
+      |WITH raw AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (
+      |  SELECT word, COUNT(*) AS wcnt FROM raw WHERE length(word) > 0
+      |  GROUP BY word),
       |s0 AS (
-      |  SELECT doc_id, widx, p.pos, substr(word, CAST(p.pos AS INTEGER), 1) AS sym
-      |  FROM words,
+      |  SELECT word, wcnt, p.pos, substr(word, CAST(p.pos AS INTEGER), 1) AS sym
+      |  FROM vocab,
       |       LATERAL (SELECT unnest(range(1, length(word)+1)) AS pos) p)""".stripMargin
     def round(i: Int): String = s"""
       |p$i AS (
-      |  SELECT sym AS la, LEAD(sym) OVER (PARTITION BY doc_id, widx ORDER BY pos) AS ra
+      |  SELECT sym AS la, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS ra,
+      |         wcnt
       |  FROM s$i),
       |m$i AS (
-      |  SELECT la, ra, COUNT(*) AS cnt FROM p$i WHERE ra IS NOT NULL
+      |  SELECT la, ra, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM p$i
+      |  WHERE ra IS NOT NULL
       |  GROUP BY la, ra ORDER BY cnt DESC, la, ra LIMIT 1),
       |x$i AS (
-      |  SELECT t.doc_id, t.widx, t.pos, t.sym, m.la, m.ra, m.cnt,
-      |    (t.sym = m.la AND LEAD(t.sym) OVER (PARTITION BY t.doc_id, t.widx ORDER BY t.pos) = m.ra) AS hit
+      |  SELECT t.word, t.wcnt, t.pos, t.sym, m.la, m.ra, m.cnt,
+      |    (t.sym = m.la AND LEAD(t.sym) OVER (PARTITION BY t.word ORDER BY t.pos) = m.ra) AS hit
       |  FROM s$i t CROSS JOIN m$i m),
       |r$i AS (
-      |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, widx, hit ORDER BY pos) AS grp
+      |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY pos) AS grp
       |  FROM x$i),
       |a$i AS (
       |  SELECT *, CASE WHEN hit
-      |    THEN (pos - MIN(pos) OVER (PARTITION BY doc_id, widx, grp, hit)) % 2 = 0
+      |    THEN (pos - MIN(pos) OVER (PARTITION BY word, grp, hit)) % 2 = 0
       |    ELSE FALSE END AS active
       |  FROM r$i),
       |k$i AS (
-      |  SELECT *, COALESCE(LAG(active) OVER (PARTITION BY doc_id, widx ORDER BY pos), FALSE) AS dropd
+      |  SELECT *, COALESCE(LAG(active) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropd
       |  FROM a$i),
       |s${i + 1} AS (
-      |  SELECT doc_id, widx,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id, widx ORDER BY pos) AS pos,
+      |  SELECT word, wcnt,
+      |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
       |    CASE WHEN active THEN la || ra ELSE sym END AS sym
       |  FROM k$i WHERE NOT dropd)""".stripMargin
     val outs = (0 until rounds).map { i =>
