@@ -565,7 +565,43 @@ object PipelineQueries extends QueryModule {
         |SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
         |       l_quantity, l_extendedprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin))
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin)),
+
+    // ---- Stratified sampling: a fixed quota per (lang, source)
+    // stratum drawn by deterministic hash ticket — the equal-
+    // allocation eval-set draw that complements q_weighted_sample's
+    // global weighted draw and q_domain_mix's temperature resample.
+    // Same scale shape as top-k-per-key: one shuffle on the stratum
+    // key, a bounded heap per stratum, output = strata x k rows
+    // regardless of corpus size; re-running on a grown corpus only
+    // swaps members whose tickets beat the incumbents (hash tickets,
+    // not row order, so the draw is stable under repartitioning).
+    "q_stratified_sample" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val ticket = md5(concat(lit("strat:"),
+          col("doc_id").cast("string")).cast("binary"))
+        docs
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), ticket.as("ticket"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"), col("source"))
+              .orderBy(col("ticket"), col("doc_id"))))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("source"), col("rn").cast("long").as("rn"),
+            col("doc_id"), col("n_chars"))
+          .orderBy("lang", "source", "rn")
+      },
+      oracle = Some("""
+        |WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         md5('strat:' || CAST(doc_id AS VARCHAR)) AS ticket,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, source, rn, doc_id, n_chars
+        |FROM t WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin))
   )
 
   /** Build-once memo for the incrementally-built join view (one per

@@ -86,6 +86,55 @@ class JoinViewSpec extends SparkSpec {
     Fs.deleteRecursively(new File(base))
   }
 
+  test("a file stream maintains the view via foreachBatch deltas") {
+    // the streaming IVM story Spark doesn't give you for materialized
+    // join views: static orders seeded as batch s-1, lineitem files
+    // arriving one per micro-batch, each folded with the epoch id as
+    // the batch id (exactly-once by the same overwrite/exclusion
+    // argument as the batch path)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_jv_stream").toString
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_jv_src").toString
+    val orders = Tables(spark, sf, "orders")
+    val line = Tables(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    JoinView.applyDelta(spark, base, "o_orderkey",
+      orders, line.limit(0), "s-1")
+    line.filter(col("l_linenumber") % 2 === 1)
+      .coalesce(1).write.parquet(s"$srcDir/f1")
+    line.filter(col("l_linenumber") % 2 === 0)
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    val schema = spark.read.parquet(s"$srcDir/f1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // inside foreachBatch the batch belongs to the streaming
+        // clone session — pass THAT session (the IncrementalNearDup
+        // registration caveat, same root cause)
+        val emptyOrders = batch.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), orders.schema)
+        JoinView.applyDelta(batch.sparkSession, base, "o_orderkey",
+          emptyOrders, batch, s"s$id")
+        ()
+      }
+      .option("checkpointLocation", s"$base-__ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = snapshot(base)
+    val want = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got === want)
+    Fs.deleteRecursively(new File(base))
+    Fs.deleteRecursively(new File(srcDir))
+  }
+
   test("state reads partition-prune to the delta's buckets") {
     val base = freshView()
     val probe = JoinView.readState(spark, s"$base/stateA", Seq(0, 3), "bX")
