@@ -32,7 +32,15 @@ object SparkEntry {
     BpeQueries            // relational BPE vocabulary training
   )
 
-  private lazy val allDefs: Seq[(String, QueryDef)] = modules.flatMap(_.defs)
+  private lazy val allDefs: Seq[(String, QueryDef)] = {
+    val defs = modules.flatMap(_.defs)
+    // duplicate names silently shadow each other in the .toMap below
+    // (the later module wins and the earlier query vanishes from the
+    // correctness surface without any failure) — make it loud instead
+    val dups = defs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full reference pipeline (observations -> enrichment -> star

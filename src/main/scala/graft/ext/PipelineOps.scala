@@ -567,16 +567,19 @@ object PipelineQueries extends QueryModule {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin)),
 
-    // ---- Stratified sampling: a fixed quota per (lang, source)
-    // stratum drawn by deterministic hash ticket — the equal-
+    // ---- Two-level quota sampling: a fixed quota per (lang, source)
+    // stratum drawn by deterministic id-hash ticket — the equal-
     // allocation eval-set draw that complements q_weighted_sample's
-    // global weighted draw and q_domain_mix's temperature resample.
-    // Same scale shape as top-k-per-key: one shuffle on the stratum
-    // key, a bounded heap per stratum, output = strata x k rows
-    // regardless of corpus size; re-running on a grown corpus only
-    // swaps members whose tickets beat the incumbents (hash tickets,
-    // not row order, so the draw is stable under repartitioning).
-    "q_stratified_sample" -> QueryDef(
+    // global weighted draw, q_domain_mix's temperature resample, and
+    // q_stratified_sample's per-language content-hash draw (the
+    // ticket here hashes the ID, not the content, so editing a doc's
+    // text never moves it in or out of the sample). Same scale shape
+    // as top-k-per-key: one shuffle on the stratum key, a bounded
+    // heap per stratum, output = strata x k rows regardless of
+    // corpus size; re-running on a grown corpus only swaps members
+    // whose tickets beat the incumbents (hash tickets, not row
+    // order, so the draw is stable under repartitioning).
+    "q_source_quota_sample" -> QueryDef(
       fn = (spark, dir) => {
         val docs = Tables(spark, dir, "documents")
         val ticket = md5(concat(lit("strat:"),
