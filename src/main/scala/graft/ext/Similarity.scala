@@ -885,6 +885,126 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin),
       bench = true), // round-1's flagged scale-killer — keep its cost tracked
 
+    // ---- Full-corpus kNN graph, cluster-blocked: top-3 cosine
+    // neighbors for EVERY vector, searched only within the vector's
+    // own Lloyd-trained IVF bucket. This is the SemDeDup-style
+    // construction (cluster first, then pairwise only inside the
+    // cluster): at 100 TB the cluster count grows ∝ corpus size so the
+    // per-bucket population stays bounded and the candidate join is an
+    // EQUI-JOIN on bucket — never all-pairs, never a per-query corpus
+    // scan. The recall trade (neighbors outside the bucket are
+    // unreachable by construction) is the published design's; the
+    // DuckDB oracle replays training + assignment + within-bucket
+    // ranking identically, so the result is hash-exact, not
+    // recall-gated.
+    "q_knn_graph" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val centroids = centroidsFor(spark, dir, iters = 2)
+        val assigned = assignBuckets(emb, centroids)
+        val left = assigned.select(col("n_id").as("vec_id"),
+          col("n_v").as("v"), col("bucket"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        left.join(assigned, "bucket")
+          .filter(col("n_id") =!= col("vec_id"))
+          .withColumn("sim", cosine(col("v"), col("n_v")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("vec_id", "bucket", "rank", "n_id", "sim")
+          .orderBy("vec_id", "rank")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT vec_id, v, c_id AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1)
+        |SELECT vec_id, bucket, rank, n_id, sim FROM (
+        |  SELECT a.vec_id, a.bucket, b.vec_id AS n_id,
+        |    ${cosSqlOf("a.v", "b.v")} AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${cosSqlOf("a.v", "b.v")} DESC, b.vec_id) AS rank
+        |  FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+      bench = true), // the all-corpus construction is the cost to track
+
+    // ---- Semantic dedup end-to-end (the SemDeDup recipe): cluster
+    // (Lloyd IVF buckets), take within-bucket pairs at cosine ≥ 0.99
+    // as duplicate edges, resolve transitive groups with connected
+    // components (pointer jumping, [[PipelineOps.connectedComponents]]),
+    // and report each non-trivial group keyed by its keeper (min id).
+    // Planted twins (±0.01 on one coordinate of every 20th vector)
+    // guarantee non-degenerate 3-vector groups. Scale: candidate
+    // generation is the bucket equi-join (bounded bucket population —
+    // see q_knn_graph), CC is O(log diameter) rounds; nothing is ever
+    // all-pairs. The oracle replays training, assignment, edges, and
+    // reachability (recursive CTE) — fully hash-checked.
+    "q_semantic_dedup" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val twins = emb.filter(col("vec_id") % 20 === 0)
+        def perturbed(offset: Long, eps: Double) =
+          twins.select((col("vec_id") + offset).as("vec_id"),
+            concat(array(element_at(col("v"), 1) + lit(eps)),
+              slice(col("v"), 2, 10000)).as("v"))
+        val all = emb.select(col("vec_id"), col("v"))
+          .unionByName(perturbed(1000000L, 0.01))
+          .unionByName(perturbed(2000000L, -0.01))
+        val centroids = centroidsFor(spark, dir, iters = 2)
+        val assigned = assignBuckets(all, centroids)
+        val a = assigned.select(col("n_id").as("id_a"),
+          col("n_v").as("v_a"), col("bucket"))
+        val b = assigned.select(col("n_id").as("id_b"),
+          col("n_v").as("v_b"), col("bucket"))
+        val edges = a.join(b, "bucket")
+          .filter(col("id_a") < col("id_b"))
+          .filter(cosine(col("v_a"), col("v_b")) >= 0.99)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        PipelineOps.connectedComponents(
+            all.select(col("vec_id").as("id")), edges)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_size"))
+          .filter(col("cluster_size") > 1)
+          .orderBy("cluster")
+      },
+      oracle = Some(embCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |all_emb AS (
+        |  SELECT vec_id, v FROM emb
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
+        |  FROM emb WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, [v[1] - 0.01] || v[2:] AS v
+        |  FROM emb WHERE vec_id % 20 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM all_emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |prs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSqlOf("a.v", "b.v")} >= 0.99),
+        |edges AS (
+        |  SELECT src, dst FROM prs UNION ALL SELECT dst, src FROM prs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lbl FROM all_emb
+        |  UNION
+        |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |components AS (
+        |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster, COUNT(*) AS cluster_size FROM components
+        |GROUP BY cluster HAVING COUNT(*) > 1 ORDER BY cluster""".stripMargin)),
+
     // ---- IVF-bucketed ANN — the 100 TB scale path. 16 centroids
     // (deterministic seed: the first 16 vectors, then 2 Lloyd rounds —
     // see [[Similarity.trainedCentroids]]) partition the corpus: every

@@ -86,6 +86,40 @@ object TextFunctions {
       .select("doc_id").distinct()
   }
 
+  /** [[decontaminate]] for when the eval set's shingle dictionary is
+    * too large to broadcast as a hash set (a full eval-suite union at
+    * 100 TB can carry billions of distinct n-grams): sketch the eval
+    * shingles into ONE bloom filter (Spark's own
+    * `BloomFilterAggregate`, the machinery AQE's runtime filters use —
+    * [[graft.functions.BloomSketch]]), ship it as a `nBits/8`-byte
+    * plan literal, and kill definitely-clean corpus shingles with a
+    * narrow codegen'd `might_contain` BEFORE the exchange. Only
+    * bloom-surviving shingles (true collisions + the fp rate) reach
+    * the exact confirming semi-join — deliberately NOT a broadcast
+    * join: the eval side shuffles once, the corpus side ships only
+    * survivors. Blooms have no false negatives and the confirm join
+    * removes false positives, so the result is IDENTICAL to the exact
+    * [[decontaminate]] — the driver's oracle hash gate doubles as the
+    * proof. */
+  def decontaminateBloom(corpus: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(graft.functions.ShingleSet.shingleSet(col("text"), n)).as("g"))
+      .distinct()
+    // bounded driver data (the sketch-class exemption): 2^20 bits =
+    // 128 KiB regardless of eval size, like a broadcast var
+    val sketch = evalGrams
+      .agg(graft.functions.BloomSketch
+        .bloomAgg(xxhash64(col("g")), 1L << 16, 1L << 20).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleSet.shingleSet(col("text"), n)).as("g"))
+      .filter(graft.functions.BloomSketch
+        .mightContain(lit(sketch), xxhash64(col("g"))))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Token-window document chunking — the context-length preprocessing
     * step of a training pipeline: each document splits into windows of
     * `window` tokens advancing by `stride` (overlap = window - stride),
@@ -205,6 +239,48 @@ object TextQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id + 900000 AS doc_id, 'planted_prefix ' || text AS text
         |  FROM documents WHERE doc_id < 5),
+        |eval_grams AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 8, 0)),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |    FROM (SELECT string_split_regex(text, '\s+') AS toks
+        |          FROM documents WHERE doc_id < 10))),
+        |corpus_grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(len(toks) - 8, 0)),
+        |    i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM corpus))
+        |SELECT DISTINCT doc_id FROM corpus_grams
+        |WHERE g IN (SELECT g FROM eval_grams)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Decontamination, bloom-prefiltered: same exact-8-gram rule
+    // as q_decontaminate but on the scale path for eval dictionaries
+    // too big to broadcast ([[TextFunctions.decontaminateBloom]]).
+    // Different plant (suffix-extended copies of docs 5..9) so the two
+    // entries exercise distinct corpora; the oracle is the EXACT
+    // contamination SQL — hash-matching it proves the
+    // bloom-prefilter + confirm pipeline loses and invents nothing.
+    "q_decontaminate_bloom" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val eval = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+            .select((col("doc_id") + 800000).as("doc_id"),
+              concat(col("text"), lit(" planted trailing suffix")).as("text")))
+        decontaminateBloom(corpus, eval, n = 8).orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id,
+        |         text || ' planted trailing suffix' AS text
+        |  FROM documents WHERE doc_id >= 5 AND doc_id < 10),
         |eval_grams AS (
         |  SELECT DISTINCT g FROM (
         |    SELECT unnest(list_transform(

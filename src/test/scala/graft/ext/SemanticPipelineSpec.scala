@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The round-5 semantic-curation additions: bloom-prefiltered
+  * decontamination, the cluster-blocked kNN graph, and SemDeDup-style
+  * semantic dedup. The DuckDB oracle hash-checks each query's full
+  * result; these specs pin the properties the hash can't express —
+  * helper parity on an arbitrary corpus, the pre-shuffle plan shape,
+  * and planted-duplicate recovery.
+  */
+class SemanticPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpusAndEval = {
+    val docs = graft.Tables(spark, sf, "documents")
+    val eval = docs.filter(col("doc_id") < 25)
+    val corpus = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 12)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("lead "), col("text")).as("text")))
+    (corpus, eval)
+  }
+
+  test("decontaminateBloom is result-identical to exact decontaminate") {
+    val (corpus, eval) = corpusAndEval
+    val exact = TextFunctions.decontaminate(corpus, eval, n = 8)
+      .as[Long].collect().sorted
+    val bloomed = TextFunctions.decontaminateBloom(corpus, eval, n = 8)
+      .as[Long].collect().sorted
+    assert(exact.nonEmpty, "degenerate fixture: no contamination found")
+    assert(bloomed === exact)
+  }
+
+  test("bloom prefilter runs map-side, below the confirming shuffle") {
+    val (corpus, eval) = corpusAndEval
+    val df = TextFunctions.decontaminateBloom(corpus, eval, n = 8)
+    df.collect()
+    val bloomFilters = execNodes(df).collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no might_contain filter in the plan")
+    // pre-shuffle pruning: the probe filter's own subtree must hold no
+    // exchange — corpus shingles the bloom rejects never shuffle
+    bloomFilters.foreach { f =>
+      val below = f.collect { case e: ShuffleExchangeLike => e }
+      assert(below.isEmpty, s"might_contain filter sits above a shuffle:\n$f")
+    }
+  }
+
+  test("knn graph: <=3 neighbors per vector, contiguous ranks, sims sorted") {
+    val rows = graft.SparkEntry.queries("q_knn_graph")(spark, sf)
+      .select("vec_id", "rank", "n_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, _, n, s) =>
+      assert(n != v, s"vector $v listed itself as a neighbor")
+      assert(s >= -1.0001 && s <= 1.0001, s"cosine out of range: $s")
+    }
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to g.length).toSeq,
+        s"vector $v has non-contiguous ranks")
+      val sims = byRank.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"vector $v neighbors not sorted by similarity")
+      assert(g.length <= 3)
+    }
+  }
+
+  test("semantic dedup recovers every planted twin group, origin as keeper") {
+    val planted = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(VectorFunctions.dot(col("v"), col("v")) > 0)
+      .filter(col("vec_id") % 20 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val clusters = graft.SparkEntry.queries("q_semantic_dedup")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    planted.foreach { o =>
+      assert(clusters.contains(o), s"planted group of $o not recovered")
+      assert(clusters(o) >= 3L,
+        s"planted group of $o incomplete: size ${clusters(o)}")
+    }
+  }
+}
