@@ -53,69 +53,127 @@ object BpeQueries extends QueryModule {
     * Dedup.lastSigs release pattern). */
   private val lastStreams = new AtomicReference[Seq[DataFrame]](Nil)
 
+  /** Run the ROUNDS-round training loop: returns (per-round merge
+    * frames, final symbol stream). The final stream is the trained
+    * tokenizer APPLIED to the vocabulary — each word's remaining
+    * positions are its BPE tokens. */
+  private def trained(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) = {
+    val wWord = Window.partitionBy("word").orderBy("pos")
+
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    val s0 = vocab
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("wcnt"), col("pos"),
+        expr("substring(word, pos, 1)").as("sym"))
+
+    var stream = s0.persist()
+    val streams = Seq.newBuilder[DataFrame]
+    streams += stream
+    val merges = (1 to ROUNDS).map { it =>
+      val merge = stream
+        .withColumn("ra", lead(col("sym"), 1).over(wWord))
+        .filter(col("ra").isNotNull)
+        .groupBy(col("sym").as("la"), col("ra"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("la"), col("ra"))
+        .limit(1)
+      val hits = stream.crossJoin(broadcast(merge))
+        .withColumn("hit", col("sym") === col("la") &&
+          lead(col("sym"), 1).over(wWord) === col("ra"))
+      val runs = hits.withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("hit")).orderBy("pos")))
+      val act = runs.withColumn("active", when(col("hit"),
+        (col("pos") - min(col("pos")).over(
+          Window.partitionBy(col("word"), col("grp"), col("hit")))) % 2
+          === 0)
+        .otherwise(lit(false)))
+      stream = act
+        .withColumn("dropd",
+          coalesce(lag(col("active"), 1).over(wWord), lit(false)))
+        .filter(!col("dropd"))
+        .select(col("word"), col("wcnt"),
+          row_number().over(wWord).as("pos"),
+          when(col("active"), concat(col("la"), col("ra")))
+            .otherwise(col("sym")).as("sym"))
+        .persist()
+      streams += stream
+      merge.select(lit(it).as("it"), col("la").as("left_sym"),
+        col("ra").as("right_sym"),
+        concat(col("la"), col("ra")).as("merged"),
+        col("cnt").as("pair_count"))
+    }
+    Option(lastStreams.getAndSet(streams.result()))
+      .foreach(_.foreach(_.unpersist()))
+    (merges, stream)
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
     "q_bpe_train" -> QueryDef(
-      fn = (spark, dir) => {
-        val wWord = Window.partitionBy("word").orderBy("pos")
-
-        val vocab = Tables(spark, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("wcnt"))
-        val s0 = vocab
-          .select(col("word"), col("wcnt"),
-            explode(sequence(lit(1), length(col("word")))).as("pos"))
-          .select(col("word"), col("wcnt"), col("pos"),
-            expr("substring(word, pos, 1)").as("sym"))
-
-        var stream = s0.persist()
-        val streams = Seq.newBuilder[DataFrame]
-        streams += stream
-        val merges = (1 to ROUNDS).map { it =>
-          val merge = stream
-            .withColumn("ra", lead(col("sym"), 1).over(wWord))
-            .filter(col("ra").isNotNull)
-            .groupBy(col("sym").as("la"), col("ra"))
-            .agg(sum(col("wcnt")).as("cnt"))
-            .orderBy(col("cnt").desc, col("la"), col("ra"))
-            .limit(1)
-          val hits = stream.crossJoin(broadcast(merge))
-            .withColumn("hit", col("sym") === col("la") &&
-              lead(col("sym"), 1).over(wWord) === col("ra"))
-          val runs = hits.withColumn("grp", col("pos") - row_number().over(
-            Window.partitionBy(col("word"), col("hit")).orderBy("pos")))
-          val act = runs.withColumn("active", when(col("hit"),
-            (col("pos") - min(col("pos")).over(
-              Window.partitionBy(col("word"), col("grp"), col("hit")))) % 2
-              === 0)
-            .otherwise(lit(false)))
-          stream = act
-            .withColumn("dropd",
-              coalesce(lag(col("active"), 1).over(wWord), lit(false)))
-            .filter(!col("dropd"))
-            .select(col("word"), col("wcnt"),
-              row_number().over(wWord).as("pos"),
-              when(col("active"), concat(col("la"), col("ra")))
-                .otherwise(col("sym")).as("sym"))
-            .persist()
-          streams += stream
-          merge.select(lit(it).as("it"), col("la").as("left_sym"),
-            col("ra").as("right_sym"),
-            concat(col("la"), col("ra")).as("merged"),
-            col("cnt").as("pair_count"))
-        }
-        Option(lastStreams.getAndSet(streams.result()))
-          .foreach(_.foreach(_.unpersist()))
-        merges.reduce(_.unionByName(_)).orderBy("it")
-      },
+      fn = (spark, dir) =>
+        trained(spark, dir)._1.reduce(_.unionByName(_)).orderBy("it"),
       oracle = Some(bpeOracle(ROUNDS)),
-      bench = true)
+      bench = true),
+
+    // ---- Tokenizer APPLICATION: encode the corpus with the trained
+    // merge table. The vocabulary trick carries over — each distinct
+    // word is encoded ONCE (the final training stream IS the encoded
+    // vocabulary; its per-word position count is the word's BPE token
+    // count), then a vocab-sized code-length table joins back onto the
+    // corpus word stream. At 100 TB the encode table is Heaps-law
+    // small and broadcast-joins onto the corpus — tokenizing is one
+    // narrow pass, not a per-document string fold.
+    "q_bpe_encode" -> QueryDef(
+      fn = (spark, dir) => {
+        val wlen = trained(spark, dir)._2
+          .groupBy("word").agg(count(lit(1)).as("wlen"))
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(broadcast(wlen), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("wlen")).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(bpeEncodeOracle(ROUNDS)))
   )
 
   /** The oracle is GENERATED from the same round template the Spark
     * side implements, so the two can't drift: round i's CTEs are the
     * literal SQL transcription of the window pipeline above. */
   private def bpeOracle(rounds: Int): String = {
+    val outs = (0 until rounds).map { i =>
+      s"o$i AS (SELECT ${i + 1} AS it, la AS left_sym, ra AS right_sym," +
+        s" la || ra AS merged, cnt AS pair_count FROM m$i)"
+    }
+    bpeBase(rounds) + "," + outs.mkString(",") +
+      "\nSELECT * FROM (" +
+      (0 until rounds).map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ") +
+      ") ORDER BY it"
+  }
+
+  /** Encode oracle: the shared round chain to `s<rounds>` (the encoded
+    * vocabulary), then per-word code lengths joined back onto the
+    * corpus word stream — the literal SQL twin of q_bpe_encode. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeBase(rounds) + s""",
+      |enc AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wlen FROM s$rounds
+      |  GROUP BY word),
+      |docw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(wlen) AS BIGINT) AS n_bpe_tokens
+      |FROM docw JOIN enc USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Base + the `rounds` unrolled round CTEs (`s0` .. `s<rounds>`). */
+  private def bpeBase(rounds: Int): String = {
     val base = """
       |WITH raw AS (
       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -155,14 +213,6 @@ object BpeQueries extends QueryModule {
       |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
       |    CASE WHEN active THEN la || ra ELSE sym END AS sym
       |  FROM k$i WHERE NOT dropd)""".stripMargin
-    val outs = (0 until rounds).map { i =>
-      s"o$i AS (SELECT ${i + 1} AS it, la AS left_sym, ra AS right_sym," +
-        s" la || ra AS merged, cnt AS pair_count FROM m$i)"
-    }
-    base + (0 until rounds).map("," + round(_)).mkString +
-      "," + outs.mkString(",") +
-      "\nSELECT * FROM (" +
-      (0 until rounds).map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ") +
-      ") ORDER BY it"
+    base + (0 until rounds).map("," + round(_)).mkString
   }
 }

@@ -458,6 +458,63 @@ object SimilarityQueries extends QueryModule {
         first(col("v")).as("n_v")) // v constant per vec_id
       .select(col("vec_id").as("n_id"), col("n_v"), col("bucket"))
 
+  /** Within-bucket kNN edges over `corpus` (needs vec_id + v): each
+    * vector's top-`k` cosine neighbors among vectors sharing its
+    * Lloyd bucket, as (vec_id, bucket, rank, n_id, sim). The candidate
+    * join is an EQUI-JOIN on bucket — the SemDeDup-style blocking
+    * shared by q_knn_graph, q_semantic_dedup and q_triangle_count. */
+  private def knnEdges(corpus: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids)
+    val left = assigned.select(col("n_id").as("vec_id"),
+      col("n_v").as("v"), col("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
+    left.join(assigned, "bucket")
+      .filter(col("n_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("v"), col("n_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The planted demo corpus for the graph-structured queries: every
+    * 20th vector gets two ±0.01-perturbed twins — guaranteed 3-vector
+    * near-duplicate groups (mutual nearest neighbors), so semantic
+    * dedup and the triangle census are structurally non-degenerate on
+    * any input corpus. */
+  private def plantedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embFrame(spark, dir)
+    val twins = emb.filter(col("vec_id") % 20 === 0)
+    def perturbed(offset: Long, eps: Double) =
+      twins.select((col("vec_id") + offset).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(eps)),
+          slice(col("v"), 2, 10000)).as("v"))
+    emb.select(col("vec_id"), col("v"))
+      .unionByName(perturbed(1000000L, 0.01))
+      .unionByName(perturbed(2000000L, -0.01))
+  }
+
+  /** DuckDB twin of [[plantedEmb]] (CTE `all_emb` over `emb`). */
+  private val plantedSql =
+    """all_emb AS (
+      |  SELECT vec_id, v FROM emb
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
+      |  FROM emb WHERE vec_id % 20 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id, [v[1] - 0.01] || v[2:] AS v
+      |  FROM emb WHERE vec_id % 20 = 0)""".stripMargin
+
+  /** DuckDB twin of [[assignBuckets]] over CTE `src` (needs `cent2`
+    * from [[Similarity.lloydSql]] in scope). */
+  private def assignedSql(src: String): String =
+    s"""assigned AS (
+       |  SELECT vec_id, v, c_id AS bucket FROM (
+       |    SELECT e.vec_id, e.v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+       |    FROM $src e CROSS JOIN cent2 c)
+       |  WHERE c_rank = 1)""".stripMargin
+
   /** Query-side probe set: each query's `nprobe` nearest centroid
     * buckets, as (q_id, q_v, bucket). Shared by ivfTopK/ivfPqTopK. */
   private def probeBuckets(queries: DataFrame, centroids: DataFrame,
@@ -885,6 +942,42 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin),
       bench = true), // round-1's flagged scale-killer — keep its cost tracked
 
+    // ---- Hard-negative mining for contrastive training: for each
+    // query vector, the most-similar corpus vectors with a DIFFERENT
+    // label — semantically close but wrong-class, the negatives that
+    // actually teach an embedding model. The label inequality is a
+    // post-condition on the broadcast nested-loop (query set
+    // broadcasts, corpus never shuffles — same shape as
+    // q_ann_cosine_topk); at corpus-scale query sets the IVF probe
+    // path applies with the label test as a post-filter
+    // (VectorIndex.probe(metaFilter=...)).
+    "q_hard_negatives" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("q_v"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        broadcast(q)
+          .join(emb.select(col("vec_id").as("n_id"),
+              col("label").as("n_label"), col("v").as("n_v")),
+            col("n_label") =!= col("q_label"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("q_id", "q_label", "rank", "n_id", "n_label", "sim")
+          .orderBy("q_id", "rank")
+      },
+      oracle = Some(embCte + s"""
+        |SELECT q_id, q_label, rank, n_id, n_label, sim FROM (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, n.vec_id AS n_id,
+        |    n.label AS n_label, $cosSql AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                       ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |  FROM emb q JOIN emb n ON q.vec_id < 20 AND n.label != q.label)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- Full-corpus kNN graph, cluster-blocked: top-3 cosine
     // neighbors for EVERY vector, searched only within the vector's
     // own Lloyd-trained IVF bucket. This is the SemDeDup-style
@@ -898,31 +991,13 @@ object SimilarityQueries extends QueryModule {
     // ranking identically, so the result is hash-exact, not
     // recall-gated.
     "q_knn_graph" -> QueryDef(
-      fn = (spark, dir) => {
-        val emb = embFrame(spark, dir)
-        val centroids = centroidsFor(spark, dir, iters = 2)
-        val assigned = assignBuckets(emb, centroids)
-        val left = assigned.select(col("n_id").as("vec_id"),
-          col("n_v").as("v"), col("bucket"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        left.join(assigned, "bucket")
-          .filter(col("n_id") =!= col("vec_id"))
-          .withColumn("sim", cosine(col("v"), col("n_v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+      fn = (spark, dir) =>
+        knnEdges(embFrame(spark, dir), centroidsFor(spark, dir, iters = 2), 3)
           .select("vec_id", "bucket", "rank", "n_id", "sim")
-          .orderBy("vec_id", "rank")
-      },
+          .orderBy("vec_id", "rank"),
       oracle = Some(embCte + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
-        |assigned AS (
-        |  SELECT vec_id, v, c_id AS bucket FROM (
-        |    SELECT e.vec_id, e.v, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
-        |    FROM emb e CROSS JOIN cent2 c)
-        |  WHERE c_rank = 1)
+        |${assignedSql("emb")}
         |SELECT vec_id, bucket, rank, n_id, sim FROM (
         |  SELECT a.vec_id, a.bucket, b.vec_id AS n_id,
         |    ${cosSqlOf("a.v", "b.v")} AS sim,
@@ -946,15 +1021,7 @@ object SimilarityQueries extends QueryModule {
     // reachability (recursive CTE) — fully hash-checked.
     "q_semantic_dedup" -> QueryDef(
       fn = (spark, dir) => {
-        val emb = embFrame(spark, dir)
-        val twins = emb.filter(col("vec_id") % 20 === 0)
-        def perturbed(offset: Long, eps: Double) =
-          twins.select((col("vec_id") + offset).as("vec_id"),
-            concat(array(element_at(col("v"), 1) + lit(eps)),
-              slice(col("v"), 2, 10000)).as("v"))
-        val all = emb.select(col("vec_id"), col("v"))
-          .unionByName(perturbed(1000000L, 0.01))
-          .unionByName(perturbed(2000000L, -0.01))
+        val all = plantedEmb(spark, dir)
         val centroids = centroidsFor(spark, dir, iters = 2)
         val assigned = assignBuckets(all, centroids)
         val a = assigned.select(col("n_id").as("id_a"),
@@ -974,21 +1041,8 @@ object SimilarityQueries extends QueryModule {
       },
       oracle = Some(embCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
-        |all_emb AS (
-        |  SELECT vec_id, v FROM emb
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.01] || v[2:] AS v
-        |  FROM emb WHERE vec_id % 20 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 2000000 AS vec_id, [v[1] - 0.01] || v[2:] AS v
-        |  FROM emb WHERE vec_id % 20 = 0),
-        |assigned AS (
-        |  SELECT vec_id, v, c_id AS bucket FROM (
-        |    SELECT e.vec_id, e.v, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
-        |    FROM all_emb e CROSS JOIN cent2 c)
-        |  WHERE c_rank = 1),
+        |$plantedSql,
+        |${assignedSql("all_emb")},
         |prs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst
         |  FROM assigned a JOIN assigned b
@@ -1004,6 +1058,58 @@ object SimilarityQueries extends QueryModule {
         |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
         |SELECT cluster, COUNT(*) AS cluster_size FROM components
         |GROUP BY cluster HAVING COUNT(*) > 1 ORDER BY cluster""".stripMargin)),
+
+    // ---- Triangle census of the similarity graph: per-node triangle
+    // counts over the undirected kNN edge set (planted corpus, so the
+    // twin trios guarantee a non-degenerate census). This is the
+    // clustering-coefficient / community-density primitive. Scale
+    // shape: node-ordered wedge enumeration — the undirected edge set
+    // keeps only (a < b), each triangle {a<b<c} is generated exactly
+    // once from wedge (a,b)+(b,c) closed by (a,c), and every join is
+    // an EQUI-join on node ids. kNN edges bound every degree by 2k, so
+    // wedge count <= |E|·2k — linear in the corpus, no all-pairs
+    // anywhere.
+    "q_triangle_count" -> QueryDef(
+      fn = (spark, dir) => {
+        val edges = knnEdges(plantedEmb(spark, dir),
+          centroidsFor(spark, dir, iters = 2), 3)
+        val und = edges.select(least(col("vec_id"), col("n_id")).as("a"),
+            greatest(col("vec_id"), col("n_id")).as("b"))
+          .distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e1.b") === col("e2.a"))
+          .join(und.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |$plantedSql,
+        |${assignedSql("all_emb")},
+        |knn AS (
+        |  SELECT vec_id, n_id FROM (
+        |    SELECT a.vec_id, b.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY ${cosSqlOf("a.v", "b.v")} DESC, b.vec_id) AS rank
+        |    FROM assigned a JOIN assigned b
+        |      ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+        |  WHERE rank <= 3),
+        |und AS (
+        |  SELECT DISTINCT least(vec_id, n_id) AS a, greatest(vec_id, n_id) AS b
+        |  FROM knn),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT vec_id, COUNT(*) AS n_triangles FROM (
+        |  SELECT unnest([x, y, z]) AS vec_id FROM tri)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // ---- IVF-bucketed ANN — the 100 TB scale path. 16 centroids
     // (deterministic seed: the first 16 vectors, then 2 Lloyd rounds —

@@ -75,6 +75,52 @@ class SemanticPipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives never share the query's label") {
+    val rows = graft.SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .select("q_id", "q_label", "n_label")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, ql, nl) =>
+      assert(nl != ql, s"query $q mined a same-label ($ql) negative")
+    }
+  }
+
+  test("triangle census covers every planted twin trio") {
+    val planted = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(VectorFunctions.dot(col("v"), col("v")) > 0)
+      .filter(col("vec_id") % 20 === 0)
+      .select("vec_id").as[Long].collect()
+    val tri = graft.SparkEntry.queries("q_triangle_count")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // a twin trio is mutually nearest — its 3 members close a triangle
+    planted.foreach { o =>
+      Seq(o, o + 1000000L, o + 2000000L).foreach { id =>
+        assert(tri.getOrElse(id, 0L) >= 1L,
+          s"planted trio member $id is in no triangle")
+      }
+    }
+  }
+
+  test("bpe encode: token counts bounded by chars below, words above") {
+    val enc = graft.SparkEntry.queries("q_bpe_encode")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(enc.nonEmpty)
+    val chars = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum }
+      .toMap
+    enc.foreach { case (id, nWords, nTok) =>
+      // merges only ever shrink a word's token count, never below 1
+      assert(nTok >= nWords, s"doc $id: $nTok tokens < $nWords words")
+      assert(nTok <= chars(id), s"doc $id: $nTok tokens > ${chars(id)} chars")
+    }
+    assert(enc.exists { case (_, nWords, nTok) => nTok > nWords },
+      "degenerate: no document kept any multi-token word")
+  }
+
   test("semantic dedup recovers every planted twin group, origin as keeper") {
     val planted = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"),
