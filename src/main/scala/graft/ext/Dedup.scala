@@ -406,6 +406,92 @@ object DedupQueries extends QueryModule {
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- Shingle-CONTAINMENT near-dup: directed pairs where ≥ 90% of
+    // A's shingles appear in B — the quote/subset duplication that
+    // Jaccard (and its length-band blocking) structurally misses: a
+    // short doc embedded in a long one has Jaccard ≈ |A|/|B| and a
+    // length gap the band key excludes, yet containment 1.0. Planted
+    // concatenations (doc d ++ doc d+1) are guaranteed positives.
+    //
+    // Blocking is PREFIX FILTERING (the AllPairs/PPJoin family): under
+    // any global total order on shingles, containment(A in B) ≥ t
+    // forces B to share one of A's first ⌊(1-t)·|A|⌋+1 shingles — so
+    // the candidate join is an inverted-list EQUI-JOIN on shingle with
+    // the A side pruned to that prefix. Ordering rarest-first makes
+    // hot shingles land at prefix ENDS: the head of every prefix is a
+    // rare token, so no shingle fans out quadratically at 100 TB (the
+    // skew lives on the B side, bounded by the A-prefix's rarity).
+    // The ORACLE is the brute-force all-directed-pairs join — the
+    // driver's hash gate doubles as the blocking losslessness proof
+    // (the q_entity_resolution pattern).
+    "q_containment_neardup" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = Tables(spark, dir, "documents")
+          .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        val nxt = base.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("text2"))
+        val planted = base.filter(col("doc_id") % 10 === 0)
+          .join(nxt, "doc_id")
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text2")).as("text"))
+        val corpus = base.unionByName(planted)
+        val sh = corpus
+          .select(col("doc_id"), distinctShingles(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val tokens = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val freq = tokens.groupBy("g").agg(count(lit(1)).as("df"))
+        // rarest-first total order (df, g); prefix = ⌊0.1·|A|⌋+1
+        val ordered = tokens.join(freq, "g")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        val prefix = ordered
+          .join(sh.select(col("doc_id"), size(col("sh")).as("sz")), "doc_id")
+          .filter(col("rn") <=
+            floor(lit(0.1) * col("sz")).cast("long") + 1)
+        val cand = prefix.select(col("doc_id").as("id_a"), col("g"))
+          .join(tokens.select(col("doc_id").as("id_b"), col("g")), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            "id_b")
+          .withColumn("containment",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+              / size(col("sh_a")))
+          .filter(col("containment") >= 0.9)
+          .select("id_a", "id_b", "containment")
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        |WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |planted AS (
+        |  SELECT a.doc_id + 2000000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tokens
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok),
+        |shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |    AS containment
+        |FROM shn a JOIN shn b ON a.doc_id != b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |  >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- MinHash + LSH near-dup candidates, exact-verified.
     "q_neardup_minhash" -> QueryDef(
       fn = (spark, dir) => {

@@ -93,4 +93,33 @@ class DedupSpec extends SparkSpec {
     assert(others.count(_._4 == 1L) < others.length / 4,
       s"${others.count(_._4 == 1L)} of ${others.length} unmirrored docs flagged")
   }
+
+  test("containment: planted concatenations recovered; Jaccard would miss them") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_containment_neardup")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val byPair = rows.map { case (a, b, c) => (a, b) -> c }.toMap
+    // every planted concat doc p = d+2000000 fully contains docs d, d+1
+    val plantedHeads = rows.map(_._2).filter(_ >= 2000000L).map(_ - 2000000L)
+      .distinct
+    assert(plantedHeads.nonEmpty, "no planted containments recovered")
+    plantedHeads.foreach { d =>
+      val p = d + 2000000L
+      assert(byPair.get((d, p)).contains(1.0), s"doc $d not contained in $p")
+      assert(byPair.get((d + 1, p)).contains(1.0),
+        s"doc ${d + 1} not contained in $p")
+    }
+    // the case that motivates the operator: a contained pair whose
+    // Jaccard sits BELOW the near-dup threshold (subset, not twin)
+    val docs = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), DedupFunctions.distinctShingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val jaccardMissed = plantedHeads.exists { d =>
+      val (a, b) = (docs(d).toSet, docs(d).toSet ++ docs(d + 1).toSet)
+      a.intersect(b).size.toDouble / a.union(b).size < 0.6
+    }
+    assert(jaccardMissed,
+      "fixture degenerate: every planted containment is also a Jaccard near-dup")
+  }
 }
