@@ -49,16 +49,26 @@ object BpeQueries extends QueryModule {
 
   private val ROUNDS = 3
 
-  /** Per-invocation persisted round streams, one live set (the
-    * Dedup.lastSigs release pattern). */
-  private val lastStreams = new AtomicReference[Seq[DataFrame]](Nil)
+  /** Train-once cache: training is deterministic in the dataset dir,
+    * and BOTH q_bpe_train and q_bpe_encode need it — without the memo
+    * each Verify/bench session would run the multi-round window
+    * pipeline (the dominant cost) twice per dir. One live dir at a
+    * time: switching dirs swap-releases the previous dir's persisted
+    * round streams (the Dedup.lastSigs bounding invariant). */
+  private val lastTrained = new AtomicReference[
+    (String, Seq[DataFrame], (Seq[DataFrame], DataFrame))]()
+  graft.ops.BuildOnce.registerClearHook { () =>
+    Option(lastTrained.getAndSet(null)).foreach(_._2.foreach(_.unpersist()))
+  }
 
-  /** Run the ROUNDS-round training loop: returns (per-round merge
-    * frames, final symbol stream). The final stream is the trained
-    * tokenizer APPLIED to the vocabulary — each word's remaining
-    * positions are its BPE tokens. */
+  /** Run (or reuse) the ROUNDS-round training loop: returns (per-round
+    * merge frames, final symbol stream). The final stream is the
+    * trained tokenizer APPLIED to the vocabulary — each word's
+    * remaining positions are its BPE tokens. */
   private def trained(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) = {
+    val cached = lastTrained.get()
+    if (cached != null && cached._1 == dir) return cached._3
     val wWord = Window.partitionBy("word").orderBy("pos")
 
     val vocab = Tables(spark, dir, "documents")
@@ -107,9 +117,10 @@ object BpeQueries extends QueryModule {
         concat(col("la"), col("ra")).as("merged"),
         col("cnt").as("pair_count"))
     }
-    Option(lastStreams.getAndSet(streams.result()))
-      .foreach(_.foreach(_.unpersist()))
-    (merges, stream)
+    val result = (merges, stream)
+    Option(lastTrained.getAndSet((dir, streams.result(), result)))
+      .foreach(_._2.foreach(_.unpersist()))
+    result
   }
 
   override def defs: Seq[(String, QueryDef)] = Seq(

@@ -484,10 +484,12 @@ object SimilarityQueries extends QueryModule {
   private def plantedEmb(spark: SparkSession, dir: String): DataFrame = {
     val emb = embFrame(spark, dir)
     val twins = emb.filter(col("vec_id") % 20 === 0)
+    // slice length is size-derived (not a magic cap) so the Spark twin
+    // matches the oracle's unbounded v[2:] at ANY embedding dimension
     def perturbed(offset: Long, eps: Double) =
       twins.select((col("vec_id") + offset).as("vec_id"),
         concat(array(element_at(col("v"), 1) + lit(eps)),
-          slice(col("v"), 2, 10000)).as("v"))
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
     emb.select(col("vec_id"), col("v"))
       .unionByName(perturbed(1000000L, 0.01))
       .unionByName(perturbed(2000000L, -0.01))
@@ -811,7 +813,7 @@ object SimilarityQueries extends QueryModule {
     val planted = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
         concat(array(element_at(col("v"), 1) + lit(0.01)),
-          slice(col("v"), 2, 10000)).as("v"))
+          slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
     val all = emb.unionByName(planted)
     // one 8-plane table: near-dups at cosine >= 0.99 are ~8 degrees
     // apart, so a plane splits a true pair with p ~ 0.045 — Hamming<=2

@@ -101,10 +101,17 @@ object TextFunctions {
     * removes false positives, so the result is IDENTICAL to the exact
     * [[decontaminate]] — the driver's oracle hash gate doubles as the
     * proof. */
+  /** The eval-gram frame is used twice per call (sketch build, then
+    * confirm join) — persisted with swap-release bounding (one live
+    * copy across invocations, the Dedup.lastSigs pattern) so the
+    * explode+distinct shuffle over the eval set runs once, not twice. */
+  private val lastEvalGrams =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   def decontaminateBloom(corpus: DataFrame, eval: DataFrame, n: Int): DataFrame = {
-    val evalGrams = eval
+    val evalGrams = graft.ops.BuildOnce.swapPersist(lastEvalGrams, eval
       .select(explode(graft.functions.ShingleSet.shingleSet(col("text"), n)).as("g"))
-      .distinct()
+      .distinct())
     // bounded driver data (the sketch-class exemption): 2^20 bits =
     // 128 KiB regardless of eval size, like a broadcast var
     val sketch = evalGrams

@@ -45,11 +45,21 @@ object BuildOnce {
         memo.getOrElseUpdate(k, build)
     }
 
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]
+
+  /** Register extra cleanup to run on [[clearAll]] — for caches that
+    * need RELEASE logic a bare map clear can't express (e.g. the BPE
+    * trained-stream cache, which must unpersist its frames). */
+  def registerClearHook(f: () => Unit): Unit = clearHooks.add(f)
+
   /** Reset every registered memo (test hook — forces the next query
     * to rebuild its artifact under the current session config). */
   def clearAll(): Unit = {
     val it = registry.iterator()
     while (it.hasNext) it.next().clear()
+    val hooks = clearHooks.iterator()
+    while (hooks.hasNext) hooks.next().apply()
   }
 
   /** One-slot persisted-frame cache: release the PREVIOUS invocation's

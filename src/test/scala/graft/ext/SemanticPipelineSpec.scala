@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.QueryStageExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
@@ -48,9 +49,17 @@ class SemanticPipelineSpec extends SparkSpec {
     }
     assert(bloomFilters.nonEmpty, "no might_contain filter in the plan")
     // pre-shuffle pruning: the probe filter's own subtree must hold no
-    // exchange — corpus shingles the bloom rejects never shuffle
+    // exchange — corpus shingles the bloom rejects never shuffle. AQE
+    // hides finalized shuffles inside QueryStageExec LEAVES (plain
+    // collect would return Nil wherever the filter sat, making the
+    // assertion vacuous), so recurse through stages like execNodes.
+    def shufflesBelow(n: SparkPlan): Seq[SparkPlan] = n match {
+      case q: QueryStageExec => shufflesBelow(q.plan)
+      case e: ShuffleExchangeLike => Seq(e)
+      case other => (other.children ++ other.subqueries).flatMap(shufflesBelow)
+    }
     bloomFilters.foreach { f =>
-      val below = f.collect { case e: ShuffleExchangeLike => e }
+      val below = f.children.flatMap(shufflesBelow)
       assert(below.isEmpty, s"might_contain filter sits above a shuffle:\n$f")
     }
   }
