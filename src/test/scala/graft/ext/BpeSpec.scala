@@ -49,6 +49,28 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("train-once memo: encode reuses training; dir switch releases streams") {
+    graft.ops.BuildOnce.clearAll()
+    val run = graft.SparkEntry.queries("q_bpe_train")
+    val enc = graft.SparkEntry.queries("q_bpe_encode")
+    // train + encode materializes every cached round stream (the final
+    // stream's RDD only materializes when encode first reads it)
+    run(spark, sf).collect()
+    enc(spark, sf).collect()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    // same dir again: fully memoized — no new cached streams appear
+    enc(spark, sf).collect()
+    run(spark, sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst,
+      "repeat train/encode on one dir re-trained instead of reusing the memo")
+    // switching dirs swap-releases the previous dir's streams: the
+    // cached-RDD population stays bounded at one live generation set
+    run(spark, "/root/testdata/sf0.01").collect()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterFirst,
+      s"dir switch leaked round streams: ${spark.sparkContext.getPersistentRDDs.size}")
+    graft.ops.BuildOnce.clearAll()
+  }
+
   test("a merge application leaves no occurrence of the merged pair") {
     // the greedy pass must be EXHAUSTIVE: after merging (a,b), the
     // stream may contain new pairs involving "ab" but never (a,b)
