@@ -239,6 +239,65 @@ object AdvancedQueries extends QueryModule {
     // only ~k rows per key per partition reach the shuffle (the window
     // row_number formulation shuffles and sorts EVERY row). The oracle
     // is the window formulation, proving operator equivalence.
+    // ---- KMV (k-minimum-values) distinct-count sketch — an APPROX
+    // aggregate that is nonetheless hash-checkable cross-engine
+    // (unlike q_approx_aggs' engine-specific HLL): the sketch is the
+    // k=64 smallest values of a deterministic 60-bit hash both
+    // engines can compute (md5 hex prefix — Spark conv(,16,10) =
+    // DuckDB '0x…'::BIGINT), and the estimator (k-1)·2^60/kth is two
+    // IEEE ops on exact integers. Per group the sketch is built by
+    // the TopKPerKey operator: per-partition heaps bound what reaches
+    // the exchange to ≤k rows — the KMV MERGE property made physical.
+    // At 100 TB the distinct pre-pass is the same exchange an exact
+    // count-distinct would pay; the payoff is the k-row mergeable
+    // summary per group (union of sketches = sketch of union), which
+    // an exact count can't give.
+    "q_kmv_distinct" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+        val h = conv(md5(col("o_custkey").cast("string")).substr(1, 15),
+          16, 10).cast("long")
+        val pairs = orders
+          .select(col("o_orderstatus").as("status"), h.as("h")).distinct()
+        val sk = graft.plans.TopK.perKey(pairs, 64, Seq("status"),
+            Seq("h" -> true))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth"))
+        val exact = orders.groupBy(col("o_orderstatus").as("status"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        sk.join(exact, "status")
+          .withColumn("est_distinct",
+            when(col("n_sketch") < 64, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0) * lit(1152921504606846976.0)
+                / col("kth").cast("double")))
+          .select("status", "n_sketch", "kth", "exact_distinct",
+            "est_distinct")
+          .orderBy("status")
+      },
+      oracle = Some("""
+        |WITH pairs AS (
+        |  SELECT DISTINCT o_orderstatus AS status,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |sk AS (
+        |  SELECT status, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        |    MAX(h) AS kth
+        |  FROM (
+        |    SELECT status, h,
+        |      ROW_NUMBER() OVER (PARTITION BY status ORDER BY h) AS rn
+        |    FROM pairs)
+        |  WHERE rn <= 64 GROUP BY status),
+        |ex AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY 1)
+        |SELECT status, n_sketch, kth, exact_distinct,
+        |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+        |       ELSE (63.0 * 1152921504606846976.0) / CAST(kth AS DOUBLE)
+        |  END AS est_distinct
+        |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
+
     "q_topk_operator" -> QueryDef(
       fn = (spark, dir) => graft.plans.TopK.perKey(
           Tables(spark, dir, "orders"), 3,

@@ -26,6 +26,20 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("kmv estimate within 4 standard errors of the exact distinct count") {
+    // k=64 => relative standard error ~ 1/sqrt(k-2) ~ 12.7%
+    val rows = graft.SparkEntry.queries("q_kmv_distinct")(spark, dir)
+      .select(col("n_sketch"), col("exact_distinct").cast("double"),
+        col("est_distinct"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nSketch, exact, est) =>
+      if (nSketch < 64) assert(est === exact, s"unsaturated sketch must be exact")
+      else assert(math.abs(est - exact) / exact < 4.0 / math.sqrt(62.0),
+        s"exact=$exact est=$est")
+    }
+  }
+
   test("percentile_approx lands between neighboring exact percentiles") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val (p40, p60, approx50) = li.agg(
