@@ -591,6 +591,95 @@ object DedupQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    // ---- LSH quality evaluation IN-ENGINE: precision/recall of raw
+    // band-collision candidates against the exact banded-Jaccard
+    // truth set (q_neardup_jaccard's definition) — "measure, don't
+    // guess" as a first-class hash-checked query, the text twin of
+    // q_cluster_purity. All counts are exact BIGINTs from equi-joins
+    // (truth ⋈ cand, two anti-joins); precision/recall are one IEEE
+    // division each, so an LSH quality METRIC hash-matches the
+    // oracle. The oracle replays candidates from the exported band
+    // frame and the truth from text. At 100 TB this is the
+    // recall-regression monitor a production dedup pipeline runs per
+    // corpus snapshot — pair frames never carry documents, only ids.
+    "q_lsh_eval" -> QueryDef(
+      fn = (spark, dir) => {
+        val k = 64; val bands = 16; val rows = 4
+        val docsFull = withPlantedNearDups(Tables(spark, dir, "documents"))
+        val blocked = docsFull.select(col("doc_id"), col("lang"),
+          col("n_chars"), distinctShingles(col("text")).as("sh"))
+        val truth = bandedPairs(blocked)
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+          .select("id_a", "id_b")
+        // identical sig plan to q_neardup_minhash => CacheManager
+        // shares the cached frame through the same lastSigs slot
+        val sigs = graft.ops.BuildOnce.swapPersist(lastSigs, docsFull
+          .select(col("doc_id"),
+            minhashSignature(distinctShingles(col("text")), k).as("sig")))
+        val exploded = sigs.select(col("doc_id"),
+          posexplode(bandHashes(col("sig"), bands, rows))
+            .as(Seq("band_idx", "band_hash")))
+        if (exportOracleFrames) {
+          exploded.coalesce(1).write.mode("overwrite")
+            .parquet(s"$oracleExportDir/lsh_eval_bands")
+        }
+        val cand = exploded.as("x").join(exploded.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_hash") === col("y.band_hash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        truth.select(col("id_a"), col("id_b"), lit(1).as("t"))
+          .join(cand.select(col("id_a"), col("id_b"), lit(1).as("c")),
+            Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(when(col("t") === 1 && col("c") === 1, 1)).as("tp"),
+            count(when(col("t").isNull, 1)).as("fp"),
+            count(when(col("c").isNull, 1)).as("fn"))
+          .withColumn("precision",
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .withColumn("recall",
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+      },
+      oracle = Some(plantedCte + s""",
+        |tok AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         string_split_regex(text, '\\s+') AS tokens
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok),
+        |truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 60
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |bnd AS (
+        |  SELECT * FROM read_parquet('$oracleExportDir/lsh_eval_bands/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bnd x JOIN bnd y
+        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+        |   AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT
+        |  (SELECT COUNT(*) FROM truth t JOIN cand c
+        |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS tp,
+        |  (SELECT COUNT(*) FROM cand c WHERE NOT EXISTS (
+        |     SELECT 1 FROM truth t
+        |     WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS fp,
+        |  (SELECT COUNT(*) FROM truth t WHERE NOT EXISTS (
+        |     SELECT 1 FROM cand c
+        |     WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS fn)
+        |SELECT tp, fp, fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+        |FROM cnt""".stripMargin)),
+
     // ---- Passage SCRUB — the removal write-path of the ExactSubstr
     // rule (q_repeated_passages DETECTS; this emits cleaned docs):
     // drop every token covered by an 8-token window that also occurs

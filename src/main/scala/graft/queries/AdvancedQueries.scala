@@ -15,6 +15,32 @@ object AdvancedQueries extends QueryModule {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** A-priori pruned pair mining over distinct (ok, item) rows: drop
+    * items whose basket-support share is below `minShare` (an
+    * anti-monotone bound — no pair can out-support its rarest member),
+    * then expand pairs per basket via a self-equi-join on the basket
+    * key and return the top-k pairs by co-basket count, totally
+    * ordered. The frequent-item list is at most avgBasketSize/minShare
+    * entries regardless of corpus size, so its semi-join broadcasts.
+    * Public so the spec can prove prune-losslessness on a corpus where
+    * the prune actually fires (the testdata brands are all frequent).
+    */
+  def frequentPairs(items: DataFrame, baskets: DataFrame,
+      minShare: Double, k: Int): DataFrame = {
+    val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+    val freq = items.groupBy("item").agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup") >= col("n_baskets") * minShare)
+      .select("item")
+    val pruned = items.join(broadcast(freq), "item")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets_together"))
+      .orderBy(col("n_baskets_together").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- AS-OF JOIN: each click event matched to the same user's most
@@ -453,6 +479,80 @@ object AdvancedQueries extends QueryModule {
 
     // ---- Exact percentiles (integer column => exact interpolated
     // values on both engines; single-pass sort-based aggregate).
+    // ---- FREQUENT-ITEMSET PAIRS (market basket): which part brands are
+    // co-ordered? The scale shape is a-priori: an item whose basket
+    // support is below the floor cannot appear in any pair at/above the
+    // floor (support is anti-monotone), so infrequent items are dropped
+    // BEFORE the within-basket pair expansion. The surviving item list
+    // is provably bounded — sum(support) = |(basket,item)| rows, so at
+    // share floor s there are at most avgBasketSize/s frequent items —
+    // which is what makes the semi-join broadcast safe at any corpus
+    // size. Pair expansion is an equi-join on the basket key (bounded
+    // by basket size, never all-pairs); pair counting shuffles on the
+    // bounded pair space. The ORACLE is the brute-force mining WITHOUT
+    // the prune, so the hash gate doubles as the losslessness proof
+    // (top-k is unaffected because every top-k pair clears the floor).
+    "q_itemset_pairs" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val parts = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+        val items = li.join(broadcast(parts),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+          .distinct()
+        frequentPairs(items, Tables(spark, dir, "orders"),
+          minShare = 0.01, k = 25)
+      },
+      oracle = Some("""
+        |WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_baskets_together
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_baskets_together
+        |FROM pairs
+        |ORDER BY n_baskets_together DESC, item_a, item_b
+        |LIMIT 25""".stripMargin)),
+
+    // ---- JOIN-KEY SKEW REPORT: the measurement half of the skew story
+    // (q_adaptive_salted_join ACTS on hot keys; this is the report a
+    // pipeline runs first to decide whether salting is needed at all).
+    // One map-side-combined count per key, a one-row global stat frame
+    // broadcast back, and a TakeOrdered top-10 — nothing here is
+    // proportional to anything but the key cardinality. share_bp /
+    // ratio_x100 are single-expression double rounds (floor(x+0.5),
+    // fixed op order) so the report hash-matches the oracle exactly.
+    "q_skew_report" -> QueryDef(
+      fn = (spark, dir) => {
+        val keys = Tables(spark, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part_key"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = keys.agg(
+          count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+        keys.crossJoin(broadcast(stats))
+          .withColumn("share_bp",
+            floor(col("cnt") * 10000.0 / col("n_rows") + 0.5).cast("long"))
+          .withColumn("ratio_x100",
+            floor(col("cnt") * 100.0 * col("n_keys") / col("n_rows") + 0.5)
+              .cast("long"))
+          .orderBy(col("cnt").desc, col("part_key"))
+          .limit(10)
+      },
+      oracle = Some("""
+        |WITH k AS (
+        |  SELECT l_partkey AS part_key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+        |      FROM k)
+        |SELECT part_key, cnt, n_keys, n_rows,
+        |  CAST(FLOOR(cnt * 10000.0 / n_rows + 0.5) AS BIGINT) AS share_bp,
+        |  CAST(FLOOR(cnt * 100.0 * n_keys / n_rows + 0.5) AS BIGINT) AS ratio_x100
+        |FROM k, s
+        |ORDER BY cnt DESC, part_key
+        |LIMIT 10""".stripMargin)),
+
     "q_percentiles" -> QueryDef(
       fn = (spark, dir) => Tables(spark, dir, "lineitem")
         .groupBy("l_returnflag")

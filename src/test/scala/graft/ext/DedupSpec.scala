@@ -122,4 +122,23 @@ class DedupSpec extends SparkSpec {
     assert(jaccardMissed,
       "fixture degenerate: every planted containment is also a Jaccard near-dup")
   }
+
+  test("q_lsh_eval: banding recall floor holds and the metric is honest") {
+    // the hash gate proves the COUNTS match DuckDB; this pins the
+    // quality floor the hash can't express — at 16 bands x 4 rows the
+    // collision curve at j>=0.6 must recover (essentially) the whole
+    // truth set, while raw band candidates over-generate (fp > 0), so
+    // precision < 1 proves the metric isn't vacuously self-agreeing
+    val row = graft.SparkEntry.queries("q_lsh_eval")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val (tp, fp) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"))
+    assert(tp > 0, "degenerate fixture: empty truth set")
+    assert(row.getAs[Double]("recall") >= 0.9,
+      s"LSH banding recall regressed: ${row.getAs[Double]("recall")}")
+    val p = row.getAs[Double]("precision")
+    assert(p > 0.0 && p <= 1.0)
+    assert(fp > 0, "suspicious: zero raw-candidate false positives")
+    info(f"recall=${row.getAs[Double]("recall")}%.3f precision=$p%.3f " +
+      s"tp=$tp fp=$fp fn=${row.getAs[Long]("fn")}")
+  }
 }
