@@ -224,6 +224,59 @@ object TextQueries extends QueryModule {
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
+    // ---- BIGRAM LANGUAGE-MODEL STATS: top-3 next tokens per head
+    // with exact conditional-probability basis points — the n-gram LM
+    // table a data-quality pipeline derives per corpus snapshot. The
+    // bigram stream is generated MAP-SIDE by zipping the token array
+    // against its own tail (zip_with over two slices — no self-join,
+    // no window, the explode is the only row amplification), so the
+    // only shuffles are the two bounded-cardinality count
+    // aggregations. Top-3 per head goes through the TopKPerKey
+    // operator (bounded heaps, <=k rows per head per partition reach
+    // the exchange); the oracle replays it as the window formulation,
+    // re-proving operator equivalence on a second corpus shape. The
+    // head_total floor keeps the table to heads with enough mass for
+    // the probabilities to be meaningful (and scale-stable: totals
+    // only grow with corpus size).
+    "q_bigram_lm" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val bg = Tables(spark, dir, "documents")
+          .select(toks.as("t")).filter(size(col("t")) >= 2)
+          .select(explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("head"), b.as("next")))).as("bg"))
+          .select(col("bg.head").as("head"), col("bg.next").as("next"))
+        val cnt = bg.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+        val tot = cnt.groupBy("head").agg(sum("cnt").as("head_total"))
+        graft.plans.TopK.perKey(cnt, 3, Seq("head"),
+            Seq("cnt" -> false, "next" -> true))
+          .join(tot, "head")
+          .filter(col("head_total") >= 50)
+          .select(col("head"), col("next"), col("cnt"), col("head_total"),
+            floor(col("cnt") * 10000.0 / col("head_total") + 0.5)
+              .cast("long").as("p_bp"))
+          .orderBy(col("head"), col("cnt").desc, col("next"))
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS head, unnest(t[2:len(t)]) AS next
+        |  FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT head, next, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT head, CAST(SUM(cnt) AS BIGINT) AS head_total
+        |        FROM cnt GROUP BY 1),
+        |rk AS (SELECT c.head, c.next, c.cnt, t.head_total,
+        |         ROW_NUMBER() OVER (PARTITION BY c.head
+        |                            ORDER BY c.cnt DESC, c.next) AS rn
+        |       FROM cnt c JOIN tot t USING (head))
+        |SELECT head, next, cnt, head_total,
+        |  CAST(FLOOR(cnt * 10000.0 / head_total + 0.5) AS BIGINT) AS p_bp
+        |FROM rk WHERE rn <= 3 AND head_total >= 50
+        |ORDER BY head, cnt DESC, next""".stripMargin)),
+
     // ---- Decontamination: corpus docs sharing any 8-token shingle
     // with the eval set (docs 0-9). Five contaminated docs are
     // planted (eval texts re-id'd with a prefix token — the 8-grams

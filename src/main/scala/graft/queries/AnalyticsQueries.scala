@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,55 @@ object AnalyticsQueries extends QueryModule {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- TABLE CHECKSUM: order-independent per-table fingerprint —
+    // bit_xor over a 60-bit cross-engine row hash (md5 hex prefix,
+    // the q_kmv_distinct construction) plus the row count. This is
+    // the cheap first pass of the reconcile story: at 100 TB two
+    // snapshots compare WITHOUT moving data (each side reduces to one
+    // row per table, embarrassingly parallel, no shuffle at all —
+    // XOR's commutativity is what buys partition-order independence),
+    // and only on checksum mismatch does the row-level co-partitioned
+    // diff (q_reconcile) run. Doubles are deliberately excluded from
+    // the hashed columns: float-to-string formatting is the one piece
+    // the two engines don't share.
+    "q_table_checksum" -> QueryDef(
+      fn = (spark, dir) => {
+        def ck(name: String, df: DataFrame, cols: Seq[Column]) = df
+          .select(conv(md5(concat_ws("|", cols: _*)).substr(1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor60"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("xor60"))
+        ck("customer", Tables(spark, dir, "customer"),
+            Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_mktsegment")))
+          .unionByName(ck("nation", Tables(spark, dir, "nation"),
+            Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .unionByName(ck("orders", Tables(spark, dir, "orders"),
+            Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd"),
+              col("o_orderpriority"))))
+          .orderBy("table_name")
+      },
+      oracle = Some("""
+        |SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+        |  bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |    c_custkey, c_name, c_nationkey, c_mktsegment)), 1, 15)
+        |    AS BIGINT)) AS xor60
+        |FROM customer
+        |UNION ALL
+        |SELECT 'nation', COUNT(*),
+        |  bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |    n_nationkey, n_name, n_regionkey)), 1, 15) AS BIGINT))
+        |FROM nation
+        |UNION ALL
+        |SELECT 'orders', COUNT(*),
+        |  bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 15)
+        |    AS BIGINT))
+        |FROM orders
+        |ORDER BY table_name""".stripMargin)),
 
     // ---- RFM SEGMENTATION: the classic customer-curation bucketing
     // (recency / frequency / monetary), quartiled WITHIN market

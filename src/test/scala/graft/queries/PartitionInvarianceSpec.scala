@@ -16,9 +16,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   // exactness-critical representatives: decimal aggregation, integer
-  // moment regression, ratio-scored retrieval, UDAF, trained ANN
+  // moment regression, ratio-scored retrieval, UDAF, trained ANN,
+  // XOR table fingerprint (commutativity IS its partition-order
+  // claim), decimal-quartile bucketing
   private val names = Seq("q_pricing_summary", "q_weather_trend",
-    "q_bm25", "q_weighted_avg_udaf", "q_ann_pq")
+    "q_bm25", "q_weighted_avg_udaf", "q_ann_pq", "q_table_checksum",
+    "q_rfm_segments")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
