@@ -222,6 +222,10 @@ object TextQueries extends QueryModule {
   private val lastPairs =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
 
+  /** q_bigram_oov's bigram-stream cache — same swap-release bounding. */
+  private val lastBigrams =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- BIGRAM LANGUAGE-MODEL STATS: top-3 next tokens per head
@@ -276,6 +280,67 @@ object TextQueries extends QueryModule {
         |  CAST(FLOOR(cnt * 10000.0 / head_total + 0.5) AS BIGINT) AS p_bp
         |FROM rk WHERE rn <= 3 AND head_total >= 50
         |ORDER BY head, cnt DESC, next""".stripMargin)),
+
+    // ---- BIGRAM OOV RATE — the curation use of the LM table: per
+    // doc, the fraction of bigrams outside the corpus's own
+    // high-frequency bigram vocabulary (share >= 0.1% of all bigram
+    // occurrences — relative, so the split is scale-stable). A high
+    // OOV rate is the classic fluency/garbage proxy when no external
+    // model is available. Scale shape: the known-bigram table is
+    // bounded (vocabulary-squared at most, far less under the
+    // frequency floor), so membership is a BROADCAST anti-join on the
+    // map-side-generated bigram stream — the corpus shuffles only for
+    // the two per-doc count aggregations, both on doc_id.
+    "q_bigram_oov" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        // read by the global count, the anti-join probe AND the
+        // per-doc denominator => persist, swap-released
+        val bg = graft.ops.BuildOnce.swapPersist(lastBigrams,
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), toks.as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(col("doc_id"), explode(zip_with(
+              slice(col("t"), lit(1), size(col("t")) - 1),
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              (a, b) => struct(a.as("head"), b.as("next")))).as("bg"))
+            .select(col("doc_id"), col("bg.head").as("head"),
+              col("bg.next").as("next")))
+        val cnt = bg.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+        val tot = cnt.agg(sum("cnt").as("n_total"))
+        val known = cnt.crossJoin(broadcast(tot))
+          .filter(col("cnt") >= col("n_total") * 0.001)
+          .select("head", "next")
+        val oov = bg.join(broadcast(known), Seq("head", "next"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+        bg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+          .join(oov, Seq("doc_id"), "left").na.fill(0L, Seq("n_oov"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+            floor(col("n_oov") * 10000.0 / col("n_bigrams") + 0.5)
+              .cast("long").as("oov_bp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS head,
+        |         unnest(t[2:len(t)]) AS next
+        |  FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT head, next, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+        |known AS (SELECT head, next FROM cnt
+        |          WHERE cnt >= (SELECT n_total FROM tot) * 0.001),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY 1),
+        |oov AS (SELECT b.doc_id, COUNT(*) AS n_oov FROM bg b
+        |        WHERE NOT EXISTS (SELECT 1 FROM known k
+        |                          WHERE k.head = b.head AND k.next = b.next)
+        |        GROUP BY 1)
+        |SELECT p.doc_id, p.n_bigrams, COALESCE(o.n_oov, 0) AS n_oov,
+        |  CAST(FLOOR(COALESCE(o.n_oov, 0) * 10000.0 / p.n_bigrams + 0.5)
+        |    AS BIGINT) AS oov_bp
+        |FROM perdoc p LEFT JOIN oov o USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- Decontamination: corpus docs sharing any 8-token shingle
     // with the eval set (docs 0-9). Five contaminated docs are

@@ -356,6 +356,52 @@ object AnalyticsQueries extends QueryModule {
         |FROM orders
         |ORDER BY table_name""".stripMargin)),
 
+    // ---- CHECKSUM DELTA MAINTENANCE: the incremental half of the
+    // q_table_checksum story. Because the fingerprint is an XOR fold,
+    // checksum(base ∪ delta) = xor(checksum(base), checksum(delta)) —
+    // so a snapshot's fingerprint is maintainable from per-batch
+    // fingerprints without ever rescanning history (and a removal is
+    // the same XOR, since x ^ x = 0). This query computes base
+    // (orders before the cut date), delta (after) and the full table
+    // INDEPENDENTLY, then checks the identity in-engine; the oracle
+    // replays all three scans and the identity, so the hash gate
+    // proves both engines implement the same XOR algebra over
+    // disjoint partitions of the data.
+    "q_checksum_delta" -> QueryDef(
+      fn = (spark, dir) => {
+        val h = conv(md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority"))).substr(1, 15), 16, 10).cast("long")
+        val o = Tables(spark, dir, "orders").withColumn("h", h)
+        def ck(df: DataFrame, n: String, x: String) =
+          df.agg(count(lit(1)).as(n), expr("bit_xor(h)").as(x))
+        val cut = lit("1997-01-01 00:00:00")
+        ck(o.filter(col("o_orderdate") < cut), "n_base", "xor_base")
+          .crossJoin(ck(o.filter(col("o_orderdate") >= cut),
+            "n_delta", "xor_delta"))
+          .crossJoin(ck(o, "n_full", "xor_full"))
+          .withColumn("xor_identity",
+            col("xor_base").bitwiseXOR(col("xor_delta")))
+          .withColumn("identity_holds",
+            (col("xor_identity") === col("xor_full")).cast("int"))
+      },
+      oracle = Some("""
+        |WITH h AS (
+        |  SELECT o_orderdate, CAST('0x' || substr(md5(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 15)
+        |    AS BIGINT) AS h
+        |  FROM orders),
+        |b AS (SELECT COUNT(*) AS n_base, bit_xor(h) AS xor_base FROM h
+        |      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |d AS (SELECT COUNT(*) AS n_delta, bit_xor(h) AS xor_delta FROM h
+        |      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        |f AS (SELECT COUNT(*) AS n_full, bit_xor(h) AS xor_full FROM h)
+        |SELECT n_base, xor_base, n_delta, xor_delta, n_full, xor_full,
+        |  xor(xor_base, xor_delta) AS xor_identity,
+        |  CAST(xor(xor_base, xor_delta) = xor_full AS INT) AS identity_holds
+        |FROM b, d, f""".stripMargin)),
+
     // ---- RFM SEGMENTATION: the classic customer-curation bucketing
     // (recency / frequency / monetary), quartiled WITHIN market
     // segment. Two deliberate scale choices: (1) cutpoints come from
