@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{BpeQueries, DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.ext.{BpeQueries, DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, RetrievalQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
-import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, WeatherQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, TimeSeriesQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,9 @@ object SparkEntry {
     PipelineQueries,      // dup-cluster resolution + curation pipeline
     GraphQueries,         // iterative graph ranking (fixed-point PageRank)
     LinkageQueries,       // blocked fuzzy entity resolution
-    BpeQueries            // relational BPE vocabulary training
+    BpeQueries,           // relational BPE vocabulary training
+    RetrievalQueries,     // hybrid lexical+semantic rank fusion (RRF)
+    TimeSeriesQueries     // EMA recurrence, motif mining, drift report
   )
 
   private lazy val allDefs: Seq[(String, QueryDef)] = {

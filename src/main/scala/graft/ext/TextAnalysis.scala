@@ -209,6 +209,73 @@ object TextFunctions {
     ((n * 2 - df * 2 + 1).cast("double") / (df * 2 + 1).cast("double")) *
       ((tf * t * 22).cast("double") /
         (tf * t * 10 + t * 3 + dl * n * 9).cast("double"))
+
+  /** The BM25-scored corpus: (doc_id, dl, score) for `terms` — the
+    * expression tree SHARED by `q_bm25` (which top-10s it) and the
+    * hybrid rank-fusion retrieval ([[RetrievalQueries]], which fuses
+    * its ranking with an embedding ranking). Sharing matters for
+    * correctness, not just DRY: the fused ranks are only comparable to
+    * the standalone query's because both paths evaluate the identical
+    * exact-rational score. Shape: per-doc tf counts are narrow
+    * codegen'd array ops (no explode), corpus stats are ONE single-row
+    * aggregate broadcast back — the corpus is scanned once and never
+    * shuffled. */
+  def bm25Scored(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val base0 = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val base = terms.zipWithIndex.foldLeft(base0) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }.drop("toks")
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    def termScore(i: Int) = bm25TermScore(col(s"tf$i"), col(s"df$i"),
+      col("dl"), col("n_docs"), col("total_dl"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.indices.map(termScore).reduceLeft(_ + _))
+      .select("doc_id", "dl", "score")
+  }
+
+  /** DuckDB CTE list (tok, base, stats, scored) replaying
+    * [[bm25Scored]] exactly — compose as `s"WITH $ctes SELECT ..."`.
+    * Shared by the q_bm25 oracle and the hybrid-fusion oracle. */
+  def bm25ScoredCtes(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n        |    ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    ).mkString(",\n        |    ")
+    val scoreSum = terms.indices.map(i =>
+      s"""(CAST(s.n_docs*2 - s.df$i*2 + 1 AS DOUBLE) / CAST(s.df$i*2 + 1 AS DOUBLE))
+        |      * (CAST(b.tf$i * s.total_dl * 22 AS DOUBLE)
+        |         / CAST(b.tf$i * s.total_dl * 10 + s.total_dl * 3 + b.dl * s.n_docs * 9 AS DOUBLE))"""
+    ).mkString("\n        |    + ")
+    s"""tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    $tfCols
+        |  FROM tok),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+        |    $dfCols
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.doc_id, b.dl,
+        |    $scoreSum AS score
+        |  FROM base b CROSS JOIN stats s)""".stripMargin
+  }
 }
 
 object TextQueries extends QueryModule {
@@ -914,30 +981,11 @@ object TextQueries extends QueryModule {
     // plans as TakeOrdered. The only wide op in the whole plan is the
     // single-row stats agg.
     "q_bm25" -> QueryDef(
-      fn = (spark, dir) => {
-        val terms = bm25Terms
-        val base0 = Tables(spark, dir, "documents")
-          .select(col("doc_id"),
-            filter(wsTokens(col("text")), t => t =!= "").as("toks"))
-          .withColumn("dl", size(col("toks")).cast("long"))
-        val base = terms.zipWithIndex.foldLeft(base0) { case (d, (t, i)) =>
-          d.withColumn(s"tf$i",
-            size(filter(col("toks"), x => x === lit(t))).cast("long"))
-        }.drop("toks")
-        val stats = base.agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("total_dl") +:
-            terms.indices.map(i =>
-              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
-        def termScore(i: Int) = bm25TermScore(col(s"tf$i"), col(s"df$i"),
-          col("dl"), col("n_docs"), col("total_dl"))
-        base.crossJoin(broadcast(stats))
-          .withColumn("score",
-            terms.indices.map(termScore).reduceLeft(_ + _))
+      fn = (spark, dir) =>
+        bm25Scored(spark, dir, bm25Terms)
           .filter(col("score") > 0)
           .orderBy(col("score").desc, col("doc_id")).limit(10)
-          .select("doc_id", "dl", "score")
-      },
+          .select("doc_id", "dl", "score"),
       oracle = Some(bm25OracleSql)),
 
     // ---- Model-based quality filtering: a fasttext-style LINEAR
@@ -1011,37 +1059,8 @@ object TextQueries extends QueryModule {
     * `q_bm25` (full scan) and `q_bm25_indexed` (on-disk posting-list
     * layout): the two paths are bit-identical by construction
     * (InvertedIndexSpec). */
-  private lazy val bm25OracleSql: String = {
-        val terms = bm25Terms
-        val tfCols = terms.zipWithIndex.map { case (t, i) =>
-          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
-        }.mkString(",\n        |    ")
-        val dfCols = terms.indices.map(i =>
-          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
-        ).mkString(",\n        |    ")
-        val scoreSum = terms.indices.map(i =>
-          s"""(CAST(s.n_docs*2 - s.df$i*2 + 1 AS DOUBLE) / CAST(s.df$i*2 + 1 AS DOUBLE))
-        |      * (CAST(b.tf$i * s.total_dl * 22 AS DOUBLE)
-        |         / CAST(b.tf$i * s.total_dl * 10 + s.total_dl * 3 + b.dl * s.n_docs * 9 AS DOUBLE))"""
-        ).mkString("\n        |    + ")
-        s"""WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |    $tfCols
-        |  FROM tok),
-        |stats AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
-        |    $dfCols
-        |  FROM base),
-        |scored AS (
-        |  SELECT b.doc_id, b.dl,
-        |    $scoreSum AS score
-        |  FROM base b CROSS JOIN stats s)
+  private lazy val bm25OracleSql: String =
+    s"""WITH ${bm25ScoredCtes(bm25Terms)}
         |SELECT doc_id, dl, score FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-  }
 }

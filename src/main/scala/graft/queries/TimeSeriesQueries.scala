@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Sequential / time-series operators over the events table that a
+  * feature-engineering stage of a training pipeline needs: per-entity
+  * linear recurrences (exponential decay), discretized sequence-motif
+  * mining, and distribution-drift monitoring between time periods.
+  *
+  * The common thread: each is a SEQUENTIAL computation re-expressed so
+  * a declarative engine runs it in one or two scans — an ordered fold
+  * instead of a per-row loop, rank-based symbols instead of learned
+  * breakpoints, contingency counts instead of iterative tests — and so
+  * the DuckDB oracle replays it bit-for-bit (integer counts, or IEEE
+  * op chains in a fixed order).
+  */
+object TimeSeriesQueries extends QueryModule {
+
+  /** Baseline/current split for the drift report: events span
+    * 2024-01-01..01-30, so mid-month is the natural two-period split.
+    * A LITERAL split (not a computed median) is deliberate — it
+    * pushes down to the scan as a plain predicate and is what a
+    * production drift monitor does ("this week vs last"). */
+  val DriftSplit = "2024-01-16 00:00:00"
+
+  override def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Exponential moving average per user (α = 1/8): the linear
+    // recurrence s_i = α·x_i + (1−α)·s_{i−1}, seeded s_1 = x_1 — the
+    // canonical time-decay feature (recency-weighted engagement).
+    // A recurrence cannot be a window aggregate, but it IS an ordered
+    // left fold: collect each user's values under the total order
+    // (ts, event_id) and fold with `aggregate`. Both engines execute
+    // the identical IEEE multiply-add chain left-to-right (DuckDB
+    // `list_reduce` seeds with the first element; Spark folds
+    // `slice(.., 2, ..)` from `vals[0]`), so the double hash-matches.
+    // Scale shape: ONE shuffle (the groupBy), state bounded by
+    // per-user event count — the same bound any sessionization already
+    // carries; a pathological entity would be handled by period
+    // sub-folds (EMA composes: fold a day, carry the tail) without
+    // changing the plan. α = 0.125 and 1−α = 0.875 are exact binary
+    // doubles (dyadic rationals), so the literals themselves are
+    // engine-identical too.
+    "q_ema_decay" -> QueryDef(
+      fn = (spark, dir) =>
+        Tables(spark, dir, "events")
+          .select("user_id", "ts", "event_id", "value")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sort_array(collect_list(
+              struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+          .withColumn("vals", expr("transform(seq, s -> s.value)"))
+          .withColumn("ema", expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0]," +
+              " (acc, x) -> acc * 0.875D + x * 0.125D)"))
+          .select(col("user_id"), col("n_events"), col("ema"))
+          .orderBy("user_id"),
+      oracle = Some("""
+        |WITH seq AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(vals, (acc, x) ->
+        |    acc * CAST(0.875 AS DOUBLE) + x * CAST(0.125 AS DOUBLE)) AS ema
+        |FROM seq ORDER BY user_id""".stripMargin),
+      bench = true),
+
+    // ---- Sequence-motif mining: discretize each event's value into a
+    // per-type quartile symbol (NTILE over the total order (value,
+    // event_id) — rank-based symbolization, the SAX idea with exact
+    // order statistics instead of gaussian breakpoints), then count
+    // 3-symbol motifs along each user's per-type timeline and keep the
+    // top 5 per type. Everything is integer/string arithmetic under
+    // total orders, so the oracle hash-matches with zero float risk.
+    // Scale shape: two window passes (symbolize, slide) + one
+    // aggregation; the symbolization NTILE partitions by event_type —
+    // at 100 TB with few types, swap for fences from rank-selected
+    // order statistics broadcast onto the scan (the q_iqr_outliers
+    // pattern) and the rest of the plan is unchanged.
+    "q_motif_mining" -> QueryDef(
+      fn = (spark, dir) => {
+        val symW = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        val seqW = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val rankW = Window.partitionBy("event_type")
+          .orderBy(col("cnt").desc, col("motif"))
+        Tables(spark, dir, "events")
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .withColumn("sym", ntile(4).over(symW))
+          .withColumn("s2", lead("sym", 1).over(seqW))
+          .withColumn("s3", lead("sym", 2).over(seqW))
+          .filter(col("s3").isNotNull)
+          .withColumn("motif",
+            concat_ws("-", col("sym"), col("s2"), col("s3")))
+          .groupBy("event_type", "motif")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(rankW).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("event_type", "rk", "motif", "cnt")
+          .orderBy("event_type", "rk")
+      },
+      oracle = Some("""
+        |WITH sym AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    NTILE(4) OVER (PARTITION BY event_type
+        |                   ORDER BY value, event_id) AS sym
+        |  FROM events),
+        |tri AS (
+        |  SELECT event_type,
+        |    sym,
+        |    LEAD(sym, 1) OVER w AS s2,
+        |    LEAD(sym, 2) OVER w AS s3
+        |  FROM sym
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY ts, event_id)),
+        |cnts AS (
+        |  SELECT event_type, CONCAT_WS('-', sym, s2, s3) AS motif,
+        |         COUNT(*) AS cnt
+        |  FROM tri WHERE s3 IS NOT NULL
+        |  GROUP BY event_type, motif)
+        |SELECT event_type, rk, motif, cnt FROM (
+        |  SELECT event_type, motif, cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, motif) AS BIGINT) AS rk
+        |  FROM cnts)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin)),
+
+    // ---- Distribution-drift report: a chi-square contingency table
+    // of event_type × period (baseline = before DriftSplit, current =
+    // after). obs is the cell count; exp = row_total·col_total/N (the
+    // independence expectation); contrib = (obs−exp)²/exp — the cell's
+    // chi-square contribution, the standard "which segment drifted"
+    // monitor on a training-data feed. Emitted PER CELL (never summed)
+    // so every double is a fixed 4-op IEEE chain over exact BIGINT
+    // counts — deterministic across engines; the analyst's total is
+    // the trivial sum of a #types×2-row report. Scale shape: one
+    // groupBy shuffle over the scan produces the tiny cell frame; the
+    // three totals are window sums OVER THAT FRAME (#types×2 rows), so
+    // the events table is scanned exactly once.
+    "q_drift_chi2" -> QueryDef(
+      fn = (spark, dir) => {
+        val cells = Tables(spark, dir, "events")
+          .select(col("event_type"),
+            when(col("ts") < lit(DriftSplit).cast("timestamp"), 0L)
+              .otherwise(1L).as("period"))
+          .groupBy("event_type", "period")
+          .agg(count(lit(1)).as("obs"))
+        // window totals over the aggregated cell frame (~types×2 rows;
+        // the empty-frame global window is deliberate and bounded)
+        val typeTot = sum("obs").over(Window.partitionBy("event_type"))
+        val periodTot = sum("obs").over(Window.partitionBy("period"))
+        val grandTot = sum("obs").over(Window.partitionBy())
+        cells
+          .withColumn("exp",
+            (typeTot * periodTot).cast("double") / grandTot.cast("double"))
+          .withColumn("contrib",
+            (col("obs").cast("double") - col("exp")) *
+              (col("obs").cast("double") - col("exp")) / col("exp"))
+          .select("event_type", "period", "obs", "exp", "contrib")
+          .orderBy("event_type", "period")
+      },
+      oracle = Some(s"""
+        |WITH cells AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) END AS period,
+        |    COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, period, obs,
+        |    SUM(obs) OVER (PARTITION BY event_type) AS type_tot,
+        |    SUM(obs) OVER (PARTITION BY period) AS period_tot,
+        |    SUM(obs) OVER () AS grand_tot
+        |  FROM cells)
+        |SELECT event_type, period, obs,
+        |  CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE)
+        |    AS exp,
+        |  (CAST(obs AS DOUBLE)
+        |     - CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
+        |  * (CAST(obs AS DOUBLE)
+        |     - CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
+        |  / (CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
+        |    AS contrib
+        |FROM tot ORDER BY event_type, period""".stripMargin))
+  )
+}
