@@ -134,6 +134,37 @@ object GraphOps {
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
   private val lastNodes =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** BFS hop distances from `source` over directed edges (src, dst),
+    * capped at `maxHops` — frontier-style Pregel traversal: each round
+    * expands ONLY the nodes discovered last round (one equi-join),
+    * anti-joins the already-visited set, and unions the new layer in.
+    * All-integer semantics, so any engine replays it exactly.
+    *
+    * Scale shape: round r moves |frontier_r|·avg_degree rows through
+    * one shuffle — the textbook distributed BFS; the visited set is
+    * only ever the build side of an anti-join (never collected). Each
+    * round's frontier is localCheckpoint'd: dist_r's lineage would
+    * otherwise nest r copies of the join tree (the connectedComponents
+    * pattern; eager — BFS reads every frontier exactly once more).
+    */
+  def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+    var frontier = dist
+    for (r <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(r.toLong).as("d"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      dist = dist.union(next)
+      frontier = next
+    }
+    dist
+  }
 }
 
 object GraphQueries extends QueryModule {
@@ -201,6 +232,50 @@ object GraphQueries extends QueryModule {
         |${(0 until 5).map(i => iterCte(s"it$i", s"it${i + 1}").trim).mkString(",\n")}
         |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
         |ORDER BY pr DESC, node LIMIT 25""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- BFS reachability: hop distance from customer C0 over the
+    // same bipartite order graph (≤ 4 hops = customers two purchase
+    // steps away). The TRAVERSAL member of the graph family (pagerank
+    // iterates values, components contracts, BFS expands a frontier) —
+    // "blast radius" queries: which suppliers/customers are within k
+    // relationship steps of a flagged entity. The oracle is a
+    // recursive CTE under UNION-dedup semantics with an outer MIN(d):
+    // the frontier algorithm must find every node at its MINIMAL hop
+    // count exactly to hash-match.
+    "q_bfs_hops" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .select(
+            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("S"), col("l_suppkey").cast("string")).as("s"))
+          .distinct()
+          .select(expr(
+            "inline(array(struct(c AS src, s AS dst)," +
+              " struct(s AS src, c AS dst)))"))
+        GraphOps.bfsHops(edges, "C0", maxHops = 4)
+          .orderBy("d", "node")
+      },
+      oracle = Some("""
+        |WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |                  'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bi AS (
+        |  SELECT c AS src, s AS dst FROM edges
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM edges),
+        |walk(node, d) AS (
+        |  SELECT 'C0', CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, w.d + 1
+        |  FROM walk w JOIN bi e ON w.node = e.src
+        |  WHERE w.d < 4)
+        |SELECT node, MIN(d) AS d FROM walk GROUP BY node
+        |ORDER BY d, node""".stripMargin))
   )
 }

@@ -107,4 +107,30 @@ class GraphSpec extends SparkSpec {
     // rank can exceed total injected mass (n_nodes * scale)
     assert(rows.forall(_._2 >= 150000000L))
   }
+
+  test("bfsHops finds minimal hop counts, not just reachability") {
+    // diamond + long detour: s→a→t (2 hops) AND s→b→c→t (3 hops) —
+    // t must report 2; the detour's interior still gets its own dists.
+    // e is reachable only past maxHops and must be absent.
+    val edges = Seq(
+      ("s", "a"), ("a", "t"),
+      ("s", "b"), ("b", "c"), ("c", "t"),
+      ("t", "d"), ("d", "e")).toDF("src", "dst")
+    val got = GraphOps.bfsHops(edges, "s", maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("s" -> 0L, "a" -> 1L, "b" -> 1L,
+      "t" -> 2L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("q_bfs_hops layers are consistent with the edge relation") {
+    val df = SparkEntry.queries("q_bfs_hops")(spark, "/root/testdata/sf0.001")
+    val rows = df.as[(String, Long)].collect()
+    val dist = rows.toMap
+    assert(dist("C0") === 0L)
+    // bipartite invariant: customers on even hops, suppliers on odd
+    rows.foreach { case (n, d) =>
+      assert(if (n.startsWith("C")) d % 2 == 0 else d % 2 == 1, s"$n@$d")
+    }
+    assert(rows.map(_._2).max <= 4L)
+  }
 }
