@@ -682,6 +682,36 @@ object TextQueries extends QueryModule {
         |    '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_numbers
         |FROM e ORDER BY doc_id""".stripMargin)),
 
+    // ---- k-anonymity audit (the privacy companion to q_pii_scrub:
+    // scrubbing redacts identifiers IN the text, this flags docs whose
+    // METADATA combination re-identifies them): quasi-identifier =
+    // (lang, source, length-bucket); any doc in a group smaller than
+    // k=5 is re-identifiable by that combo and lands on the
+    // suppression list (suppress, or generalize the bucket until the
+    // group clears k — the standard Mondrian-style ladder). One window
+    // count over ONE exchange on the quasi-key, pure integers. At
+    // 100 TB identical shape: the group count is a partial-aggregated
+    // shuffle on a low-cardinality key; a skewed giant group is
+    // exactly the group that clears k and filters out.
+    "q_kanon_suppress" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source", "len_bucket")
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 200").as("len_bucket"))
+          .withColumn("group_n", count(lit(1)).over(w))
+          .filter(col("group_n") < 5)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |SELECT doc_id, lang, source, len_bucket, group_n FROM (
+        |  SELECT doc_id, lang, source, n_chars // 200 AS len_bucket,
+        |    COUNT(*) OVER (PARTITION BY lang, source, n_chars // 200)
+        |      AS group_n
+        |  FROM documents)
+        |WHERE group_n < 5 ORDER BY doc_id""".stripMargin)),
+
     // ---- Language identification (stopword-profile heuristic).
     "q_lang_id" -> QueryDef(
       fn = (spark, dir) => {
