@@ -159,4 +159,38 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(inIdx.max > exIdx,
       s"candidate filter above the exchange:\n$p")
   }
+
+  test("q_hybrid_rrf: both legs are distributed top-k, fusion has no cartesian") {
+    val p = plan("q_hybrid_rrf")
+    // each leg ends in TakeOrderedAndProject (distributed heap top-k,
+    // no global sort of the corpus) — two of them, one per retriever
+    val takes = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(takes >= 2, s"expected 2 TakeOrdered legs:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the semantic leg's 1-row query side must broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_drift_chi2: the period split is a scan-level predicate, one scan") {
+    val p = plan("q_drift_chi2")
+    // exactly ONE events scan — totals come from windows over the
+    // aggregated cell frame, never a re-scan
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected one events scan:\n$p")
+    // only the two needed columns are read
+    val scanCols = p.split("FileScan parquet \\[", 2)(1).split("]", 2)(0)
+    assert(scanCols.split(",").length === 2, scanCols)
+  }
+
+  test("q_ema_decay: one data exchange (the groupBy), partial agg, no join") {
+    val p = plan("q_ema_decay")
+    // exactly one HASH exchange moves data (the per-user groupBy; the
+    // trailing rangepartitioning exchange is the output-order contract)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly one hash exchange:\n$p")
+    // the collect_list aggregation combines map-side first
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
