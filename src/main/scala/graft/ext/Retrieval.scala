@@ -61,6 +61,22 @@ object RetrievalQueries extends QueryModule {
   private def cosSqlOf(a: String, b: String): String =
     s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
 
+  /** Build-once memo for the plain-IVF `VectorIndex` layout the
+    * indexed hybrid's semantic leg probes (same bounded-memo policy
+    * as the ANN index memos; trained with the SHARED `q_ann_ivf`
+    * centroids, so one training serves every consumer). */
+  private val vecIdxMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  private def vecIndexFor(spark: SparkSession, dir: String): String =
+    graft.ops.BuildOnce.cached(vecIdxMemo, dir) {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_hybrid_vec_index").toString
+      graft.ops.VectorIndex.build(
+        SimilarityQueries.embCorpus(spark, dir),
+        SimilarityQueries.ivfCentroids(spark, dir), idx)
+      idx
+    }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Reciprocal-rank fusion of BM25 and embedding-cosine top-50
@@ -116,6 +132,80 @@ object RetrievalQueries extends QueryModule {
         |        AS r_sem
         |    FROM emb n CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) q
         |    WHERE n.vec_id != 0)
+        |  WHERE r_sem <= $FuseDepth)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+        |  COALESCE(1.0/CAST(r_lex + $RrfK AS DOUBLE), 0.0)
+        |    + COALESCE(1.0/CAST(r_sem + $RrfK AS DOUBLE), 0.0) AS rrf
+        |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+      bench = true),
+
+    // ---- The SERVED form: both legs probe materialized on-disk
+    // indexes ("build once, probe many" — at 100 TB retrieval cost is
+    // probe cost, never a corpus scan per query). Lexical leg:
+    // `InvertedIndex.probe` — terms' posting-list partitions only,
+    // bit-identical scores to the full scan (InvertedIndexSpec), so
+    // the lex CTEs are shared verbatim. Semantic leg: plain-IVF
+    // `VectorIndex.probe` at nprobe=2 over the q_ann_ivf-trained
+    // centroids — APPROXIMATE by design (candidates only from probed
+    // buckets), and the oracle replays training+assignment+probe
+    // exactly, so even the approximation is hash-checked, not
+    // recall-gated. Fusion is unchanged: O(k) over two k-row lists.
+    "q_hybrid_rrf_indexed" -> QueryDef(
+      fn = (spark, dir) => {
+        val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = graft.ops.InvertedIndex.probe(spark,
+            TextQueries.invIndexFor(spark, dir),
+            TextQueries.bm25Terms, FuseDepth)
+          .withColumn("r_lex", row_number().over(lexW).cast("long"))
+          .select("doc_id", "r_lex")
+        val qv = embFrame(spark, dir).filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val sem = graft.ops.VectorIndex.probe(spark,
+            vecIndexFor(spark, dir), qv,
+            SimilarityQueries.ivfCentroids(spark, dir),
+            nprobe = 2, k = FuseDepth)
+          .select(col("n_id").as("doc_id"), col("rank").as("r_sem"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (col("r_lex") + RrfK).cast("double"), lit(0.0)) +
+              coalesce(lit(1.0) / (col("r_sem") + RrfK).cast("double"), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .select("doc_id", "r_lex", "r_sem", "rrf")
+      },
+      oracle = Some(s"""
+        |WITH ${TextFunctions.bm25ScoredCtes(TextQueries.bm25Terms)},
+        |lex AS (
+        |  SELECT doc_id, r_lex FROM (
+        |    SELECT doc_id,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |        AS r_lex
+        |    FROM scored WHERE score > 0)
+        |  WHERE r_lex <= $FuseDepth),
+        |$embCte,
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT n_id, n_v, c_id AS bucket FROM (
+        |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, c_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id = 0)
+        |  WHERE c_rank <= 2),
+        |sem AS (
+        |  SELECT doc_id, r_sem FROM (
+        |    SELECT a.n_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (
+        |        ORDER BY ${cosSqlOf("p.q_v", "a.n_v")} DESC, a.n_id) AS BIGINT)
+        |        AS r_sem
+        |    FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |    WHERE a.n_id != p.q_id)
         |  WHERE r_sem <= $FuseDepth)
         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
         |  COALESCE(1.0/CAST(r_lex + $RrfK AS DOUBLE), 0.0)

@@ -417,6 +417,18 @@ object SimilarityQueries extends QueryModule {
       .toDF("c_id", "c_v")
   }
 
+  /** The standard 2-round Lloyd centroids (the `q_ann_ivf` training),
+    * shared with the hybrid-retrieval module ([[RetrievalQueries]]) so
+    * its IVF leg probes the SAME trained index the ANN queries serve —
+    * one training, one index, many consumers. */
+  private[ext] def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsFor(spark, dir, 2)
+
+  /** The shared zero-norm-excluded embedding corpus (see [[embFrame]]
+    * contract), exposed for the hybrid module's index build. */
+  private[ext] def embCorpus(spark: SparkSession, dir: String): DataFrame =
+    embFrame(spark, dir)
+
   private def codebooksFor(spark: SparkSession, dir: String, m: Int,
       subDim: Int, iters: Int): Seq[(Int, Long, Seq[Double])] =
     graft.ops.BuildOnce.cached(bookMemo, (dir, m, subDim, iters))(

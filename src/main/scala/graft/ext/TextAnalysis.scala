@@ -1077,7 +1077,7 @@ object TextQueries extends QueryModule {
     * index dir per corpus. */
   private val invIndexMemo = graft.ops.BuildOnce.memo[String, String]()
 
-  private def invIndexFor(spark: SparkSession, dir: String): String =
+  private[ext] def invIndexFor(spark: SparkSession, dir: String): String =
     graft.ops.BuildOnce.cached(invIndexMemo, dir) {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_inv_index").toString

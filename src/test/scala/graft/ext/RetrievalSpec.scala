@@ -53,4 +53,28 @@ class RetrievalSpec extends SparkSpec {
       if r >= rl && r >= rs
     } assert(both > single)
   }
+
+  test("q_hybrid_rrf_indexed: lex leg identical to full-scan; probes pruned") {
+    val idx = SparkEntry.queries("q_hybrid_rrf_indexed")(spark, sf)
+    val rows = idx.collect()
+
+    // the lexical ranks must MATCH the full-scan variant's exactly
+    // (InvertedIndex.probe is bit-identical to the scan) — only the
+    // semantic leg may differ (IVF is approximate by design)
+    val full = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
+    def lexRanks(rs: Array[org.apache.spark.sql.Row]): Map[Long, Long] =
+      rs.flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getLong(1))).toMap
+    val fullLex = lexRanks(full)
+    lexRanks(rows).foreach { case (doc, r) =>
+      assert(fullLex.get(doc).forall(_ == r), s"doc $doc lex rank drift")
+    }
+
+    // the semantic leg's index scan is statically partition-pruned to
+    // the probed buckets (PartitionFilters on the hive layout)
+    val prunedScan = fileScans(idx).find(_._1.contains("graft_hybrid_vec_index"))
+    assert(prunedScan.isDefined, fileScans(idx).mkString("\n"))
+    assert(prunedScan.get._2.contains("bucket"),
+      s"no bucket partition filter: ${prunedScan.get}")
+  }
 }
