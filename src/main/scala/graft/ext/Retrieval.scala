@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{QueryDef, QueryModule}
 
 /** Hybrid retrieval — the fusion layer of a modern RAG / search stack:
   * a LEXICAL ranking (exact-rational BM25, shared expression tree with
@@ -36,30 +36,24 @@ import graft.{QueryDef, QueryModule, Tables}
   * real pipeline's "embed every document" stage produces.
   */
 object RetrievalQueries extends QueryModule {
-  import VectorFunctions.{asDouble, cosine, dot}
+  import VectorFunctions.cosine
 
   /** Fused-list depth (per-leg top-k) and the RRF smoothing constant. */
   val FuseDepth = 50
   val RrfK = 60
 
-  /** Embedding corpus under the zero-norm exclusion contract of
-    * `Similarity.embFrame` (zero vectors rank differently across
-    * engines: Spark 0/0→NULL vs DuckDB 0/0→NaN). */
+  /** Embedding corpus + DuckDB mirror + cosine SQL, all DELEGATED to
+    * the Similarity module so the zero-norm exclusion contract (Spark
+    * 0/0→NULL vs DuckDB 0/0→NaN rank divergence) is defined in exactly
+    * one place and the hybrid legs can never drift from the ANN
+    * queries they share results with. */
   private def embFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .filter(dot(col("v"), col("v")) > 0)
+    SimilarityQueries.embCorpus(spark, dir)
 
-  /** DuckDB mirror of [[embFrame]] (same contract). */
-  private val embCte =
-    """emb AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0)""".stripMargin
+  private def embCte: String = SimilarityQueries.embCteBody
 
   private def cosSqlOf(a: String, b: String): String =
-    s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
+    SimilarityQueries.cosSqlOf(a, b)
 
   /** Build-once memo for the plain-IVF `VectorIndex` layout the
     * indexed hybrid's semantic leg probes (same bounded-memo policy

@@ -607,8 +607,14 @@ object SimilarityQueries extends QueryModule {
       |                           CAST(embedding AS DOUBLE[])) > 0
       |)""".stripMargin
 
-  private def cosSqlOf(a: String, b: String): String =
+  // exposed to the hybrid-retrieval module so the zero-norm corpus
+  // contract and the cosine SQL fragment live in exactly ONE place
+  private[ext] def cosSqlOf(a: String, b: String): String =
     s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
+
+  /** [[embCte]] without the leading `WITH ` — for composition into a
+    * caller's own WITH list. */
+  private[ext] lazy val embCteBody: String = embCte.stripPrefix("WITH ")
 
   private val cosSql = cosSqlOf("q.v", "n.v")
 

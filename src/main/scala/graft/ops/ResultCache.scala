@@ -34,22 +34,24 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   */
 object ResultCache {
 
-  /** Combined cache token over the inputs' fingerprints: fold each
-    * input's (n_rows, xor60) with its NAME hashed in, so swapping two
-    * inputs' contents or renaming one changes the token. Bounded
-    * driver state: one row per input. */
+  /** Combined cache token over the inputs' fingerprints: an FNV-style
+    * NON-COMMUTATIVE fold over the name-sorted inputs, so swapping two
+    * inputs' contents or renaming one changes the token. (A plain XOR
+    * of per-input terms would NOT: XOR commutes, so exchanging the
+    * contents of inputs a and b merely permutes identical terms — the
+    * multiply-then-xor chain binds each term to its position in the
+    * sorted order.) Bounded driver state: one row per input. */
   def token(inputs: Seq[(String, DataFrame, Seq[Column])]): String = {
     val parts = inputs.sortBy(_._1).map { case (name, df, cols) =>
       val r = graft.streaming.ChecksumMaintenance.fingerprint(df, cols)
         .head()
       (name, r.getLong(0), r.getLong(1))
     }
-    // fold into 60 bits: xor of (per-input xor60 mixed with the name
-    // hash and row count); hex token keeps the dir name filesystem-safe
-    val mixed = parts.map { case (name, n, x) =>
-      x ^ java.lang.Long.rotateLeft(n, 17) ^
+    val mixed = parts.foldLeft(0xcbf29ce484222325L) { case (acc, (name, n, x)) =>
+      val term = x ^ java.lang.Long.rotateLeft(n, 17) ^
         (name.hashCode.toLong & 0xffffffffL)
-    }.foldLeft(0L)(_ ^ _)
+      (acc * 1099511628211L) ^ term
+    }
     f"$mixed%016x"
   }
 

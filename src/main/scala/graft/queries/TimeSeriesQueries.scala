@@ -145,23 +145,43 @@ object TimeSeriesQueries extends QueryModule {
     // the events table is scanned exactly once.
     "q_drift_chi2" -> QueryDef(
       fn = (spark, dir) => {
+        // the ONE events pass: everything below works on the ~types×2
+        // cell frame, localCheckpoint'd because the grid completion
+        // references it twice (distinct types + the counts) — without
+        // the cut, both references would re-derive the full scan
         val cells = Tables(spark, dir, "events")
           .select(col("event_type"),
             when(col("ts") < lit(DriftSplit).cast("timestamp"), 0L)
               .otherwise(1L).as("period"))
           .groupBy("event_type", "period")
           .agg(count(lit(1)).as("obs"))
-        // window totals over the aggregated cell frame (~types×2 rows;
-        // the empty-frame global window is deliberate and bounded)
+          .localCheckpoint()
+        // complete the grid (every type × both periods, obs=0 fill): a
+        // segment present in only ONE period is the strongest drift
+        // signal — omitting its empty cell would silently drop its
+        // largest contribution. The 2-row period dim broadcasts.
+        val grid = cells.select("event_type").distinct()
+          .crossJoin(spark.range(2).select(col("id").as("period")))
+        val full = grid.join(cells, Seq("event_type", "period"), "left")
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        // window totals over the grid frame (~types×2 rows; the
+        // empty-frame global window is deliberate and bounded).
+        // Expectation multiplies the totals AS DOUBLES: counts are
+        // exact under 2^53 so the single rounding matches the
+        // oracle's exact-integer-product-then-cast, while a BIGINT
+        // product would wrap past ~3e9 rows (ANSI off = silent).
         val typeTot = sum("obs").over(Window.partitionBy("event_type"))
         val periodTot = sum("obs").over(Window.partitionBy("period"))
         val grandTot = sum("obs").over(Window.partitionBy())
-        cells
+        val obsD = col("obs").cast("double")
+        full
           .withColumn("exp",
-            (typeTot * periodTot).cast("double") / grandTot.cast("double"))
+            typeTot.cast("double") * periodTot.cast("double") /
+              grandTot.cast("double"))
           .withColumn("contrib",
-            (col("obs").cast("double") - col("exp")) *
-              (col("obs").cast("double") - col("exp")) / col("exp"))
+            when(col("exp") > 0,
+              (obsD - col("exp")) * (obsD - col("exp")) / col("exp"))
+              .otherwise(lit(0.0)))
           .select("event_type", "period", "obs", "exp", "contrib")
           .orderBy("event_type", "period")
       },
@@ -172,21 +192,31 @@ object TimeSeriesQueries extends QueryModule {
         |         ELSE CAST(1 AS BIGINT) END AS period,
         |    COUNT(*) AS obs
         |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, p.period
+        |  FROM (SELECT DISTINCT event_type FROM cells) t
+        |  CROSS JOIN (SELECT CAST(0 AS BIGINT) AS period
+        |              UNION ALL SELECT CAST(1 AS BIGINT)) p),
+        |filled AS (
+        |  SELECT g.event_type, g.period, COALESCE(c.obs, 0) AS obs
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.event_type = c.event_type AND g.period = c.period),
         |tot AS (
         |  SELECT event_type, period, obs,
         |    SUM(obs) OVER (PARTITION BY event_type) AS type_tot,
         |    SUM(obs) OVER (PARTITION BY period) AS period_tot,
         |    SUM(obs) OVER () AS grand_tot
-        |  FROM cells)
-        |SELECT event_type, period, obs,
-        |  CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE)
-        |    AS exp,
-        |  (CAST(obs AS DOUBLE)
-        |     - CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
-        |  * (CAST(obs AS DOUBLE)
-        |     - CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
-        |  / (CAST(type_tot * period_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
-        |    AS contrib
-        |FROM tot ORDER BY event_type, period""".stripMargin))
+        |  FROM filled),
+        |e AS (
+        |  SELECT event_type, period, obs,
+        |    CAST(type_tot * period_tot AS DOUBLE)
+        |      / CAST(grand_tot AS DOUBLE) AS exp
+        |  FROM tot)
+        |SELECT event_type, period, obs, exp,
+        |  CASE WHEN exp > 0
+        |    THEN (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
+        |         / exp
+        |    ELSE CAST(0 AS DOUBLE) END AS contrib
+        |FROM e ORDER BY event_type, period""".stripMargin))
   )
 }

@@ -73,6 +73,25 @@ class ResultCacheSpec extends SparkSpec {
     assert(serveSum(in, cache)._2 && computeRuns === 1)
   }
 
+  test("token binds content to input NAME: swapping two inputs' contents " +
+    "changes the token") {
+    // regression: a commutative XOR combine is invariant under
+    // exchanging the contents of two inputs — the fold must not be
+    val dfA = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val dfB = (1L to 10L).map(i => (i, i * 7)).toDF("id", "v")
+    val cols = Seq(col("id"), col("v"))
+    val t1 = ResultCache.token(Seq(("a", dfA, cols), ("b", dfB, cols)))
+    val t2 = ResultCache.token(Seq(("a", dfB, cols), ("b", dfA, cols)))
+    assert(t1 !== t2, "content swap must move the token")
+    // and renaming an input changes it too
+    val t3 = ResultCache.token(Seq(("a2", dfA, cols), ("b", dfB, cols)))
+    assert(t1 !== t3)
+    // while a pure re-layout of the same content does not
+    val t4 = ResultCache.token(
+      Seq(("a", dfA.repartition(3), cols), ("b", dfB, cols)))
+    assert(t1 === t4)
+  }
+
   test("a crashed publish (no _SUCCESS) is overwritten by the retry") {
     val (in, cache) = freshDirs()
     (1L to 10L).map(i => (i, i)).toDF("id", "v")

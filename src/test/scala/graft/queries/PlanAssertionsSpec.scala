@@ -172,15 +172,14 @@ class PlanAssertionsSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_drift_chi2: the period split is a scan-level predicate, one scan") {
+  test("q_drift_chi2: events scanned once, grid works off the checkpointed cells") {
     val p = plan("q_drift_chi2")
-    // exactly ONE events scan — totals come from windows over the
-    // aggregated cell frame, never a re-scan
-    val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans === 1, s"expected one events scan:\n$p")
-    // only the two needed columns are read
-    val scanCols = p.split("FileScan parquet \\[", 2)(1).split("]", 2)(0)
-    assert(scanCols.split(",").length === 2, scanCols)
+    // the events table is read exactly once, at cell materialization
+    // (the localCheckpoint cut) — the final plan re-reads only the
+    // ~types×2 checkpointed frame, never the parquet
+    assert(!p.contains("FileScan parquet"),
+      s"events re-scanned past the cell checkpoint:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
   test("q_ema_decay: one data exchange (the groupBy), partial agg, no join") {
