@@ -132,6 +132,11 @@ object DedupFunctions {
   private[ext] val lastSigs =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_ngram_novelty's exploded gram stream (swap-released, bounded
+    * at one copy across invocations — the lastSigs pattern). */
+  private[ext] val lastNoveltyGrams =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** q_passage_scrub's positioned-gram frame cache — bounded at one
     * copy across invocations (the lastSigs pattern). */
   private[ext] val lastGrams =
@@ -370,6 +375,85 @@ object DedupQueries extends QueryModule {
         |  CAST(CAST(COALESCE(cnt.n_shared, 0) AS DOUBLE) / len(ws) > 0.5
         |    AS BIGINT) AS flagged
         |FROM w LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- Admission-order NOVELTY: for each document, the fraction
+    // of its distinct 8-token windows whose FIRST corpus occurrence
+    // (min doc_id — ids are the arrival order here) is the document
+    // itself. This is the incremental-crawl curation rule "keep the
+    // earliest copy, measure what a late arrival actually adds" —
+    // complementary to q_repeated_passages (symmetric sharing) and to
+    // the near-dup family (whole-doc similarity): a doc stitched from
+    // five old documents is ~0% novel yet pairs with none of them.
+    // Scale shape: grams shuffle ONCE keyed on the window (xxhash64
+    // of it at 100 TB — string kept so the oracle replays verbatim);
+    // the min(doc_id) aggregation is partial (map-side combine), the
+    // join back reuses the gram partitioning, and the per-doc rollup
+    // is the only other shuffle. Nothing is ever pairwise.
+    "q_ngram_novelty" -> QueryDef(
+      fn = (spark, dir) => {
+        val n = 8
+        val docs = Tables(spark, dir, "documents")
+        // replays of EARLIER docs arriving late in the admission
+        // order: every window first occurred at the source doc, so
+        // the planted copies measure ~0 novelty (true redundancy)
+        val planted = docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        val windows = corpus.select(col("doc_id"),
+          graft.functions.ShingleSet.shingleSet(col("text"), n).as("ws"))
+        // the gram stream feeds the first-occurrence aggregation AND
+        // the join back AND (via windows) the per-doc totals — persist
+        // one (doc_id, n_windows, g) frame so the corpus text is
+        // scanned/shingled ONCE, not 3× (lastSigs swap-release: the
+        // previous invocation's copy is freed, cache stays bounded)
+        val grams = graft.ops.BuildOnce.swapPersist(lastNoveltyGrams,
+          windows.select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_windows"),
+            explode(col("ws")).as("g")))
+        val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        // every doc yields >= 1 window (ShingleSet emits one partial
+        // shingle for short texts), so the gram stream covers all
+        // docs and one rollup produces totals AND novel counts
+        grams.join(first, Seq("g"))
+          .groupBy("doc_id")
+          .agg(max("n_windows").as("n_windows"),
+            sum(when(col("doc_id") === col("first_doc"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_frac",
+            col("n_novel").cast("double") / col("n_windows").cast("double"))
+          .withColumn("redundant", (col("novelty_frac") < 0.1).cast("long"))
+          .select("doc_id", "n_windows", "n_novel", "novelty_frac",
+            "redundant")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(toks) - 8, 0)),
+        |    i -> array_to_string(toks[i+1:i+8], ' '))) AS ws
+        |  FROM tok),
+        |g AS (SELECT doc_id, unnest(ws) AS g FROM w),
+        |fst AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+        |cnt AS (
+        |  SELECT g.doc_id,
+        |    SUM(CASE WHEN g.doc_id = fst.first_doc THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g JOIN fst USING (g) GROUP BY g.doc_id)
+        |SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(cnt.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(COALESCE(cnt.n_novel, 0) AS DOUBLE) / len(ws) AS novelty_frac,
+        |  CAST(CAST(COALESCE(cnt.n_novel, 0) AS DOUBLE) / len(ws) < 0.1
+        |    AS BIGINT) AS redundant
+        |FROM w LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin),
+      bench = true), // all-corpus shingle + gram shuffle — cost tracked
 
     // ---- n-gram Jaccard near-dup detection, blocked by (language,
     // length band) — see [[DedupFunctions.bandedPairs]] for why the

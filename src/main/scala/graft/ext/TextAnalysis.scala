@@ -579,6 +579,87 @@ object TextQueries extends QueryModule {
     // (counted by the same native ShingleSet kernel the near-dup
     // path uses), so the filter costs one codegen'd scan at any
     // corpus size. A planted looping doc guarantees a true positive.
+    // ---- Character-class diversity (the "degenerate text" quality
+    // axis the token-level stats miss: base64 blobs, aaaa-runs,
+    // keyboard mash all have healthy token counts but a skewed or
+    // flat CHARACTER distribution). One native one-pass kernel
+    // (CharClassCounts: 26 case-folded letters + space + other) feeds
+    // Simpson concentration Σpᵢ² — deliberately LOG-FREE (an entropy
+    // would need libm log, which differs across engines; Simpson is
+    // pure multiply/divide/add, so the DuckDB oracle — which rebuilds
+    // the same 28 counts the expensive way, via 27 replace() passes —
+    // matches the doubles bit-for-bit; the fold runs in the FIXED
+    // alphabet order on both sides). Scale shape: narrow per-row
+    // compute, no shuffle before the ordering — scan-bound at 100 TB.
+    // Corpus min length is 44 chars (TESTDATA), so len ≥ 1 always;
+    // an empty-text guard would be greatest(len, 1) on both sides.
+    "q_char_diversity" -> QueryDef(
+      fn = (spark, dir) => {
+        val planted = spark.range(1).select(
+          lit(9999998L).as("doc_id"),
+          lit("aaaaaaaa aaaa aaaaaa aaaabbbb aaaa").as("text"))
+        val base = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text")).unionByName(planted)
+        base.select(col("doc_id"),
+            graft.functions.CharClassCounts
+              .charClassCounts(spark, col("text")).as("cnt"))
+          .withColumn("len", expr("aggregate(cnt, 0L, (a, c) -> a + c)"))
+          .withColumn("n_alpha",
+            expr("aggregate(slice(cnt, 1, 26), 0L, (a, c) -> a + c)"))
+          .withColumn("n_space", col("cnt").getItem(26))
+          .withColumn("n_other", col("cnt").getItem(27))
+          .withColumn("simpson", expr(
+            "aggregate(cnt, CAST(0 AS DOUBLE), (a, c) -> a" +
+              " + (CAST(c AS DOUBLE) / CAST(len AS DOUBLE))" +
+              " * (CAST(c AS DOUBLE) / CAST(len AS DOUBLE)))"))
+          .withColumn("top_sym_frac",
+            expr("CAST(array_max(cnt) AS DOUBLE) / CAST(len AS DOUBLE)"))
+          .withColumn("degenerate", (col("simpson") > 0.125).cast("long"))
+          .select("doc_id", "len", "n_alpha", "n_space", "n_other",
+            "simpson", "top_sym_frac", "degenerate")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 9999998 AS doc_id,
+        |         'aaaaaaaa aaaa aaaaaa aaaabbbb aaaa' AS text),
+        |c AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_transform(generate_series(1, 26), i ->
+        |      length(text) - length(replace(replace(text,
+        |        substring('abcdefghijklmnopqrstuvwxyz', i, 1), ''),
+        |        substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', i, 1), ''))) AS letters,
+        |    length(text) - length(replace(text, ' ', '')) AS n_space
+        |  FROM corpus),
+        |d AS (
+        |  SELECT doc_id, len, n_space, letters,
+        |    CAST(list_sum(letters) AS BIGINT) AS n_alpha
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, len, n_alpha, n_space,
+        |    len - n_alpha - n_space AS n_other,
+        |    list_append(list_append(letters, n_space),
+        |                len - n_alpha - n_space) AS cnt
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, len, n_alpha, n_space, n_other,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(cnt, c ->
+        |        (CAST(c AS DOUBLE) / CAST(len AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(len AS DOUBLE)))),
+        |      (a, x) -> a + x) AS simpson,
+        |    CAST(list_max(cnt) AS DOUBLE) / CAST(len AS DOUBLE) AS top_sym_frac
+        |  FROM e)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len,
+        |  CAST(n_alpha AS BIGINT) AS n_alpha,
+        |  CAST(n_space AS BIGINT) AS n_space,
+        |  CAST(n_other AS BIGINT) AS n_other,
+        |  simpson, top_sym_frac,
+        |  CAST(simpson > 0.125 AS BIGINT) AS degenerate
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     "q_repetition_filter" -> QueryDef(
       fn = (spark, dir) => {
         val planted = spark.range(1).select(

@@ -141,4 +141,26 @@ class DedupSpec extends SparkSpec {
     info(f"recall=${row.getAs[Double]("recall")}%.3f precision=$p%.3f " +
       s"tp=$tp fp=$fp fn=${row.getAs[Long]("fn")}")
   }
+
+  test("q_ngram_novelty: late replicas measure zero novelty; counts bounded") {
+    val out = graft.SparkEntry.queries("q_ngram_novelty")(
+      spark, "/root/testdata/sf0.001").collect()
+    val (replicas, originals) = out.partition(_.getAs[Long]("doc_id") >= 900000L)
+    assert(replicas.nonEmpty, "fixture lost its planted replicas")
+    // every replica's text exists verbatim at a smaller doc_id, so no
+    // window can first-occur at the replica: novelty must be exactly 0
+    replicas.foreach { r =>
+      assert(r.getAs[Long]("n_novel") === 0L, r.toString)
+      assert(r.getAs[Long]("redundant") === 1L, r.toString)
+    }
+    // structural bounds on everything else
+    out.foreach { r =>
+      val (novel, win) = (r.getAs[Long]("n_novel"), r.getAs[Long]("n_windows"))
+      assert(novel >= 0L && novel <= win, r.toString)
+    }
+    // the corpus is mostly non-duplicated: originals keep real novelty
+    val fracs = originals.map(_.getAs[Double]("novelty_frac"))
+    assert(fracs.count(_ > 0.5) > originals.length / 2,
+      s"novelty collapsed: ${fracs.take(5).mkString(",")}")
+  }
 }

@@ -169,4 +169,41 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("k must be"))
   }
+
+  // ---- CharClassCounts expression
+
+  test("char class counts: golden, case folding, code-point semantics") {
+    val out = Seq("Ab c!", "héllo").toDF("text")
+      .select(CharClassCounts.charClassCounts(spark, col("text")))
+      .as[Seq[Long]].collect()
+    val abc = out(0) // 'A'→a, 'b', ' ', 'c', '!'
+    assert(abc(0) === 1L && abc(1) === 1L && abc(2) === 1L)
+    assert(abc(CharClassCounts.SpaceIdx) === 1L)
+    assert(abc(CharClassCounts.OtherIdx) === 1L)
+    assert(abc.sum === 5L)
+    // é is a 2-byte UTF-8 sequence but ONE code point: exactly one
+    // "other" count, and the total is 5 characters, not 6 bytes
+    val hello = out(1)
+    assert(hello(CharClassCounts.OtherIdx) === 1L)
+    assert(hello.sum === 5L)
+  }
+
+  test("char class counts kernel == 27-translate composition on sf docs") {
+    // the expression-only road (what the DuckDB oracle runs, via
+    // replace(); translate() is the Spark spelling) must agree with
+    // the one-pass kernel on real corpus text
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    val syms = ('a' to 'z').map(ch => s"$ch${ch.toUpper}") :+ " "
+    val comp = array(syms.map(s =>
+      (length(col("text")) - length(translate(col("text"), s, "")))
+        .cast("long")): _*)
+    val bad = docs
+      .withColumn("kern",
+        CharClassCounts.charClassCounts(spark, col("text")))
+      .filter(not(slice(col("kern"), 1, 27) === comp) ||
+        expr("aggregate(kern, 0L, (a, c) -> a + c)") =!=
+          length(col("text")).cast("long"))
+    assert(bad.count() === 0L)
+  }
 }

@@ -19,9 +19,12 @@ class PartitionInvarianceSpec extends SparkSpec {
   // moment regression, ratio-scored retrieval, UDAF, trained ANN,
   // XOR table fingerprint (commutativity IS its partition-order
   // claim), decimal-quartile bucketing
+  // ... plus the round-5 additions whose doubles ride on fixed-order
+  // folds (char diversity) or whose sequential prefix runs after a
+  // partition-order-sensitive rollup (sweep-line)
   private val names = Seq("q_pricing_summary", "q_weather_trend",
     "q_bm25", "q_weighted_avg_udaf", "q_ann_pq", "q_table_checksum",
-    "q_rfm_segments")
+    "q_rfm_segments", "q_char_diversity", "q_sweepline_concurrency")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")

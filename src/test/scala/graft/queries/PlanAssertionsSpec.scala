@@ -192,4 +192,37 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_char_diversity: narrow per-row kernel — one scan, no join, no hash exchange") {
+    val p = plan("q_char_diversity")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Join"), p)
+    // only the output-order range exchange; no data reshuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_sweepline_concurrency: fact scanned once; prefix window over the aggregated days") {
+    val p = plan("q_sweepline_concurrency")
+    // one lineitem + one orders scan — the explode produces both
+    // endpoint events from a single pass (a union formulation scanned
+    // the join twice)
+    assert("Scan parquet".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the sequential step is the ONLY single-partition exchange and it
+    // consumes the per-day aggregate (map-side partials underneath),
+    // never the raw event stream
+    assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
+    val idxWin = p.indexOf("Window")
+    val idxAgg = p.indexOf("HashAggregate")
+    assert(idxWin >= 0 && idxAgg > idxWin,
+      s"window must sit above the daily rollup:\n$p")
+  }
+
+  test("q_ngram_novelty: gram stream built once and reused from cache") {
+    val p = plan("q_ngram_novelty")
+    // both consumers (first-occurrence agg + join back) read the
+    // persisted gram frame instead of re-shingling the corpus
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
