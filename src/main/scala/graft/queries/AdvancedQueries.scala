@@ -636,6 +636,96 @@ object AdvancedQueries extends QueryModule {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.99) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Pairwise Pearson correlation MATRIX over the lineitem
+    // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
+    // cross-products) accumulate in a single aggregation — no
+    // self-join, no per-pair pass (the q_type_correlation shape is a
+    // join because its series live on different ROWS; here the
+    // columns share a row, so the matrix is map-side-combinable).
+    // Exactness: measures are 2-decimal currency → floor(x*100+0.5)
+    // integers, moments as DECIMAL(38,0)/HUGEINT sums (exact,
+    // order-free; headroom ~1e27 at sf1 vs the 1e38 cap), and the
+    // final r casts the exact integers to double (round-to-nearest on
+    // both engines — the q_weather_trend precedent) before one
+    // sqrt/divide chain. Scale: one scan, one single-row shuffle.
+    "q_corr_matrix" -> QueryDef(
+      fn = (spark, dir) => {
+        def d(c: Column): Column = c.cast("decimal(38,0)")
+        val cols = Seq("qty", "price", "disc", "tax")
+        val li = Tables(spark, dir, "lineitem").select(
+          floor(col("l_quantity") * 100 + 0.5).as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).as("price"),
+          floor(col("l_discount") * 100 + 0.5).as("disc"),
+          floor(col("l_tax") * 100 + 0.5).as("tax"))
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(d(col(c))).as(s"s_$c")) ++
+          (for { i <- cols.indices; j <- i until cols.length }
+            yield sum(d(col(cols(i))) * d(col(cols(j))))
+              .as(s"s_${cols(i)}_${cols(j)}"))
+        val m = li.agg(aggs.head, aggs.tail: _*)
+        def r(a: String, b: String): Column = {
+          val n = d(col("n"))
+          val num = (n * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double")
+          val va = (n * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+            .cast("double")
+          val vb = (n * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))
+            .cast("double")
+          num / sqrt(va * vb)
+        }
+        val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+          yield struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+            r(cols(i), cols(j)).as("r"))
+        m.select(col("n"), explode(array(pairs: _*)).as("p"))
+          .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+            col("n"), col("p.r").as("r"))
+          .orderBy("col_a", "col_b")
+      },
+      oracle = Some("""
+        |WITH t AS (
+        |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS qty,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS price,
+        |         CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS disc,
+        |         CAST(floor(l_tax * 100 + 0.5) AS HUGEINT) AS tax
+        |  FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n,
+        |  SUM(qty) AS s_qty, SUM(price) AS s_price,
+        |  SUM(disc) AS s_disc, SUM(tax) AS s_tax,
+        |  SUM(qty*qty) AS s_qty_qty, SUM(qty*price) AS s_qty_price,
+        |  SUM(qty*disc) AS s_qty_disc, SUM(qty*tax) AS s_qty_tax,
+        |  SUM(price*price) AS s_price_price, SUM(price*disc) AS s_price_disc,
+        |  SUM(price*tax) AS s_price_tax, SUM(disc*disc) AS s_disc_disc,
+        |  SUM(disc*tax) AS s_disc_tax, SUM(tax*tax) AS s_tax_tax
+        |  FROM t),
+        |p AS (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b, n,
+        |    CAST(n*s_qty_price - s_qty*s_price AS DOUBLE)
+        |      / sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE)
+        |             * CAST(n*s_price_price - s_price*s_price AS DOUBLE)) AS r
+        |  FROM m
+        |  UNION ALL SELECT 'qty', 'disc', n,
+        |    CAST(n*s_qty_disc - s_qty*s_disc AS DOUBLE)
+        |      / sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE)
+        |             * CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE)) FROM m
+        |  UNION ALL SELECT 'qty', 'tax', n,
+        |    CAST(n*s_qty_tax - s_qty*s_tax AS DOUBLE)
+        |      / sqrt(CAST(n*s_qty_qty - s_qty*s_qty AS DOUBLE)
+        |             * CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE)) FROM m
+        |  UNION ALL SELECT 'price', 'disc', n,
+        |    CAST(n*s_price_disc - s_price*s_disc AS DOUBLE)
+        |      / sqrt(CAST(n*s_price_price - s_price*s_price AS DOUBLE)
+        |             * CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE)) FROM m
+        |  UNION ALL SELECT 'price', 'tax', n,
+        |    CAST(n*s_price_tax - s_price*s_tax AS DOUBLE)
+        |      / sqrt(CAST(n*s_price_price - s_price*s_price AS DOUBLE)
+        |             * CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE)) FROM m
+        |  UNION ALL SELECT 'disc', 'tax', n,
+        |    CAST(n*s_disc_tax - s_disc*s_tax AS DOUBLE)
+        |      / sqrt(CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE)
+        |             * CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE)) FROM m)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n, r
+        |FROM p ORDER BY col_a, col_b""".stripMargin))
   )
 }

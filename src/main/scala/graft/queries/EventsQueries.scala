@@ -434,6 +434,73 @@ object EventsQueries extends QueryModule {
         |FROM e JOIN f USING (event_type)
         |WHERE e.value < f.q1 - (f.q3 - f.q1) * 1.5
         |   OR e.value > f.q3 + (f.q3 - f.q1) * 1.5
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- Robust dispersion per type: median + MAD (median absolute
+    // deviation) — the outlier rule that survives what breaks IQR
+    // fences (a 25%-contaminated tail shifts quartiles; the MAD
+    // breaks down only past 50%). TWO dependent rank selections: the
+    // median must exist before deviations do, so pass 2's order
+    // statistic is computed over a column pass 1 produced — the
+    // pattern that makes this a distinct operator from q_iqr_outliers
+    // (one selection) and q_percentiles (engine aggregate).
+    // Determinism: LOWER median via rank (n-1) div 2 + 1 under the
+    // total order (value, event_id) — an element of the data, never
+    // an interpolation; |x−med| and mad*3.0 are single IEEE ops both
+    // engines replay. Scale: each selection is one rank pass per
+    // type (swap for approx_percentile at 100 TB without touching
+    // the joins — the interface is just (type, 1 cutpoint)); the
+    // per-type stats broadcast back, the corpus never re-shuffles.
+    "q_mad_outliers" -> QueryDef(
+      fn = (spark, dir) => {
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        val ev = Tables(spark, dir, "events")
+          .select("event_id", "event_type", "value")
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String) = df
+          .withColumn("rn", row_number().over(
+            byType.orderBy(col(c), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(n-1) div 2 + 1"))
+        val med = lowerMedian(ev, "value")
+          .select(col("event_type"), col("value").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val mad = lowerMedian(dev, "ad")
+          .select(col("event_type"), col("ad").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("med").as("median"), // constant per type
+            min("mad").as("mad"),
+            sum(when(col("ad") > col("mad") * 3.0, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r1 AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM e),
+        |m AS (SELECT event_type, value AS med FROM r1
+        |      WHERE rn = (n-1)//2 + 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |        abs(e.value - m.med) AS ad
+        |      FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY ad, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM d),
+        |md AS (SELECT event_type, ad AS mad FROM r2
+        |       WHERE rn = (n-1)//2 + 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(d.med) AS median, MIN(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.ad > md.mad * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
   )
 }

@@ -218,6 +218,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"window must sit above the daily rollup:\n$p")
   }
 
+  test("q_corr_matrix: all 15 moments from one scan, one aggregation, no join") {
+    val p = plan("q_corr_matrix")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Join"), p)
+    // partial aggregation combines the moments map-side
+    assert("HashAggregate".r.findAllIn(p).length === 2, p)
+  }
+
   test("q_ngram_novelty: gram stream built once and reused from cache") {
     val p = plan("q_ngram_novelty")
     // both consumers (first-occurrence agg + join back) read the

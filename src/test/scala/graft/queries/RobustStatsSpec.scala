@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Imperative-reference pinning for the robust-stats + moment-matrix
+  * queries: both are re-computed here in plain Scala (sort an array,
+  * pick elements; accumulate BigInt moments) and must match the
+  * relational formulation exactly — the same style of proof
+  * TimeSeriesSpec gives the EMA fold.
+  */
+class RobustStatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_mad_outliers matches an imperative median/MAD per type") {
+    val rows = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value").collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    // lower median under the total order (value, event_id) — the
+    // exact convention the query's rank filter encodes
+    def lowerMedian(vs: Array[(Double, Long)]): Double = {
+      val sorted = vs.sortBy(identity)
+      sorted((vs.length - 1) / 2)._1
+    }
+    val expected = byType.map { case (t, rs) =>
+      val vs = rs.map(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      val med = lowerMedian(vs)
+      val ads = vs.map { case (v, id) => (math.abs(v - med), id) }
+      val mad = lowerMedian(ads)
+      val outliers = ads.count(_._1 > mad * 3.0)
+      t -> ((rs.length.toLong, med, mad, outliers.toLong))
+    }
+    val got = SparkEntry.queries("q_mad_outliers")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, med, mad, out) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === n, r.toString)
+      assert(r.getAs[Double]("median") === med, r.toString) // bit-exact
+      assert(r.getAs[Double]("mad") === mad, r.toString)
+      assert(r.getAs[Long]("n_outliers") === out, r.toString)
+    }
+  }
+
+  test("q_corr_matrix matches imperative BigInt moments; r in [-1, 1]") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+    val scaled = rows.map(r => Array(
+      BigInt(math.floor(r.getAs[Double]("l_quantity") * 100 + 0.5).toLong),
+      BigInt(math.floor(r.getAs[Double]("l_extendedprice") * 100 + 0.5).toLong),
+      BigInt(math.floor(r.getAs[Double]("l_discount") * 100 + 0.5).toLong),
+      BigInt(math.floor(r.getAs[Double]("l_tax") * 100 + 0.5).toLong)))
+    val n = BigInt(scaled.length)
+    def s(i: Int) = scaled.map(_(i)).sum
+    def sp(i: Int, j: Int) = scaled.map(v => v(i) * v(j)).sum
+    def r(i: Int, j: Int): Double = {
+      val num = (n * sp(i, j) - s(i) * s(j)).toDouble
+      val vi = (n * sp(i, i) - s(i) * s(i)).toDouble
+      val vj = (n * sp(j, j) - s(j) * s(j)).toDouble
+      num / math.sqrt(vi * vj)
+    }
+    val names = Seq("qty", "price", "disc", "tax")
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield (names(i), names(j)) -> r(i, j)).toMap
+    val got = SparkEntry.queries("q_corr_matrix")(spark, sf).collect()
+    assert(got.length === 6)
+    got.foreach { row =>
+      val key = (row.getAs[String]("col_a"), row.getAs[String]("col_b"))
+      val rv = row.getAs[Double]("r")
+      assert(rv === expected(key), s"$key: $rv vs ${expected(key)}") // bit-exact
+      assert(rv >= -1.0 && rv <= 1.0, row.toString)
+      assert(row.getAs[Long]("n") === scaled.length.toLong)
+    }
+  }
+}
