@@ -392,6 +392,85 @@ object AdvancedQueries extends QueryModule {
         |  END AS est_distinct
         |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
 
+    // ---- Poisson bootstrap: B=16 replicate means of the order value
+    // in ONE scan — the scalable bootstrap (each row draws a
+    // Poisson(1) replication weight per replicate instead of the
+    // row-count-coupled multinomial of classical resampling, so the
+    // draw is per-row independent and map-side). Uncertainty on a
+    // corpus statistic without B passes: the only shuffle is the
+    // B-row aggregation, and the explode fan-out is map-side (16×
+    // narrow rows, never materialized wide).
+    // Determinism across engines: the "randomness" is the shared
+    // md5/60-bit construction from q_kmv_distinct keyed on
+    // (o_orderkey, b); the Poisson(1) inverse CDF is a CASE ladder
+    // over LITERAL cumulative thresholds (e^-1 Σ 1/k! as double
+    // constants — both engines compare against the same bits, no
+    // transcendental is ever EVALUATED); weights are small ints,
+    // weighted sums exact decimals, and the final mean is one
+    // decimal→double division. Clipped at w=8 (tail mass ~1e-6) —
+    // same clip both sides.
+    "q_poisson_bootstrap" -> QueryDef(
+      fn = (spark, dir) => {
+        val B = 16
+        // cumulative Poisson(1) CDF at k = 0..7
+        val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+          0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+          0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+        def d(c: Column): Column = c.cast("decimal(38,0)")
+        val rep = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100 + 0.5).as("p100"))
+          .select(col("o_orderkey"), col("p100"),
+            explode(sequence(lit(0), lit(B - 1))).as("b"))
+        val h = conv(md5(concat(col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"))).substr(1, 15), 16, 10).cast("long")
+        val u = h.cast("double") / lit(1152921504606846976L).cast("double")
+        val w = cdf.zipWithIndex.reverse
+          .foldLeft(lit(8L): Column) { case (acc, (th, k)) =>
+            when(u < lit(th), lit(k.toLong)).otherwise(acc)
+          }
+        rep.select(col("b"), col("p100"), w.as("w"))
+          .groupBy("b")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(d(col("w")) * d(col("p100"))).as("wp"))
+          .select(col("b").cast("long").as("b"),
+            col("n_eff").cast("long").as("n_eff"),
+            (col("wp").cast("double") / col("n_eff").cast("double"))
+              .as("mean_price_e2"))
+          .orderBy("b")
+      },
+      oracle = Some("""
+        |WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS p100
+        |  FROM orders),
+        |rep AS (
+        |  SELECT o_orderkey, p100, b
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+        |hh AS (
+        |  SELECT b, p100,
+        |    CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |      || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM rep),
+        |ww AS (
+        |  SELECT b, p100,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM hh)
+        |SELECT CAST(b AS BIGINT) AS b,
+        |  CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(CAST(w AS HUGEINT) * p100) AS DOUBLE)
+        |    / CAST(SUM(w) AS DOUBLE) AS mean_price_e2
+        |FROM ww GROUP BY b ORDER BY b""".stripMargin)),
+
     "q_topk_operator" -> QueryDef(
       fn = (spark, dir) => graft.plans.TopK.perKey(
           Tables(spark, dir, "orders"), 3,

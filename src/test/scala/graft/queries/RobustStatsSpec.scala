@@ -41,6 +41,31 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_poisson_bootstrap: replicates center on the truth and actually vary") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_poisson_bootstrap")(spark, sf).collect()
+    assert(got.length === 16)
+    val orders = Tables(spark, sf, "orders")
+    val n = orders.count()
+    val trueMean = orders
+      .agg(avg(floor(col("o_totalprice") * 100 + 0.5))).head().getDouble(0)
+    val means = got.map(_.getAs[Double]("mean_price_e2"))
+    // every replicate mean within 10% of truth (sf0.001 has ~1.5k
+    // orders; bootstrap SE ~ sd/sqrt(n) « 10%)
+    means.foreach(m =>
+      assert(math.abs(m - trueMean) / trueMean < 0.10, s"$m vs $trueMean"))
+    // replicates DIFFER (the hash draw isn't degenerate)...
+    assert(means.distinct.length > 8, means.mkString(","))
+    // ...and Poisson(1) totals stay near n (sd = sqrt(n))
+    got.foreach { r =>
+      val eff = r.getAs[Long]("n_eff")
+      assert(math.abs(eff - n) < 5 * math.sqrt(n.toDouble), s"n_eff $eff vs $n")
+    }
+    val se = math.sqrt(
+      means.map(m => (m - means.sum / 16) * (m - means.sum / 16)).sum / 15)
+    info(f"true=$trueMean%.1f bootstrapSE=$se%.2f relSE=${se / trueMean}%.5f")
+  }
+
   test("q_corr_matrix matches imperative BigInt moments; r in [-1, 1]") {
     val rows = Tables(spark, sf, "lineitem")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
