@@ -219,6 +219,63 @@ object AdvancedQueries extends QueryModule {
         |    AS in_flight
         |FROM daily ORDER BY d""".stripMargin)),
 
+    // ---- SKYLINE / Pareto frontier: suppliers not dominated on
+    // (revenue, quantity) — dominance meaning another supplier is >=
+    // on both and > on at least one. The naive operator is the O(n²)
+    // NOT EXISTS self-join (which IS the oracle below — the quadratic
+    // formulation doubles as the correctness proof of the linear
+    // one); the engine formulation is the sort-scan: at each distinct
+    // revenue level, only the max-quantity point can survive, and it
+    // survives iff its quantity strictly exceeds the running max over
+    // all STRICTLY-GREATER revenue levels (a lagged cummax — ties in
+    // revenue are handled by the level pre-aggregation, ties in both
+    // dims survive together by joining pairs back). Work: one
+    // supplier-level aggregation + windows over the BOUNDED
+    // (supplier-count-sized, and then revenue-level-sized) frames —
+    // the fact table never self-joins. Revenue stays exact decimal
+    // through every comparison; quantity is integer.
+    "q_pareto_frontier" -> QueryDef(
+      fn = (spark, dir) => {
+        // maximize revenue, MINIMIZE discount given away — negating
+        // the minimized dimension (m2 = −disc) turns min/max skyline
+        // into the canonical max/max sort-scan. (revenue, quantity)
+        // would be a near-vacuous frontier — they're collinear.
+        val sup = Tables(spark, dir, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(sum(dec(col("l_extendedprice"))).as("rev"),
+            (-sum(floor(col("l_discount") * 100 + 0.5))).as("m2"))
+        val pairs = sup.select("rev", "m2").distinct()
+        val lvl = pairs.groupBy("rev").agg(max("m2").as("max_m2"))
+        val byRevDesc = Window.orderBy(col("rev").desc)
+        val thr = lvl.withColumn("thr",
+          max("max_m2").over(
+            byRevDesc.rowsBetween(Window.unboundedPreceding, -1)))
+        val frontier = thr
+          .filter(col("thr").isNull || col("max_m2") > col("thr"))
+          .select(col("rev"), col("max_m2").as("m2"))
+        // decimal through every comparison; double only at the output
+        // boundary (VARCHAR-routed in the oracle — house convention)
+        sup.join(broadcast(frontier), Seq("rev", "m2"), "left_semi")
+          .select(col("l_suppkey"), col("rev").cast("double").as("rev"),
+            (-col("m2")).cast("long").as("disc_e2"))
+          .orderBy("l_suppkey")
+      },
+      oracle = Some("""
+        |WITH sup AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev,
+        |    SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS disc
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT p.l_suppkey,
+        |  CAST(CAST(p.rev AS VARCHAR) AS DOUBLE) AS rev,
+        |  CAST(p.disc AS BIGINT) AS disc_e2
+        |FROM sup p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sup q
+        |  WHERE q.rev >= p.rev AND q.disc <= p.disc
+        |    AND (q.rev > p.rev OR q.disc < p.disc))
+        |ORDER BY p.l_suppkey""".stripMargin)),
+
     // ---- PIVOT: order counts by year x order priority (fixed pivot
     // column list => single-pass conditional aggregation, no extra scan).
     "q_pivot_priority_by_year" -> QueryDef(
