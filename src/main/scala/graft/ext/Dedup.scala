@@ -395,7 +395,13 @@ object DedupQueries extends QueryModule {
         val docs = Tables(spark, dir, "documents")
         // replays of EARLIER docs arriving late in the admission
         // order: every window first occurred at the source doc, so
-        // the planted copies measure ~0 novelty (true redundancy)
+        // the planted copies measure ~0 novelty (true redundancy).
+        // The +900000 offset assumes doc_id < 900000 (driver testdata
+        // tops out at 50k ids at sf1 — 18× headroom; same fixed-offset
+        // convention as q_repeated_passages' +800000 and plantedEmb's
+        // +1000000); a corpus past that bound must derive the offset
+        // from max(doc_id)+1 or planted ids would collide with real
+        // ones and corrupt the min(doc_id) arrival semantics.
         val planted = docs.filter(col("doc_id") % 9 === 0)
           .select((col("doc_id") + 900000).as("doc_id"), col("text"))
         val corpus = docs.select(col("doc_id"), col("text"))

@@ -602,7 +602,7 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"), col("text")).unionByName(planted)
         base.select(col("doc_id"),
             graft.functions.CharClassCounts
-              .charClassCounts(spark, col("text")).as("cnt"))
+              .charClassCounts(col("text")).as("cnt"))
           .withColumn("len", expr("aggregate(cnt, 0L, (a, c) -> a + c)"))
           .withColumn("n_alpha",
             expr("aggregate(slice(cnt, 1, 26), 0L, (a, c) -> a + c)"))

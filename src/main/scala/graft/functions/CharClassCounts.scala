@@ -72,8 +72,8 @@ object CharClassCounts {
   def register(spark: SparkSession): Unit =
     FunctionInstall.once(spark, "char_class_counts")(exprs => CharClassCounts(exprs.head))
 
-  def charClassCounts(spark: SparkSession, text: Column): Column = {
-    register(spark)
+  def charClassCounts(text: Column): Column = {
+    register(SparkSession.active)
     call_function("char_class_counts", text)
   }
 }

@@ -15,6 +15,12 @@ object AdvancedQueries extends QueryModule {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** q_pareto_frontier's supplier aggregate — feeds both the frontier
+    * derivation and the output semi-join; swap-released, bounded at
+    * one copy across invocations (the Dedup.lastSigs pattern). */
+  private val lastParetoSup =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** A-priori pruned pair mining over distinct (ok, item) rows: drop
     * items whose basket-support share is below `minShare` (an
     * anti-monotone bound — no pair can out-support its rarest member),
@@ -240,12 +246,15 @@ object AdvancedQueries extends QueryModule {
         // the minimized dimension (m2 = −disc) turns min/max skyline
         // into the canonical max/max sort-scan. (revenue, quantity)
         // would be a near-vacuous frontier — they're collinear.
-        val sup = Tables(spark, dir, "lineitem")
-          .groupBy("l_suppkey")
-          .agg(sum(dec(col("l_extendedprice"))).as("rev"),
-            (-sum(floor(col("l_discount") * 100 + 0.5))).as("m2"))
-        val pairs = sup.select("rev", "m2").distinct()
-        val lvl = pairs.groupBy("rev").agg(max("m2").as("max_m2"))
+        // PERSISTED: sup feeds the frontier derivation AND the final
+        // semi-join — uncached, the dominant cost (the fact scan +
+        // supplier aggregation) would run twice per query
+        val sup = graft.ops.BuildOnce.swapPersist(lastParetoSup,
+          Tables(spark, dir, "lineitem")
+            .groupBy("l_suppkey")
+            .agg(sum(dec(col("l_extendedprice"))).as("rev"),
+              (-sum(floor(col("l_discount") * 100 + 0.5))).as("m2")))
+        val lvl = sup.groupBy("rev").agg(max("m2").as("max_m2"))
         val byRevDesc = Window.orderBy(col("rev").desc)
         val thr = lvl.withColumn("thr",
           max("max_m2").over(

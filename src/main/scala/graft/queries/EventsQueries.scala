@@ -20,6 +20,8 @@ object EventsQueries extends QueryModule {
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
   private val lastFunnelS1 =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+  private val lastMadDev =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
   private val lastFunnelS2 =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
 
@@ -447,10 +449,14 @@ object EventsQueries extends QueryModule {
     // Determinism: LOWER median via rank (n-1) div 2 + 1 under the
     // total order (value, event_id) — an element of the data, never
     // an interpolation; |x−med| and mad*3.0 are single IEEE ops both
-    // engines replay. Scale: each selection is one rank pass per
-    // type (swap for approx_percentile at 100 TB without touching
-    // the joins — the interface is just (type, 1 cutpoint)); the
-    // per-type stats broadcast back, the corpus never re-shuffles.
+    // engines replay. Scale: each selection is one by-type rank pass
+    // (the two window shuffles are the operator's intrinsic cost —
+    // swap both for approx_percentile at 100 TB without touching the
+    // joins, the interface is just (type, 1 cutpoint)); the per-type
+    // stats broadcast back, and the deviation frame is PERSISTED so
+    // the MAD pass and the final rollup read one cached copy instead
+    // of re-scanning and re-joining events (swap-release, bounded at
+    // one copy — the lastSeries pattern).
     "q_mad_outliers" -> QueryDef(
       fn = (spark, dir) => {
         val byType = org.apache.spark.sql.expressions.Window
@@ -464,8 +470,9 @@ object EventsQueries extends QueryModule {
           .filter(col("rn") === expr("(n-1) div 2 + 1"))
         val med = lowerMedian(ev, "value")
           .select(col("event_type"), col("value").as("med"))
-        val dev = ev.join(broadcast(med), "event_type")
-          .withColumn("ad", abs(col("value") - col("med")))
+        val dev = graft.ops.BuildOnce.swapPersist(lastMadDev,
+          ev.join(broadcast(med), "event_type")
+            .withColumn("ad", abs(col("value") - col("med"))))
         val mad = lowerMedian(dev, "ad")
           .select(col("event_type"), col("ad").as("mad"))
         dev.join(broadcast(mad), "event_type")

@@ -174,7 +174,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("char class counts: golden, case folding, code-point semantics") {
     val out = Seq("Ab c!", "héllo").toDF("text")
-      .select(CharClassCounts.charClassCounts(spark, col("text")))
+      .select(CharClassCounts.charClassCounts(col("text")))
       .as[Seq[Long]].collect()
     val abc = out(0) // 'A'→a, 'b', ' ', 'c', '!'
     assert(abc(0) === 1L && abc(1) === 1L && abc(2) === 1L)
@@ -200,7 +200,7 @@ class FunctionsSpec extends SparkSpec {
         .cast("long")): _*)
     val bad = docs
       .withColumn("kern",
-        CharClassCounts.charClassCounts(spark, col("text")))
+        CharClassCounts.charClassCounts(col("text")))
       .filter(not(slice(col("kern"), 1, 27) === comp) ||
         expr("aggregate(kern, 0L, (a, c) -> a + c)") =!=
           length(col("text")).cast("long"))
