@@ -143,6 +143,76 @@ object TimeSeriesQueries extends QueryModule {
     // groupBy shuffle over the scan produces the tiny cell frame; the
     // three totals are window sums OVER THAT FRAME (#types×2 rows), so
     // the events table is scanned exactly once.
+    // ---- CUSUM changepoint detection over the daily order series —
+    // the sequential-monitoring anomaly operator (drift report says
+    // "the mix changed"; CUSUM says "the LEVEL shifted, and here").
+    // The recurrence S_i = max(0, S_{i-1} + dev_i) looks unwindowable,
+    // but has the classic closed form S_i = P_i − min(0, min_{j≤i} P_j)
+    // over prefix sums P — two cumulative window functions, no
+    // recursion, no collect. Exactness: everything is SCALED INTEGER
+    // (counts ×100, target = (100·total) div days, slack = target/20,
+    // threshold = 5×target), so the cumulative sums are exact BIGINTs
+    // and the result is engine-independent even though engines
+    // disagree on float summation trees (the reason a double CUSUM
+    // could never hash-match). A level shift is PLANTED after
+    // 2000-01-01 (counts boosted by mean+1 — relative, so detection
+    // holds at every sf); the spec pins the window formulation
+    // bit-equal to the imperative recurrence and the first flagged
+    // day at/after the plant. Scale: one scan + day rollup; the two
+    // sequential windows ride on the bounded date dimension (same
+    // two-level shape as q_sweepline_concurrency).
+    "q_cusum_changepoint" -> QueryDef(
+      fn = (spark, dir) => {
+        val daily = Tables(spark, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("c0"))
+        val stats = daily.agg(sum("c0").as("t"), count(lit(1)).as("nd"))
+        val w = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(stats))
+          .withColumn("c",
+            when(col("d") >= lit(java.sql.Date.valueOf("2000-01-01")),
+              col("c0") + expr("t div nd") + 1).otherwise(col("c0")))
+          .withColumn("mu100", expr("(100 * t) div nd"))
+          .withColumn("dev",
+            lit(100) * col("c") - col("mu100") - expr("mu100 div 20"))
+          .withColumn("p", sum("dev").over(w))
+          .withColumn("s100", col("p") - least(lit(0L), min("p").over(w)))
+          .withColumn("flagged", (col("s100") > lit(5) * col("mu100"))
+            .cast("long"))
+          .select(col("d"), col("c").cast("long").as("c"),
+            col("s100").cast("long").as("s100"), col("flagged"))
+          .orderBy("d")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c0
+        |  FROM orders GROUP BY 1),
+        |stats AS (SELECT SUM(c0) AS t, COUNT(*) AS nd FROM daily),
+        |base AS (
+        |  SELECT d,
+        |    CASE WHEN d >= DATE '2000-01-01' THEN c0 + (t // nd) + 1
+        |         ELSE c0 END AS c,
+        |    (100 * t) // nd AS mu100
+        |  FROM daily CROSS JOIN stats),
+        |dev AS (
+        |  SELECT d, c, mu100,
+        |    100 * c - mu100 - (mu100 // 20) AS dv
+        |  FROM base),
+        |pre AS (
+        |  SELECT d, c, mu100,
+        |    SUM(dv) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM dev),
+        |s AS (
+        |  SELECT d, c, mu100,
+        |    p - least(0, MIN(p) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s100
+        |  FROM pre)
+        |SELECT d, CAST(c AS BIGINT) AS c, CAST(s100 AS BIGINT) AS s100,
+        |  CAST(s100 > 5 * mu100 AS BIGINT) AS flagged
+        |FROM s ORDER BY d""".stripMargin)),
+
     "q_drift_chi2" -> QueryDef(
       fn = (spark, dir) => {
         // the ONE events pass: everything below works on the ~types×2

@@ -66,6 +66,52 @@ class RobustStatsSpec extends SparkSpec {
     info(f"true=$trueMean%.1f bootstrapSE=$se%.2f relSE=${se / trueMean}%.5f")
   }
 
+  test("q_cusum_changepoint: window closed form == imperative recurrence; shift detected") {
+    val out = SparkEntry.queries("q_cusum_changepoint")(spark, sf).collect()
+    assert(out.length > 1000)
+    // replay S_i = max(0, S_{i-1} + dev_i) imperatively from (c, mu)
+    // reconstructed off the output itself: dev = 100c - mu - mu/20,
+    // with mu100 recovered from totals (same integer arithmetic)
+    val cs = out.map(_.getAs[Long]("c"))
+    val cutoff = java.sql.Date.valueOf("2000-01-01")
+    val boosted = out.map(r => !r.getAs[java.sql.Date]("d").before(cutoff))
+    // un-boost to recover the raw series the query derived mu from
+    val t0 = cs.zip(boosted).map { case (c, b) => if (b) 0L else c }.sum
+    val n0 = out.length.toLong
+    // boost = (t div nd) + 1 where t is the RAW total
+    val rawTotal = {
+      // solve: boosted c = c0 + (t div nd) + 1; sum over all days
+      // iterate once — boost is a constant integer
+      val nBoost = boosted.count(identity)
+      var t = t0 // lower bound
+      var prev = -1L
+      while (t != prev) {
+        prev = t
+        val boost = t / n0 + 1
+        t = cs.zip(boosted).map { case (c, b) => if (b) c - boost else c }.sum
+      }
+      t
+    }
+    val mu100 = 100 * rawTotal / n0
+    var s = 0L
+    out.foreach { r =>
+      val dev = 100 * r.getAs[Long]("c") - mu100 - mu100 / 20
+      s = math.max(0L, s + dev)
+      assert(r.getAs[Long]("s100") === s, s"at ${r.getAs[java.sql.Date]("d")}")
+      assert(r.getAs[Long]("flagged") === (if (s > 5 * mu100) 1L else 0L))
+    }
+    // detection: the planted level shift is flagged nearly everywhere
+    // after the plant; spurious pre-plant flags stay rare (CUSUM on a
+    // sparse small-count series has an honest false-positive rate)
+    val (post, pre) = out.partition(r =>
+      !r.getAs[java.sql.Date]("d").before(cutoff))
+    val postRate = post.count(_.getAs[Long]("flagged") == 1L).toDouble / post.length
+    val preRate = pre.count(_.getAs[Long]("flagged") == 1L).toDouble / pre.length
+    assert(postRate > 0.9, s"postRate $postRate")
+    assert(preRate < 0.05, s"preRate $preRate")
+    info(f"postRate=$postRate%.3f preRate=$preRate%.4f mu100=$mu100")
+  }
+
   test("q_corr_matrix matches imperative BigInt moments; r in [-1, 1]") {
     val rows = Tables(spark, sf, "lineitem")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
