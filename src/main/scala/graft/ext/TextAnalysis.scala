@@ -409,6 +409,82 @@ object TextQueries extends QueryModule {
         |FROM perdoc p LEFT JOIN oov o USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- LM SURPRISAL FILTER — the perplexity-style quality score
+    // (the CCNet "LM filter" stage) made hash-checkable: per doc, the
+    // mean conditional surprisal of its bigrams under the corpus's
+    // OWN bigram LM, in integer BIT units. The trick is the log:
+    // -log2 P(next|head) = log2(head_total/cnt) is transcendental and
+    // engine-float-dependent, but its integer surrogate
+    //   bits = bitlen(head_total) - bitlen(cnt)
+    // (bitlen x = floor(log2 x)+1 = length of the binary rendering —
+    // Spark `bin`, DuckDB printf('%b')) brackets it within ±1 bit and
+    // is EXACT integer arithmetic, so the hash gate holds by
+    // construction. Rare continuations (cnt small vs the head's mass)
+    // score high; formulaic text scores near 0 — the same ordering
+    // the real log gives at whole-bit granularity, which is all a
+    // keep/drop threshold consumes. Scale shape: the bigram stream is
+    // map-side (zip_with, no self-join); the LM table is Heaps-law
+    // bounded so its window pass is cheap; the one real exchange is
+    // the (head, next) equi-join of stream against LM — at 100 TB the
+    // frequency-pruned LM broadcasts and even unpruned it's a
+    // standard shuffle join AQE handles — then the per-doc rollup.
+    // The mean is the q_bigram_lm basis-point pattern: one double
+    // mul/div on exact integers, identically associated both sides.
+    "q_lm_surprisal" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        // read by the LM counts AND the scoring join => persist once
+        // (swap-released, same bounded slot as q_bigram_oov's stream)
+        val bg = graft.ops.BuildOnce.swapPersist(lastBigrams,
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), toks.as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(col("doc_id"), explode(zip_with(
+              slice(col("t"), lit(1), size(col("t")) - 1),
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              (a, b) => struct(a.as("head"), b.as("next")))).as("bg"))
+            .select(col("doc_id"), col("bg.head").as("head"),
+              col("bg.next").as("next")))
+        val lm = bg.groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+          .withColumn("head_total",
+            sum("cnt").over(w.partitionBy("head")))
+        val bits = (length(bin(col("head_total"))) -
+          length(bin(col("cnt")))).cast("long")
+        bg.join(lm, Seq("head", "next"))
+          .select(col("doc_id"), bits.as("bits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+            floor(col("sum_bits") * 100.0 / col("n_bigrams") + 0.5)
+              .cast("long").as("avg_centibits"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS head,
+        |         unnest(t[2:len(t)]) AS next
+        |  FROM tok WHERE len(t) >= 2),
+        |cnt AS (SELECT head, next, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |lm AS (SELECT head, next, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY head) AS BIGINT)
+        |           AS head_total
+        |       FROM cnt),
+        |sc AS (SELECT b.doc_id,
+        |         CAST(length(printf('%b', l.head_total))
+        |            - length(printf('%b', l.cnt)) AS BIGINT) AS bits
+        |       FROM bg b JOIN lm l USING (head, next)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          CAST(SUM(bits) AS BIGINT) AS sum_bits
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_bits,
+        |  CAST(FLOOR(sum_bits * 100.0 / n_bigrams + 0.5) AS BIGINT)
+        |    AS avg_centibits
+        |FROM agg ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- Decontamination: corpus docs sharing any 8-token shingle
     // with the eval set (docs 0-9). Five contaminated docs are
     // planted (eval texts re-id'd with a prefix token — the 8-grams

@@ -287,6 +287,235 @@ object TimeSeriesQueries extends QueryModule {
         |    THEN (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
         |         / exp
         |    ELSE CAST(0 AS DOUBLE) END AS contrib
-        |FROM e ORDER BY event_type, period""".stripMargin))
+        |FROM e ORDER BY event_type, period""".stripMargin)),
+
+    // ---- HOLT LINEAR-TREND FORECAST (double exponential smoothing)
+    // over each nation's daily order counts — the forecasting member
+    // of the family: where q_ema_decay tracks a LEVEL, Holt tracks
+    // (level, trend) jointly:
+    //   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // seeded (l_1, b_1) = (y_1, 0), h-step forecast l_T + h·b_T. A
+    // two-variable recurrence is still an ordered left fold — state
+    // is an array<double> pair. DuckDB's list_reduce has no initial-
+    // accumulator argument, so the seed rides IN the list: each y maps
+    // to the pair [y, 0] and the fold's first accumulator is exactly
+    // the Holt init (Spark folds slice(..2..) from array(vals[0], 0)
+    // — same chain). α=0.5, β=0.25: dyadic rationals, so every
+    // literal and every multiply is engine-bit-identical, and both
+    // engines run the identical IEEE op sequence (l_t's expression is
+    // repeated verbatim inside b_t — recomputing the same ops yields
+    // the same bits, which is what makes the double hash-match).
+    // Scale shape: the 1:1 customer→nation dims broadcast onto the
+    // orders scan; one shuffle to (nation, day) partial-agg'd cells;
+    // the fold rides the BOUNDED per-nation day series (~2.4k rows —
+    // the q_sweepline_concurrency two-level trick), so state per task
+    // is a 2-double pair regardless of corpus size.
+    "q_holt_linear" -> QueryDef(
+      fn = (spark, dir) => {
+        val cust = Tables(spark, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val nation = Tables(spark, dir, "nation")
+          .select("n_nationkey", "n_name")
+        val daily = Tables(spark, dir, "orders")
+          .select("o_custkey", "o_orderdate")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderdate"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        daily.groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sort_array(collect_list(
+              struct(col("o_orderdate"), col("y")))).as("seq"))
+          .withColumn("vals", expr("transform(seq, s -> s.y)"))
+          .withColumn("st", expr(
+            "aggregate(slice(vals, 2, size(vals) - 1)," +
+              " array(vals[0], 0.0D)," +
+              " (acc, x) -> array(" +
+              "x * 0.5D + (acc[0] + acc[1]) * 0.5D, " +
+              "(x * 0.5D + (acc[0] + acc[1]) * 0.5D - acc[0]) * 0.25D" +
+              " + acc[1] * 0.75D))"))
+          .select(col("n_name"), col("n_days"),
+            col("st")(0).as("level"), col("st")(1).as("trend"),
+            (col("st")(0) + col("st")(1)).as("fcst_1"),
+            (col("st")(0) + col("st")(1) * 7.0).as("fcst_7"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT n.n_name, o.o_orderdate AS d,
+        |         CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |series AS (
+        |  SELECT n_name, COUNT(*) AS n_days, list(y ORDER BY d) AS vals
+        |  FROM daily GROUP BY 1),
+        |fold AS (
+        |  SELECT n_name, n_days,
+        |    list_reduce(
+        |      list_transform(vals, v -> list_value(v, CAST(0.0 AS DOUBLE))),
+        |      (acc, x) -> list_value(
+        |        x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+        |        (x[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.25
+        |          + acc[2] * 0.75)) AS st
+        |  FROM series)
+        |SELECT n_name, n_days, st[1] AS level, st[2] AS trend,
+        |  st[1] + st[2] AS fcst_1, st[1] + st[2] * 7.0 AS fcst_7
+        |FROM fold ORDER BY n_name""".stripMargin)),
+
+    // ---- AUTOCORRELATION FUNCTION (ACF, lags 1..7) of the daily
+    // order-count series — the standard seasonality/persistence
+    // diagnostic that decides a forecast model (and pairs with
+    // q_holt_linear the way q_drift_chi2 pairs with q_cusum_
+    // changepoint: diagnose, then track). Pearson r at lag k over
+    // pairs (y_t, y_{t−k}), with the q_corr_matrix exactness recipe:
+    // integer daily counts, DECIMAL(38,0)/HUGEINT moments (exact and
+    // order-free, so the shuffle can't perturb them), ONE cast to
+    // double per moment and an IEEE sqrt/divide chain both engines
+    // round identically. Note each lag has its own mean pair (sx, sy
+    // differ per k) — the textbook "sample ACF" divides by the global
+    // variance instead; the per-lag Pearson is chosen because it's
+    // the exactly-replayable formulation. Scale shape: the series
+    // rides the BOUNDED date dimension (the q_cusum_changepoint
+    // two-level trick) — one partial-agg'd shuffle from the orders
+    // scan to ~2.4k daily cells, then the 7 lag columns in one
+    // window pass and a 7-group moment aggregation; the unpartitioned
+    // window is deliberate and bounded.
+    "q_autocorr" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = Window.orderBy("d")
+        def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("decimal(38,0)")
+        val daily = Tables(spark, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val lagged = (1 to 7).foldLeft(daily)((df, k) =>
+          df.withColumn(s"y_$k", lag(col("y"), k).over(w)))
+        val pairs = lagged
+          .select(explode(array((1 to 7).map(k =>
+            struct(lit(k).as("lag_k"), col("y").as("x"),
+              col(s"y_$k").as("xl"))): _*)).as("p"))
+          .select(col("p.lag_k").as("lag_k"), col("p.x").as("x"),
+            col("p.xl").as("xl"))
+          .filter(col("xl").isNotNull)
+        val m = pairs.groupBy("lag_k").agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("xl"))).as("sy"),
+          sum(dec(col("x")) * dec(col("xl"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("xl")) * dec(col("xl"))).as("syy"))
+        val n = dec(col("n"))
+        m.select(col("lag_k"), col("n"),
+          ((n * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (n * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("r"))
+          .orderBy("lag_k")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT o_orderdate AS d, COUNT(*) AS y FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT d, y,
+        |    LAG(y, 1) OVER (ORDER BY d) AS y_1,
+        |    LAG(y, 2) OVER (ORDER BY d) AS y_2,
+        |    LAG(y, 3) OVER (ORDER BY d) AS y_3,
+        |    LAG(y, 4) OVER (ORDER BY d) AS y_4,
+        |    LAG(y, 5) OVER (ORDER BY d) AS y_5,
+        |    LAG(y, 6) OVER (ORDER BY d) AS y_6,
+        |    LAG(y, 7) OVER (ORDER BY d) AS y_7
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT k.lag_k, l.y AS x,
+        |    CASE k.lag_k WHEN 1 THEN y_1 WHEN 2 THEN y_2 WHEN 3 THEN y_3
+        |         WHEN 4 THEN y_4 WHEN 5 THEN y_5 WHEN 6 THEN y_6
+        |         ELSE y_7 END AS xl
+        |  FROM lagged l
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag_k) k),
+        |flt AS (SELECT * FROM pairs WHERE xl IS NOT NULL),
+        |m AS (
+        |  SELECT lag_k, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(xl AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(xl AS HUGEINT)) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(xl AS HUGEINT) * CAST(xl AS HUGEINT)) AS syy
+        |  FROM flt GROUP BY 1)
+        |SELECT lag_k, CAST(n AS BIGINT) AS n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n*syy - sy*sy AS DOUBLE)) AS r
+        |FROM m ORDER BY lag_k""".stripMargin)),
+
+    // ---- THEIL–SEN robust trend: slope = lower median of all
+    // pairwise slopes (y_j−y_i)/(x_j−x_i), intercept = lower median
+    // of residuals y_i − m·x_i — the trend estimator with a 29%
+    // breakdown point (OLS breaks at one bad day; the planted shifts
+    // q_cusum_changepoint hunts would wreck a least-squares line).
+    // The robust-stats recipe (q_mad_outliers): TWO DEPENDENT rank
+    // selections (the residual order statistic needs the slope), each
+    // an ELEMENT of the data under a total order — (slope, x1, x2)
+    // then (resid, x) — never an interpolation; each slope/residual
+    // is a single IEEE divide/multiply-subtract on exact integers, so
+    // both engines produce identical bits. Scale shape: the O(n²)
+    // pair frame rides the BOUNDED date dimension (~2.4k days ⇒ ~3M
+    // pairs AT EVERY CORPUS SCALE — the corpus only feeds the daily
+    // rollup), so the broadcast inequality self-join and the two
+    // global rank windows are scale-free; only the first daily
+    // aggregation touches the fact table.
+    "q_theil_sen" -> QueryDef(
+      fn = (spark, dir) => {
+        val daily = Tables(spark, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("x", datediff(col("d").cast("date"),
+            lit("1995-01-01").cast("date")))
+        val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+        val b = daily.select(col("x").as("x2"), col("y").as("y2"))
+        val pairs = a.join(broadcast(b), col("x1") < col("x2"))
+          .select(col("x1"), col("x2"),
+            ((col("y2") - col("y1")).cast("double") /
+              (col("x2") - col("x1")).cast("double")).as("slope"))
+        val medSlope = pairs
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("slope"), col("x1"), col("x2"))))
+          .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(np-1) div 2 + 1"))
+          .select(col("slope").as("m"), col("np").as("n_pairs"))
+        daily.crossJoin(broadcast(medSlope))
+          .withColumn("resid",
+            col("y").cast("double") - col("m") * col("x").cast("double"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("resid"), col("x"))))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(nd-1) div 2 + 1"))
+          .select(col("n_pairs"), col("nd").as("n_days"),
+            col("m").as("slope"), col("resid").as("intercept"))
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT o_orderdate AS d, COUNT(*) AS y FROM orders GROUP BY 1),
+        |dx AS (
+        |  SELECT date_diff('day', DATE '1995-01-01', CAST(d AS DATE)) AS x, y
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.x AS x1, b.x AS x2,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM dx a JOIN dx b ON a.x < b.x),
+        |r1 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rn,
+        |         COUNT(*) OVER () AS np FROM pairs),
+        |m AS (SELECT slope AS m, np AS n_pairs FROM r1
+        |      WHERE rn = (np-1)//2 + 1),
+        |resid AS (
+        |  SELECT d.x, m.m, m.n_pairs,
+        |    CAST(d.y AS DOUBLE) - m.m * CAST(d.x AS DOUBLE) AS resid
+        |  FROM dx d CROSS JOIN m),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY resid, x) AS rn,
+        |         COUNT(*) OVER () AS nd FROM resid)
+        |SELECT n_pairs, CAST(nd AS BIGINT) AS n_days, m AS slope,
+        |  resid AS intercept
+        |FROM r2 WHERE rn = (nd-1)//2 + 1""".stripMargin))
   )
 }

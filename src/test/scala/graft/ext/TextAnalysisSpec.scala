@@ -231,4 +231,42 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got === want)
   }
+
+  test("q_lm_surprisal replays bit-for-bit from an imperative bigram LM") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_lm_surprisal")(spark, sf)
+      .select("doc_id", "n_bigrams", "sum_bits", "avg_centibits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    // single-threaded reference: whitespace bigrams, corpus LM counts,
+    // surprisal = bitlen(head_total) − bitlen(cnt); all-integer, so
+    // equality is exact (the double mul/div in avg_centibits is the
+    // one shared rounding, replayed identically here)
+    def toks(t: String) = t.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      val a = toks(t)
+      if (a.length < 2) Array.empty[(Long, (String, String))]
+      else a.zip(a.tail).map(p => (id, p))
+    }
+    val cnt = bigrams.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val headTot = cnt.toSeq.groupBy(_._1._1)
+      .map { case (h, m) => h -> m.map(_._2).sum }
+    val want = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, p) =>
+        (bitlen(headTot(p._1)) - bitlen(cnt(p))).toLong }.sum
+      val n = xs.length.toLong
+      id -> (n, s, math.floor(s * 100.0 / n + 0.5).toLong)
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, v) => assert(got(id) === v, s"doc $id") }
+    // non-degenerate: the filter separates docs (rare continuations
+    // score high, formulaic text low)
+    val avgs = want.values.map(_._3).toSeq
+    assert(avgs.max > avgs.min, "surprisal is constant across docs")
+    info(s"avg_centibits span: ${avgs.min}..${avgs.max}")
+  }
 }

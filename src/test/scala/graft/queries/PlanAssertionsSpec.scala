@@ -233,4 +233,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_holt_linear: dims broadcast onto the orders scan, no sort-merge") {
+    val p = plan("q_holt_linear")
+    // customer and nation are 1:1 bounded dims — both must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the fold is an expression over the collected series — one scan
+    assert("FileScan parquet".r.findAllIn(p).length === 3, p) // orders + 2 dims
+  }
+
+  test("q_lm_surprisal: bigram stream built once, LM joined, no cartesian") {
+    val p = plan("q_lm_surprisal")
+    // the persisted stream feeds BOTH the LM counts and the scoring
+    // join — both consumers read the cache (the FileScan text under
+    // each InMemoryRelation is the cached plan's rendering, not a
+    // second scan)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -45,6 +45,112 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_holt_linear matches the imperative (level, trend) recurrence bit-for-bit") {
+    val out = SparkEntry.queries("q_holt_linear")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    // imperative reference: per-nation daily order counts under date
+    // order, then l_t = 0.5y + 0.5(l+b); b_t = 0.25(l_t − l) + 0.75b
+    val cust = graft.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nation = graft.Tables(spark, sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val daily = graft.Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => (nation(cust(r.getLong(0))),
+        // o_orderdate is TIMESTAMP_NTZ → LocalDateTime in Row
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toDouble }
+    val ref = daily.groupBy(_._1._1).map { case (name, cells) =>
+      val ys = cells.toSeq.sortBy(_._1._2).map(_._2)
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { y =>
+        val l2 = y * 0.5 + (l + b) * 0.5
+        val b2 = (y * 0.5 + (l + b) * 0.5 - l) * 0.25 + b * 0.75
+        l = l2; b = b2
+      }
+      name -> (ys.length.toLong, l, b, l + b, l + b * 7.0)
+    }
+
+    assert(out.keySet === ref.keySet)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    ref.foreach { case (name, (n, l, b, f1, f7)) =>
+      val o = out(name)
+      assert(o._1 === n, s"$name n_days")
+      assert(bits(o._2) === bits(l), s"$name level")
+      assert(bits(o._3) === bits(b), s"$name trend")
+      assert(bits(o._4) === bits(f1), s"$name fcst_1")
+      assert(bits(o._5) === bits(f7), s"$name fcst_7")
+    }
+    // non-degenerate: some nation carries a real trend term
+    assert(ref.values.exists(v => math.abs(v._3) > 1e-9), "all trends zero")
+  }
+
+  test("q_autocorr matches the exact-moment Pearson replay at every lag") {
+    val out = SparkEntry.queries("q_autocorr")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === (1 to 7).toSet)
+
+    // imperative reference with BigInt moments (exact, like the
+    // DECIMAL/HUGEINT path), doubles only in the final r
+    val daily = graft.Tables(spark, sf, "orders")
+      .select("o_orderdate").collect()
+      .map(_.getAs[java.time.LocalDateTime](0))
+      .groupBy(identity).toSeq
+      .sortBy(_._1.toEpochSecond(java.time.ZoneOffset.UTC))
+      .map(_._2.length.toLong)
+    (1 to 7).foreach { k =>
+      val xs = daily.drop(k); val ys = daily.dropRight(k)
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val syy = ys.map(b => BigInt(b) * b).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      assert(out(k)._1 === xs.length.toLong, s"lag $k n")
+      assert(java.lang.Double.doubleToLongBits(out(k)._2) ===
+        java.lang.Double.doubleToLongBits(r), s"lag $k r")
+      assert(out(k)._2 >= -1.0 && out(k)._2 <= 1.0, s"lag $k bounds")
+    }
+    // pair counts shrink by one day per extra lag
+    assert((1 to 6).forall(k => out(k)._1 === out(k + 1)._1 + 1))
+  }
+
+  test("q_theil_sen matches the imperative pairwise-median replay bit-for-bit") {
+    val rows = SparkEntry.queries("q_theil_sen")(spark, sf).collect()
+    assert(rows.length === 1)
+    val got = (rows(0).getLong(0), rows(0).getLong(1),
+      rows(0).getDouble(2), rows(0).getDouble(3))
+
+    val epoch = java.time.LocalDate.parse("1995-01-01").toEpochDay
+    val daily = graft.Tables(spark, sf, "orders")
+      .select("o_orderdate").collect()
+      .map(_.getAs[java.time.LocalDateTime](0).toLocalDate.toEpochDay - epoch)
+      .groupBy(identity).toSeq.map { case (x, xs) => (x, xs.length.toLong) }
+      .sortBy(_._1)
+    val pairs = for {
+      (i, (x1, y1)) <- daily.zipWithIndex.map(_.swap)
+      (x2, y2) <- daily.drop(i + 1)
+    } yield (x1, x2, (y2 - y1).toDouble / (x2 - x1).toDouble)
+    // lower median under the total order (slope, x1, x2)
+    val sorted = pairs.sortBy(p => (p._3, p._1, p._2))
+    val m = sorted((sorted.length - 1) / 2)._3
+    val resid = daily.map { case (x, y) => (x, y.toDouble - m * x.toDouble) }
+      .sortBy(r => (r._2, r._1))
+    val b = resid((resid.length - 1) / 2)._2
+
+    assert(got._1 === pairs.length.toLong, "n_pairs")
+    assert(got._2 === daily.length.toLong, "n_days")
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(bits(got._3) === bits(m), s"slope ${got._3} vs $m")
+    assert(bits(got._4) === bits(b), s"intercept ${got._4} vs $b")
+  }
+
   test("q_motif_mining output satisfies the symbol/rank invariants") {
     val rows = SparkEntry.queries("q_motif_mining")(spark, sf).collect()
     assert(rows.nonEmpty)
