@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact k-th order statistic — global rank selection
+  * WITHOUT a single-partition window.
+  *
+  * The naive formulation (`row_number().over(Window.orderBy(...))`)
+  * funnels the whole frame through ONE task: Exchange(SinglePartition)
+  * + serial sort + window buffer. Correct, but serial in the frame
+  * size — the one shape that does NOT survive a 100× scale-up. This
+  * operator computes the same element in parallel:
+  *
+  *  1. `repartitionByRange(parts, sortCols)` + `sortWithinPartitions`
+  *     — the distributed total sort (equal keys land in one
+  *     partition, so ranks are well-defined);
+  *  2. `monotonically_increasing_id()` over the sorted partitions:
+  *     id = pid·2^33 + rowOffset, so LOCAL rank = low 33 bits + 1 and
+  *     the partition id = high bits — no window, no second exchange,
+  *     fully parallel;
+  *  3. per-partition row counts → prefix-sum offsets (a ≤`parts`-row
+  *     frame; its windows are bounded by the partition count, never
+  *     the data);
+  *  4. global rank = offset + local rank; broadcast the offsets back
+  *     and filter to `kOf(n)` — a codegen'd filter on the sorted
+  *     stream.
+  *
+  * Consistency: steps 3 and 4 branch from the SAME range exchange;
+  * Catalyst's exchange reuse (`spark.sql.exchange.reuse`, on by
+  * default — AQE's stage cache likewise) materializes the shuffle
+  * once, so both branches observe identical partition boundaries.
+  * `ExactRankSpec` asserts the reuse in the physical plan AND pins
+  * bit-equality against the single-partition window formulation.
+  * The sort-elimination optimizer rule cannot drop the sort under the
+  * counting aggregate because the projection above it carries the
+  * nondeterministic `monotonically_increasing_id` (EliminateSorts
+  * guards on deterministic projections).
+  *
+  * The selected row is an ELEMENT of the data under the total order —
+  * never an interpolation — which is what makes rank-selected
+  * statistics (median, quartiles, Theil–Sen slopes) hash-checkable
+  * across engines: both sides pick the same stored value.
+  */
+object ExactRank {
+
+  /** Rows of `df` at 1-based global rank `kOf(n)` under `sortCols`
+    * (ascending, ties resolved by including a unique tiebreak column
+    * in `sortCols`), with the total row count exposed as `nCol`.
+    * Emits one row per rank the predicate matches (normally one).
+    */
+  def selectRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      kOf: Column => Column,
+      nCol: String = "n_total"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__id", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__id"), 33))
+      .withColumn("__lrn", col("__id").bitwiseAND(lit((1L << 33) - 1)) + 1)
+    val offs = sorted
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      // ≤`parts` rows from here down: the single-partition windows are
+      // bounded by the partition count, not the data
+      .withColumn("__off",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(nCol,
+        sum(col("__cnt")).over(Window.partitionBy()))
+      .select(col("__pid"), col("__off"), col(nCol))
+    sorted
+      .join(broadcast(offs), "__pid")
+      .filter(col("__off") + col("__lrn") === kOf(col(nCol)))
+      .drop("__pid", "__lrn", "__id", "__off")
+  }
+
+  /** The lower median rank: (n−1) div 2 + 1, 1-based. */
+  def lowerMedian(n: Column): Column = shiftright(n - 1, 1) + 1
+}

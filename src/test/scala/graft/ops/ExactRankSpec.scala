@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ops/ExactRank (distributed global rank selection) must be
+  * bit-identical to the single-partition window formulation — the
+  * selected row is a data element under a total order, and the
+  * parallel shape (range partition + local rank + offset join) must
+  * pick exactly the same element. Also pins the plan invariants the
+  * operator's correctness rests on: one materialized range exchange
+  * shared by both branches (exchange reuse), and no single-partition
+  * exchange of the full frame.
+  */
+class ExactRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The single-partition window formulation of the lower median —
+    * the reference ExactRank must match bit-for-bit. */
+  private def windowedLowerMedian(
+      df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    val r = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === shiftright(col("n") - 1, 1) + 1)
+      .select("v", "n").head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  test("parallel rank selection == single-partition window, with ties") {
+    // deterministic data with heavy ties on v (unique tiebreak id)
+    val df = (1 to 10007)
+      .map(i => ((i * 2654435761L) % 97 / 10.0, i.toLong))
+      .toDF("v", "id")
+    val got = ExactRank
+      .selectRank(df, Seq(col("v"), col("id")), ExactRank.lowerMedian)
+      .select("v", "n_total").head()
+    val want = windowedLowerMedian(df)
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(want._1), "median value")
+    assert(got.getLong(1) === want._2, "total count")
+  }
+
+  test("every rank 1..n selects exactly the sorted element") {
+    val df = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 9.0, 7.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val sortedVals = Seq(1.0, 2.0, 3.0, 3.0, 5.0, 7.0, 9.0)
+    for (k <- 1 to 7) {
+      val row = ExactRank
+        .selectRank(df, Seq(col("v"), col("id")), _ => lit(k.toLong))
+        .select("v").collect()
+      assert(row.length === 1, s"rank $k emits one row")
+      assert(row.head.getDouble(0) === sortedVals(k - 1), s"rank $k")
+    }
+  }
+
+  test("plan: one range exchange, reused by the offsets branch") {
+    val df = (1 to 5000).map(i => (i * 37 % 1009, i.toLong)).toDF("v", "id")
+    val sel = ExactRank.selectRank(df, Seq(col("v"), col("id")),
+      ExactRank.lowerMedian)
+    sel.collect()
+    val nodes = execNodes(sel)
+    val range = nodes.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("range") => s
+    }
+    val reused = nodes.collect { case r: ReusedExchangeExec => r }
+    assert(range.size == 1,
+      s"exactly one materialized range exchange, got ${range.size}")
+    assert(reused.nonEmpty, "offsets branch must reuse the exchange")
+    // the only SinglePartition exchange allowed is the ≤parts-row
+    // offsets frame (its input is the per-partition count aggregate)
+    val single = nodes.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("SinglePartition") => s
+    }
+    single.foreach { s =>
+      assert(s.child.toString.contains("count") ||
+        s.child.collectLeaves().toString.contains("count"),
+        "single-partition exchange must carry only the bounded count frame")
+    }
+  }
+}
