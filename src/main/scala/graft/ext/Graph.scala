@@ -69,31 +69,45 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000L, broadcastNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters $iters")
+    // TRANSIENT cache of the raw edge frame: the caller's edge-building
+    // subtree (typically a fact join + pair aggregation) is the
+    // expensive part, and three derivations need it — the out-weight
+    // aggregate, the regime count, and the out-weight attach below.
+    // Cached, each is a narrow pass over columnar memory; released as
+    // soon as the attached frame is materialized (see the eager count).
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+      .persist()
+    // out-weights — exactly one row per node that HAS out-edges, which
+    // (sources define the node set, see below) IS the node list: so
+    // persist it, count it to pick the join regime, and derive `nodes`
+    // as a projection instead of a distinct over the edge frame
+    val outw = graft.ops.BuildOnce.swapPersist(lastNodes,
+      e.groupBy("src").agg(sum(col("w")).as("ow")))
+    val small = outw.count() <= broadcastNodes
+    val nodes = outw.select(col("src").as("node"))
     // every edge carries its source's total out-weight; this join
     // happens ONCE, not per iteration. PERSISTED: the returned plan
-    // embeds `iters` references to the edge frame and one more to the
-    // node list — uncached, every iteration would re-derive the whole
-    // edge-building subtree (measured: the sf0.1 order graph rebuilt
-    // lineitem⨝orders 5×). The repartition pins the persisted layout
-    // to hash(src) so the co-partitioned regime reuses it every
-    // iteration. Swap-release refs bound the cache at one copy per
-    // frame across invocations (the lastLabels pattern).
-    val flat = graft.ops.BuildOnce.swapPersist(lastEdges, e.join(outw, "src"))
-    val nodes = graft.ops.BuildOnce.swapPersist(lastNodes,
-      flat.select(col("src").as("node")).distinct())
-    // one count against the (persisted) node list picks the regime —
-    // and doubles as eager cache warm-up, so the iterations never
-    // re-derive the build
-    val small = nodes.count() <= broadcastNodes
-    // only the co-partitioned regime pays the layout-pinning shuffle;
-    // in the broadcast regime the edge frame never moves, so pinning
-    // it would be a pure waste (swapPersist releases the flat copy)
-    val withOw =
-      if (small) flat
-      else graft.ops.BuildOnce.swapPersist(lastEdges,
-        flat.repartition(col("src")))
+    // embeds `iters` references to the edge frame — uncached, every
+    // iteration would re-derive the whole edge-building subtree
+    // (measured: the sf0.1 order graph rebuilt lineitem⨝orders 5×).
+    // In the broadcast regime the out-weight attach is itself a
+    // broadcast join, so the edge frame is built and cached WITHOUT
+    // ever shuffling (the cost model previously picked a
+    // SortMergeJoin here — a full 2-sided sort-shuffle of the edge
+    // list — because a fresh aggregate has no size stats; the regime
+    // count doubles as the measurement that licenses the hint). The
+    // co-partitioned regime instead pins the persisted layout to
+    // hash(src) so per-iteration joins reuse the exchange. Swap-release
+    // refs bound the cache at one copy per frame across invocations.
+    val withOw = graft.ops.BuildOnce.swapPersist(lastEdges,
+      if (small) e.join(broadcast(outw), "src")
+      else e.repartition(col("src")).join(outw, "src"))
+    // eagerly materialize the attached frame FROM the transient edge
+    // cache, then release the raw copy — the iterations hold only one
+    // cached edge frame (memory matters more than the extra narrow
+    // pass; at cluster scale this is one columnar scan)
+    withOw.count()
+    e.unpersist()
     // pr as a pure BIGINT function of the previous contribution sum
     // (absent sum ⇒ 0); `div`/left-assoc precedence matches the doc'd
     // recurrence exactly — never Column./ (double division)
@@ -200,18 +214,28 @@ object GraphQueries extends QueryModule {
         // bidirectional expansion is one generator pass — a
         // union(cs, cs.swapped) would execute the whole join+agg
         // subtree twice (Spark does no CSE across union branches)
+        // INTEGER node ids through the iterations (cust → 2k,
+        // supp → 2k+1): the ranks/contributions hash-join and
+        // re-aggregate 5×, and long keys hash/compare/serialize far
+        // cheaper than the "C123"/"S45" labels — which are purely
+        // presentational, so they attach ONCE at the end. The rank
+        // arithmetic is key-type-independent, and the output (label,
+        // pr) is unchanged, so the string-keyed oracle still matches.
         val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
           .groupBy(col("o_custkey"), col("l_suppkey"))
           .agg(count(lit(1)).as("w"))
-          .select(
-            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
-            concat(lit("S"), col("l_suppkey").cast("string")).as("s"),
+          .select((col("o_custkey").cast("long") * 2).as("c"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
             col("w"))
           .select(expr(
             "inline(array(struct(c AS src, s AS dst, w)," +
               " struct(s AS src, c AS dst, w)))"))
         GraphOps.pageRank(edges, iters = 5)
-          .filter(col("node").startsWith("S"))
+          .filter(col("node") % 2 === 1)
+          .select(
+            concat(lit("S"), shiftright(col("node"), 1).cast("string"))
+              .as("node"),
+            col("pr"))
           .orderBy(col("pr").desc, col("node"))
           .limit(25)
       },
