@@ -162,6 +162,50 @@ object GraphOps {
     * otherwise nest r copies of the join tree (the connectedComponents
     * pattern; eager — BFS reads every frontier exactly once more).
     */
+  /** Synchronous label propagation — community detection by iterated
+    * weighted majority vote: each round, every node adopts the label
+    * carrying the greatest total incident edge weight (ties → the
+    * SMALLEST label, making every round a deterministic pure function
+    * of the previous labeling — both engines replay it exactly;
+    * async/randomized LPA variants converge faster but are
+    * irreproducible by construction). Fixed `iters`, so the whole run
+    * is one declarative plan, like [[pageRank]].
+    *
+    * Scale shape per round: one equi-join of the node-sized label
+    * frame against the edge list on `src` (label side broadcast — the
+    * curation case where nodes ≪ edges; drop the hint for truly
+    * node-heavy graphs), one partial-agg'd (dst, label) weight
+    * rollup, one per-dst argmax window (parallel across nodes). The
+    * edge frame is cached once (swap-release slot, one live copy) and
+    * never moves.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters $iters")
+    val e = graft.ops.BuildOnce.swapPersist(lastLpEdges,
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    // sources define the node set (bidirectional callers have no
+    // dangling nodes — the pageRank convention); initial label = self
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(broadcast(labels), e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("sw"))
+      // argmax as a partial-aggregable struct max (lexicographic:
+      // biggest weight, then biggest −label = SMALLEST label) — a
+      // per-dst window would sort-shuffle the vote frame instead;
+      // labels are nonneg node ids so the negation never overflows
+      labels = votes
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("sw"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
+
+  private val lastLpEdges =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops")
     val e = edges.select(col("src"), col("dst"))
@@ -182,6 +226,18 @@ object GraphOps {
 }
 
 object GraphQueries extends QueryModule {
+
+  /** Shared SQL for one oracle label-propagation round (unrolled). */
+  private def lpCte(prev: String, cur: String): String = s"""
+    |$cur AS (
+    |  SELECT node, label FROM (
+    |    SELECT v.dst AS node, v.label,
+    |      ROW_NUMBER() OVER (PARTITION BY v.dst
+    |                         ORDER BY v.sw DESC, v.label) AS rn
+    |    FROM (SELECT e.dst, r.label, CAST(SUM(e.w) AS BIGINT) AS sw
+    |          FROM $prev r JOIN edges e ON r.node = e.src
+    |          GROUP BY e.dst, r.label) v)
+    |  WHERE rn = 1)""".stripMargin
 
   /** Shared SQL for one oracle power-iteration step (unrolled —
     * fixed iteration count means the oracle needs no recursion). */
@@ -257,6 +313,53 @@ object GraphQueries extends QueryModule {
         |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
         |ORDER BY pr DESC, node LIMIT 25""".stripMargin),
       bench = true),
+
+    // ---- Label propagation communities over the same weighted
+    // bipartite order graph: 3 synchronous majority-vote rounds, then
+    // the 20 largest communities. The community member of the graph
+    // family (pagerank iterates values, components contracts, BFS
+    // expands, LPA votes) — "which customer/supplier cliques trade
+    // together" for sampling-mix or dedup-scope decisions. All-integer
+    // semantics (labels are node ids, votes are BIGINT weight sums,
+    // ties break to the smallest label), so the unrolled-CTE oracle
+    // replays every round exactly.
+    "q_label_prop" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("w"))
+          .select((col("o_custkey").cast("long") * 2).as("c"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
+            col("w"))
+          .select(expr(
+            "inline(array(struct(c AS src, s AS dst, w)," +
+              " struct(s AS src, c AS dst, w)))"))
+        GraphOps.labelPropagation(edges, iters = 3)
+          .groupBy("label")
+          .agg(count(lit(1)).as("sz"))
+          .select(col("label").as("community"), col("sz"))
+          .orderBy(col("sz").desc, col("community"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        |WITH cs AS (
+        |  SELECT CAST(o.o_custkey AS BIGINT) * 2 AS c,
+        |         CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c AS src, s AS dst, w FROM cs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, w FROM cs),
+        |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |${(0 until 3).map(i => lpCte(s"lp$i", s"lp${i + 1}").trim).mkString(",\n")}
+        |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS sz
+        |FROM lp3 GROUP BY 1 ORDER BY sz DESC, community LIMIT 20""".stripMargin)),
 
     // ---- BFS reachability: hop distance from customer C0 over the
     // same bipartite order graph (≤ 4 hops = customers two purchase

@@ -783,6 +783,45 @@ object AdvancedQueries extends QueryModule {
         |  quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- EXACT global median over an UNBOUNDED frame — the
+    // ops/ExactRank showcase. q_percentiles is the engine aggregate
+    // (interpolating, per-group); q_iqr_outliers/q_mad_outliers rank
+    // WITHIN types (parallel across groups); q_theil_sen ranks a
+    // bounded pair frame. This one selects a single global order
+    // statistic over every lineitem row — the shape that classically
+    // serializes through one task (single-partition row_number) and
+    // here runs as a range-partitioned parallel selection instead:
+    // distributed sort, mono-id local ranks, prefix-sum offsets over
+    // the ≤32-row partition-count frame, broadcast filter. The
+    // selected element is a stored DECIMAL(12,2); one cast to double
+    // at the output boundary is the same IEEE round-to-nearest in
+    // both engines. Tiebreak (l_orderkey, l_linenumber) totalizes the
+    // order so both engines pick the same physical row.
+    "q_exact_median" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        graft.ops.ExactRank
+          .selectRank(li,
+            Seq(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber")),
+            graft.ops.ExactRank.lowerMedian, nCol = "n_rows")
+          .select(
+            col("l_extendedprice").cast("double").as("median_price"),
+            col("n_rows"))
+      },
+      oracle = Some("""
+        |WITH r AS (
+        |  SELECT l_extendedprice,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                       l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(l_extendedprice AS DOUBLE) AS median_price,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM r WHERE rn = (n-1)//2 + 1""".stripMargin)),
+
     // ---- Pairwise Pearson correlation MATRIX over the lineitem
     // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
     // cross-products) accumulate in a single aggregation — no

@@ -108,6 +108,52 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 150000000L))
   }
 
+  test("labelPropagation separates weakly-bridged cliques") {
+    // two triangles (1,2,3) and (10,11,12), all internal weight 5,
+    // joined by a weight-1 bridge 3–10: internal majority must beat
+    // the bridge, so each triangle converges to its own min label
+    def und(a: Long, b: Long, w: Long) = Seq((a, b, w), (b, a, w))
+    val edges = (
+      und(1, 2, 5) ++ und(2, 3, 5) ++ und(1, 3, 5) ++
+        und(10, 11, 5) ++ und(11, 12, 5) ++ und(10, 12, 5) ++
+        und(3, 10, 1)).toDF("src", "dst", "w")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val c1 = Set(1L, 2L, 3L).map(got)
+    val c2 = Set(10L, 11L, 12L).map(got)
+    assert(c1.size === 1, s"triangle 1 unifies: $got")
+    assert(c2.size === 1, s"triangle 2 unifies: $got")
+    assert(c1 != c2, s"bridge must not merge the cliques: $got")
+  }
+
+  test("labelPropagation replays bit-for-bit against a reference") {
+    // seeded random graph; synchronous deterministic rounds replayed
+    // imperatively — ties must break to the SMALLEST label
+    val rnd = new scala.util.Random(43)
+    val es = (1 to 120).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        (rnd.nextInt(4) + 1).toLong)).filter(e => e._1 != e._2)
+    val got = GraphOps.labelPropagation(
+      es.toDF("src", "dst", "w"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    var ref = es.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val votes = scala.collection.mutable.Map[(Long, Long), Long]()
+      es.foreach { case (s, d, w) =>
+        ref.get(s).foreach { l =>
+          votes((d, l)) = votes.getOrElse((d, l), 0L) + w
+        }
+      }
+      // the new labeling is exactly "argmax per voted dst": dst-only
+      // sinks ENTER the label set (they just never vote), and nodes
+      // receiving no votes this round drop out — same as the frame
+      ref = votes.groupBy(_._1._1).map { case (n, vs) =>
+        n -> vs.toSeq.map { case ((_, l), sw) => (-sw, l) }.min._2
+      }
+    }
+    assert(got === ref)
+  }
+
   test("bfsHops finds minimal hop counts, not just reachability") {
     // diamond + long detour: s→a→t (2 hops) AND s→b→c→t (3 hops) —
     // t must report 2; the detour's interior still gets its own dists.
