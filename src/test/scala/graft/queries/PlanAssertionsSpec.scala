@@ -253,4 +253,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_label_prop: label frames broadcast every round, edges cached, no window") {
+    val p = plan("q_label_prop")
+    // 3 vote rounds join the node-sized label frame as broadcast; the
+    // edge build's own join is the 4th broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // argmax is the struct-max AGGREGATE — a per-dst rank window
+    // would sort-shuffle each round's vote frame
+    assert(!p.contains("Window"), p)
+    assert(p.contains("InMemoryTableScan"), p) // cached edge frame
+  }
+
+  test("q_exact_median: one range exchange reused, ranks without row_number") {
+    val df = SparkEntry.queries("q_exact_median")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("rangepartitioning"), p) // distributed sort
+    assert(p.contains("ReusedExchange"), p) // offsets branch shares it
+    // ranks come from mono-ids; the only windows are the prefix sums
+    // over the ≤parts-row count frame (ExactRankSpec pins the rest)
+    assert(!p.contains("row_number"), p)
+  }
 }
