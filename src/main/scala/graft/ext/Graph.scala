@@ -361,6 +361,90 @@ object GraphQueries extends QueryModule {
         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS sz
         |FROM lp3 GROUP BY 1 ORDER BY sz DESC, community LIMIT 20""".stripMargin)),
 
+    // ---- Modularity of the q_label_prop communities — the quality
+    // monitor of the community family (as q_cluster_purity audits IVF
+    // and q_lsh_eval audits LSH): how much intra-community weight
+    // exceeds the random-graph expectation. EXACT integer form: for
+    // community c with internal weight in_c and total degree tot_c,
+    // Q·(2m)² = Σ_c (in_c·2m − tot_c²) — every term BIGINT (headroom:
+    // tot_c ≤ 2m ≈ 1.2e7 at sf1, square 1.4e14; a 100 TB graph with
+    // 2m ~ 1e12 would route the square through DECIMAL(38,0)). Per
+    // community this emits (w_in, tot_w, q_contrib); the label frames
+    // broadcast, the edge list is read from labelPropagation's cache
+    // (same canonical plan → CacheManager serves it).
+    "q_modularity" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("w"))
+          .select((col("o_custkey").cast("long") * 2).as("c"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
+            col("w"))
+          .select(expr(
+            "inline(array(struct(c AS src, s AS dst, w)," +
+              " struct(s AS src, c AS dst, w)))"))
+        val labels = GraphOps.labelPropagation(edges, iters = 3)
+        val e = edges.select(col("src"), col("dst"),
+          col("w").cast("long").as("w"))
+        val lSrc = labels.select(col("node").as("src"),
+          col("label").as("l_src"))
+        val lDst = labels.select(col("node").as("dst"),
+          col("label").as("l_dst"))
+        val win = e.join(broadcast(lSrc), "src")
+          .join(broadcast(lDst), "dst")
+          .filter(col("l_src") === col("l_dst"))
+          .groupBy(col("l_src").as("community"))
+          .agg(sum(col("w")).as("w_in"))
+        val deg = e.groupBy("src").agg(sum(col("w")).as("ow"))
+          .join(broadcast(lSrc), "src")
+          .groupBy(col("l_src").as("community"))
+          .agg(sum(col("ow")).as("tot_w"))
+        val twoM = e.agg(sum(col("w")).as("two_m"))
+        deg.join(win, Seq("community"), "left")
+          .crossJoin(broadcast(twoM))
+          .select(col("community"),
+            coalesce(col("w_in"), lit(0L)).as("w_in"),
+            col("tot_w"),
+            (coalesce(col("w_in"), lit(0L)) * col("two_m") -
+              col("tot_w") * col("tot_w")).as("q_contrib"))
+          .orderBy(col("q_contrib").desc, col("community"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        |WITH cs AS (
+        |  SELECT CAST(o.o_custkey AS BIGINT) * 2 AS c,
+        |         CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c AS src, s AS dst, w FROM cs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, w FROM cs),
+        |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |${(0 until 3).map(i => lpCte(s"lp$i", s"lp${i + 1}").trim).mkString(",\n")},
+        |w_in AS (
+        |  SELECT l1.label AS community, CAST(SUM(e.w) AS BIGINT) AS w_in
+        |  FROM edges e
+        |  JOIN lp3 l1 ON e.src = l1.node
+        |  JOIN lp3 l2 ON e.dst = l2.node
+        |  WHERE l1.label = l2.label GROUP BY 1),
+        |deg AS (
+        |  SELECT l.label AS community, CAST(SUM(o.ow) AS BIGINT) AS tot_w
+        |  FROM (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+        |        FROM edges GROUP BY src) o
+        |  JOIN lp3 l ON o.src = l.node GROUP BY 1),
+        |two_m AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM edges)
+        |SELECT d.community, COALESCE(w.w_in, 0) AS w_in, d.tot_w,
+        |  COALESCE(w.w_in, 0) * t.m2 - d.tot_w * d.tot_w AS q_contrib
+        |FROM deg d LEFT JOIN w_in w ON d.community = w.community
+        |CROSS JOIN two_m t
+        |ORDER BY q_contrib DESC, d.community LIMIT 20""".stripMargin)),
+
     // ---- BFS reachability: hop distance from customer C0 over the
     // same bipartite order graph (≤ 4 hops = customers two purchase
     // steps away). The TRAVERSAL member of the graph family (pagerank
