@@ -820,7 +820,8 @@ object AdvancedQueries extends QueryModule {
         |  FROM lineitem)
         |SELECT CAST(l_extendedprice AS DOUBLE) AS median_price,
         |  CAST(n AS BIGINT) AS n_rows
-        |FROM r WHERE rn = (n-1)//2 + 1""".stripMargin)),
+        |FROM r WHERE rn = (n-1)//2 + 1""".stripMargin),
+      bench = true),
 
     // ---- Pairwise Pearson correlation MATRIX over the lineitem
     // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
