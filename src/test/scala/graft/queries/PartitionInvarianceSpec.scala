@@ -22,9 +22,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   // ... plus the round-5 additions whose doubles ride on fixed-order
   // folds (char diversity) or whose sequential prefix runs after a
   // partition-order-sensitive rollup (sweep-line)
+  // ... and q_exact_median, whose ALGORITHM is parameterized by the
+  // partition count (ExactRank range-partitions into
+  // numShufflePartitions slices — the offsets math must make the
+  // selected element independent of how many), and the label-prop
+  // pair whose vote rollups/argmax must not see partition order
   private val names = Seq("q_pricing_summary", "q_weather_trend",
     "q_bm25", "q_weighted_avg_udaf", "q_ann_pq", "q_table_checksum",
-    "q_rfm_segments", "q_char_diversity", "q_sweepline_concurrency")
+    "q_rfm_segments", "q_char_diversity", "q_sweepline_concurrency",
+    "q_exact_median", "q_label_prop", "q_modularity")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
