@@ -54,6 +54,23 @@ object ExactRank {
       df: DataFrame,
       sortCols: Seq[Column],
       kOf: Column => Column,
+      nCol: String = "n_total"): DataFrame =
+    selectRanks(df, sortCols, n => Seq(kOf(n)), rankCol = "__rank",
+      nCol = nCol).drop("__rank")
+
+  /** The lower median rank: (n−1) div 2 + 1, 1-based. */
+  def lowerMedian(n: Column): Column = shiftright(n - 1, 1) + 1
+
+  /** Rows at EVERY 1-based global rank in `ksOf(n)` under `sortCols`,
+    * in ONE distributed pass (m quantiles never cost m sorts). Each
+    * emitted row carries its global rank as `rankCol` plus the total
+    * as `nCol`, so callers can label which order statistic matched.
+    */
+  def selectRanks(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      ksOf: Column => Seq[Column],
+      rankCol: String = "rank",
       nCol: String = "n_total"): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
@@ -65,8 +82,6 @@ object ExactRank {
     val offs = sorted
       .groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"))
-      // ≤`parts` rows from here down: the single-partition windows are
-      // bounded by the partition count, not the data
       .withColumn("__off",
         coalesce(
           sum(col("__cnt")).over(
@@ -78,10 +93,9 @@ object ExactRank {
       .select(col("__pid"), col("__off"), col(nCol))
     sorted
       .join(broadcast(offs), "__pid")
-      .filter(col("__off") + col("__lrn") === kOf(col(nCol)))
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .filter(array_contains(
+        array(ksOf(col(nCol)): _*), col(rankCol)))
       .drop("__pid", "__lrn", "__id", "__off")
   }
-
-  /** The lower median rank: (n−1) div 2 + 1, 1-based. */
-  def lowerMedian(n: Column): Column = shiftright(n - 1, 1) + 1
 }

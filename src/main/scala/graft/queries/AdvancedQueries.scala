@@ -823,6 +823,53 @@ object AdvancedQueries extends QueryModule {
         |FROM r WHERE rn = (n-1)//2 + 1""".stripMargin),
       bench = true),
 
+    // ---- Exact P25/P50/P75/P99 in ONE distributed pass
+    // (ExactRank.selectRanks): m order statistics never cost m sorts —
+    // one range sort, one offsets frame, one membership filter.
+    // Unlike q_percentiles (interpolating engine aggregate), every
+    // output is a stored data ELEMENT, so the oracle replays it
+    // exactly. Rank arithmetic (n−1)·q div 100 + 1 stays integral on
+    // both sides (Spark's truncating cast == DuckDB's // for
+    // nonnegative operands; the double division is correctly rounded
+    // and the true value is ≥0.01 from the integer boundary, so the
+    // truncation never crosses it).
+    "q_exact_quantiles" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        def k(n: Column, q: Int): Column =
+          ((n - 1) * q / 100).cast("long") + 1
+        val sel = graft.ops.ExactRank.selectRanks(li,
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")),
+          n => Seq(25, 50, 75, 99).map(q => k(n, q)))
+        val n = col("n_total")
+        sel.select(
+          when(col("rank") === k(n, 25), 25)
+            .when(col("rank") === k(n, 50), 50)
+            .when(col("rank") === k(n, 75), 75)
+            .otherwise(99).as("pct"),
+          col("l_extendedprice").cast("double").as("price"))
+          .orderBy("pct")
+      },
+      oracle = Some("""
+        |WITH r AS (
+        |  SELECT l_extendedprice,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                       l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CASE WHEN rn = (n-1)*25//100 + 1 THEN 25
+        |            WHEN rn = (n-1)*50//100 + 1 THEN 50
+        |            WHEN rn = (n-1)*75//100 + 1 THEN 75
+        |            ELSE 99 END AS pct,
+        |  CAST(l_extendedprice AS DOUBLE) AS price
+        |FROM r
+        |WHERE rn IN ((n-1)*25//100 + 1, (n-1)*50//100 + 1,
+        |             (n-1)*75//100 + 1, (n-1)*99//100 + 1)
+        |ORDER BY pct""".stripMargin)),
+
     // ---- Pairwise Pearson correlation MATRIX over the lineitem
     // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
     // cross-products) accumulate in a single aggregation — no

@@ -57,6 +57,26 @@ class ExactRankSpec extends SparkSpec {
     }
   }
 
+  test("selectRanks: all four quartile elements from one pass") {
+    val df = (1 to 10007)
+      .map(i => ((i * 2654435761L) % 997 / 7.0, i.toLong))
+      .toDF("v", "id")
+    def k(n: org.apache.spark.sql.Column, q: Int) =
+      ((n - 1) * q / 100).cast("long") + 1
+    val got = ExactRank.selectRanks(df, Seq(col("v"), col("id")),
+      n => Seq(25, 50, 75, 99).map(q => k(n, q)))
+      .select("rank", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: plain sorted sequence
+    val sortedV = (1 to 10007)
+      .map(i => ((i * 2654435761L) % 997 / 7.0, i.toLong)).sorted
+    val n = 10007L
+    val want = Seq(25, 50, 75, 99)
+      .map(q => ((n - 1) * q / 100) + 1)
+      .map(r => r -> sortedV((r - 1).toInt)._1).toMap
+    assert(got === want)
+  }
+
   test("plan: one range exchange, reused by the offsets branch") {
     val df = (1 to 5000).map(i => (i * 37 % 1009, i.toLong)).toDF("v", "id")
     val sel = ExactRank.selectRank(df, Seq(col("v"), col("id")),
