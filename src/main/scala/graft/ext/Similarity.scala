@@ -480,12 +480,19 @@ object SimilarityQueries extends QueryModule {
     val assigned = assignBuckets(corpus, centroids)
     val left = assigned.select(col("n_id").as("vec_id"),
       col("n_v").as("v"), col("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
-    left.join(assigned, "bucket")
+    // top-k through the bounded-heap TopKPerKey operator: the pair
+    // stream is Σ bucket² rows, and a per-vec window would shuffle and
+    // SORT all of it — the heaps keep ≤k rows per vec per partition
+    // ahead of the exchange instead (the q_bigram_lm shape). Ranks
+    // reconstitute on the pruned ≤k-per-vec frame under the same
+    // total order (sim desc, n_id asc), so output is bit-identical.
+    val scored = left.join(assigned, "bucket")
       .filter(col("n_id") =!= col("vec_id"))
       .withColumn("sim", cosine(col("v"), col("n_v")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
+    graft.plans.TopK.perKey(scored, k, Seq("vec_id"),
+        Seq("sim" -> false, "n_id" -> true))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
   }
 
   /** The planted demo corpus for the graph-structured queries: every
