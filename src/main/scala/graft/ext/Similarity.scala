@@ -439,6 +439,11 @@ object SimilarityQueries extends QueryModule {
   private val lastCodes =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_cluster_labels' (bucket, term) count frame — four consumers
+    * read it; swap-release bounds the cache at one live copy. */
+  private val lastBucketTerms =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Test hook: drop EVERY build-once memo (training, index layouts,
     * the star warehouse) so a spec can force the artifacts to be
     * REBUILT under a changed runtime config (partition counts etc.).
@@ -1382,7 +1387,87 @@ object SimilarityQueries extends QueryModule {
         |  FROM cand c
         |  JOIN emb q ON q.vec_id = c.q_id
         |  JOIN emb n ON n.vec_id = c.n_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- CLUSTER LABELING (the BERTopic/c-TF-IDF step): name each
+    // semantic cluster by its most DISTINCTIVE terms — the top-3 terms
+    // per Lloyd-trained IVF bucket ranked by lift over the corpus
+    // share, in exact basis points. This is the curation step after
+    // clustering: "bucket 7 is the SQL-tutorial cluster" drives
+    // per-topic sampling/filter decisions. Embeddings and documents
+    // share ids (vec_id == doc_id), so the bucket assignment joins the
+    // document table directly.
+    //
+    // Scale shape: the bucket frame (one row per doc) equi-joins the
+    // document table on the id BEFORE tokenization, so the join moves
+    // doc-count rows, not token-count rows; the explode is map-side;
+    // the only corpus-sized shuffle is the partial-agg'd
+    // (bucket, term) count. Everything downstream aggregates the
+    // ≤ nlist×vocab count frame (persisted — four consumers), and the
+    // three marginals are rollups of it, never a second corpus pass
+    // (the q_token_lift discipline). Lift is pure BIGINT
+    // cross-multiplication — cnt·grand·10⁴ div (bucket_tot·term_tot) —
+    // so any engine replays it exactly (headroom: ~5e17 at sf1; a
+    // 100 TB corpus routes the product through DECIMAL(38,0)). Top-3
+    // per bucket goes through the bounded-heap TopKPerKey operator.
+    "q_cluster_labels" -> QueryDef(
+      fn = (spark, dir) => {
+        val buckets = assignBuckets(embFrame(spark, dir),
+            centroidsFor(spark, dir, iters = 2))
+          .select(col("n_id").as("doc_id"), col("bucket"))
+        val toks = filter(TextFunctions.wsTokens(col("text")),
+          t => t =!= "")
+        val bt = graft.ops.BuildOnce.swapPersist(lastBucketTerms,
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), toks.as("t"))
+            .join(buckets, "doc_id")
+            .select(col("bucket"), explode(col("t")).as("term"))
+            .groupBy("bucket", "term").agg(count(lit(1)).as("cnt")))
+        val byTerm = bt.groupBy("term").agg(sum("cnt").as("term_total"))
+        val byBucket = bt.groupBy("bucket")
+          .agg(sum("cnt").as("bucket_total"))
+        val grand = bt.agg(sum("cnt").as("grand_total"))
+        val scored = bt.filter(col("cnt") >= 5)
+          .join(broadcast(byTerm), "term")
+          .join(broadcast(byBucket), "bucket")
+          .crossJoin(broadcast(grand))
+          .withColumn("lift_bp", expr(
+            "cnt * grand_total * 10000 div (bucket_total * term_total)"))
+        graft.plans.TopK.perKey(scored, 3, Seq("bucket"),
+            Seq("lift_bp" -> false, "cnt" -> false, "term" -> true))
+          .select("bucket", "term", "cnt", "bucket_total", "term_total",
+            "lift_bp")
+          .orderBy(col("bucket"), col("lift_bp").desc, col("cnt").desc,
+            col("term"))
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |${assignedSql("emb")},
+        |tok AS (
+        |  SELECT d.doc_id, unnest(string_split_regex(d.text, '\\s+')) AS term
+        |  FROM documents d),
+        |bt AS (
+        |  SELECT a.bucket, t.term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok t JOIN assigned a ON t.doc_id = a.vec_id
+        |  WHERE t.term != '' GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS term_total
+        |       FROM bt GROUP BY 1),
+        |btot AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS bucket_total
+        |         FROM bt GROUP BY 1),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS grand_total FROM bt),
+        |scored AS (
+        |  SELECT b.bucket, b.term, b.cnt, bo.bucket_total, t.term_total,
+        |    (b.cnt * g.grand_total * 10000)
+        |      // (bo.bucket_total * t.term_total) AS lift_bp
+        |  FROM bt b JOIN tt t USING (term) JOIN btot bo USING (bucket)
+        |  CROSS JOIN g
+        |  WHERE b.cnt >= 5),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY lift_bp DESC, cnt DESC, term) AS rn FROM scored)
+        |SELECT bucket, term, cnt, bucket_total, term_total, lift_bp
+        |FROM rk WHERE rn <= 3
+        |ORDER BY bucket, lift_bp DESC, cnt DESC, term""".stripMargin))
   )
 
   /** DuckDB replay of the full IVF-PQ composition (training, bucketing,

@@ -130,6 +130,49 @@ class SemanticPipelineSpec extends SparkSpec {
       "degenerate: no document kept any multi-token word")
   }
 
+  test("cluster labels: lift arithmetic exact, one corpus scan, heap top-k") {
+    val df = graft.SparkEntry.queries("q_cluster_labels")(spark, sf)
+    val rows = df.select("bucket", "term", "cnt", "bucket_total",
+        "term_total", "lift_bp")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // grand total recomputed independently: non-empty whitespace tokens
+    // of every doc whose embedding survives the zero-norm contract
+    val live = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(VectorFunctions.dot(col("v"), col("v")) > 0)
+      .select(col("vec_id").as("doc_id"))
+    val grand = graft.Tables(spark, sf, "documents")
+      .join(live, "doc_id")
+      .select(explode(split(col("text"), "[ \\t\\n\\f\\r]+")).as("t"))
+      .filter(col("t") =!= "").count()
+    rows.foreach { case (b, t, cnt, btot, ttot, lift) =>
+      assert(cnt >= 5, s"($b,$t) under the count floor")
+      assert(cnt <= btot && cnt <= ttot, s"($b,$t) marginals inconsistent")
+      assert(lift === cnt * grand * 10000L / (btot * ttot),
+        s"($b,$t) lift mismatch vs grand=$grand")
+    }
+    // <=3 per bucket, ordered by (lift desc, cnt desc, term)
+    rows.groupBy(_._1).foreach { case (b, g) =>
+      assert(g.length <= 3, s"bucket $b has ${g.length} labels")
+      val ord = g.map(r => (-r._6, -r._3, r._2)).toSeq
+      assert(ord === ord.sorted, s"bucket $b labels out of order")
+    }
+    // plan: bounded-heap partial/final pair, and the documents table is
+    // scanned ONCE (the persisted count frame serves all marginals)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerKeyPartial"), p)
+    val docScans = execNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",")
+            .contains("documents.parquet") => s
+    }
+    assert(docScans.length <= 1,
+      s"documents scanned ${docScans.length}x — marginals re-read the corpus")
+  }
+
   test("semantic dedup recovers every planted twin group, origin as keeper") {
     val planted = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"),
