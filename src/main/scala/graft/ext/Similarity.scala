@@ -1467,7 +1467,89 @@ object SimilarityQueries extends QueryModule {
         |    ORDER BY lift_bp DESC, cnt DESC, term) AS rn FROM scored)
         |SELECT bucket, term, cnt, bucket_total, term_total, lift_bp
         |FROM rk WHERE rn <= 3
-        |ORDER BY bucket, lift_bp DESC, cnt DESC, term""".stripMargin))
+        |ORDER BY bucket, lift_bp DESC, cnt DESC, term""".stripMargin)),
+
+    // ---- ANN SERVING-RECALL MONITOR — the eval-family member for the
+    // approximate index (q_cluster_purity audits the clustering,
+    // q_lsh_eval audits the LSH bands; this audits what the USER
+    // feels: recall@5 of the served IVF top-k vs the exact top-k, per
+    // query, in exact basis points). AnnRecallSpec measures the same
+    // frontier in tests; this is the production-shaped twin — the
+    // query a 100 TB deployment schedules nightly to catch recall
+    // drift after index rebuilds or corpus churn.
+    //
+    // Scale shape: recall eval always runs on a bounded QUERY SAMPLE
+    // (here the 20 demo queries). The exact leg is the one-pass
+    // broadcast-queries-against-corpus-scan; the IVF leg is the served
+    // bucket equi-join; the overlay is an equi-join of two
+    // sample×5-row frames plus a left join back to the sample so
+    // zero-hit queries surface as recall 0, not as missing rows.
+    "q_ann_recall" -> QueryDef(
+      fn = (spark, dir) => {
+        val emb = embFrame(spark, dir)
+        val queries = queryVecs(emb)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val exact = broadcast(queries)
+          .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")),
+            col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "n_id")
+        val served = ivfTopK(spark, dir, nprobe = 2)
+          .select("q_id", "n_id")
+        val hits = exact.join(served, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        queries.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            expr("coalesce(hits, CAST(0 AS BIGINT)) * 10000 div 5")
+              .as("recall_bp"))
+          .orderBy("q_id")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT n_id, n_v, c_id AS bucket FROM (
+        |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, c_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id < 20)
+        |  WHERE c_rank <= 2),
+        |served AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT p.q_id, a.n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |        ORDER BY ${cosSqlOf("p.q_v", "a.n_v")} DESC, a.n_id) AS rank
+        |    FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |    WHERE a.n_id != p.q_id)
+        |  WHERE rank <= 5),
+        |exact AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |    FROM emb q JOIN emb n
+        |      ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM exact e JOIN served s
+        |    ON e.q_id = s.q_id AND e.n_id = s.n_id
+        |  GROUP BY 1)
+        |SELECT q.q_id, COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) * 10000 // 5 AS recall_bp
+        |FROM (SELECT DISTINCT vec_id AS q_id FROM emb WHERE vec_id < 20) q
+        |LEFT JOIN hits h ON q.q_id = h.q_id
+        |ORDER BY q.q_id""".stripMargin))
   )
 
   /** DuckDB replay of the full IVF-PQ composition (training, bucketing,

@@ -43,6 +43,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.75, f"recall $r%.3f")
   }
 
+  test("q_ann_recall monitor agrees with the spec-side recall measurement") {
+    // the in-engine monitor must report EXACTLY the overlap the two
+    // published queries imply — no off-by-one on zero-hit queries, no
+    // tie-handling drift between the exact and served legs
+    val truth = neighbors("q_ann_cosine_topk")
+    val served = neighbors("q_ann_ivf")
+    val monitor = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .select("q_id", "hits", "recall_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(monitor.length === truth.size, "monitor dropped a query id")
+    monitor.foreach { case (q, hits, bp) =>
+      val expect = served.getOrElse(q, Set.empty)
+        .intersect(truth(q)).size.toLong
+      assert(hits === expect, s"query $q: monitor says $hits, spec $expect")
+      assert(bp === hits * 10000L / 5L, s"query $q: bp $bp for $hits hits")
+    }
+  }
+
   test("IVF nprobe dial: recall rises monotonically with probed buckets") {
     val truth = neighbors("q_ann_cosine_topk")
     def recallAt(nprobe: Int): Double = {
