@@ -157,6 +157,40 @@ object DedupFunctions {
 object DedupQueries extends QueryModule {
   import DedupFunctions._
 
+  /** Oracle CTE chain replaying the MinHash pipeline from the exported
+    * kernel frames — shingles from text, candidate banding, the Broder
+    * signature-agreement pre-filter (`pref` is the surviving pair set).
+    * Shared verbatim by `q_neardup_minhash` (which appends the exact
+    * Jaccard verify as its result) and `q_dedup_agreement` (which
+    * wraps the same verified pairs as one side of the audit) — the two
+    * oracles can never drift apart. Expects the `docs` CTE
+    * ([[DedupFunctions.plantedCte]]) in scope. */
+  private def minhashOracleCtes: String = s"""tok AS (
+    |  SELECT doc_id, string_split_regex(text, '\\s+') AS tokens
+    |  FROM docs),
+    |sh AS (
+    |  SELECT doc_id,
+    |    list_distinct(list_transform(
+    |      generate_series(0, greatest(len(tokens) - 3, 0)),
+    |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+    |  FROM tok),
+    |sigs AS (
+    |  SELECT * FROM read_parquet('$oracleExportDir/minhash_sigs/*.parquet')),
+    |bands AS (
+    |  SELECT * FROM read_parquet('$oracleExportDir/minhash_bands/*.parquet')),
+    |cand AS (
+    |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    |  FROM bands x JOIN bands y
+    |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+    |   AND x.doc_id < y.doc_id),
+    |pref AS (
+    |  SELECT c.id_a, c.id_b FROM cand c
+    |  JOIN sigs sa ON sa.doc_id = c.id_a
+    |  JOIN sigs sb ON sb.doc_id = c.id_b
+    |  WHERE list_sum(list_transform(generate_series(1, 64),
+    |          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+    |        >= 0.4)""".stripMargin
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Exact dedup: hash-groupBy on the full content. The input is
@@ -645,31 +679,7 @@ object DedupQueries extends QueryModule {
       // shingle sets are recomputed from text (same construction the
       // q_neardup_jaccard oracle hash-matches with).
       oracle = Some(plantedCte + s""",
-        |tok AS (
-        |  SELECT doc_id, string_split_regex(text, '\\s+') AS tokens
-        |  FROM docs),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(0, greatest(len(tokens) - 3, 0)),
-        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
-        |  FROM tok),
-        |sigs AS (
-        |  SELECT * FROM read_parquet('$oracleExportDir/minhash_sigs/*.parquet')),
-        |bands AS (
-        |  SELECT * FROM read_parquet('$oracleExportDir/minhash_bands/*.parquet')),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-        |   AND x.doc_id < y.doc_id),
-        |pref AS (
-        |  SELECT c.id_a, c.id_b FROM cand c
-        |  JOIN sigs sa ON sa.doc_id = c.id_a
-        |  JOIN sigs sb ON sb.doc_id = c.id_b
-        |  WHERE list_sum(list_transform(generate_series(1, 64),
-        |          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
-        |        >= 0.4)
+        |$minhashOracleCtes
         |SELECT p.id_a, p.id_b,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -768,6 +778,69 @@ object DedupQueries extends QueryModule {
         |SELECT tp, fp, fn,
         |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
         |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+        |FROM cnt""".stripMargin)),
+
+    // ---- CROSS-METHOD DEDUP AGREEMENT AUDIT: how much do the MinHash
+    // (token-set Jaccard >= 0.6) and SimHash (Hamming <= 8) detectors
+    // agree on the SAME planted corpus? One exact-count row:
+    // per-method pair counts, the intersection/union, each method's
+    // exclusive pairs, and the pair-set Jaccard agreement in basis
+    // points (pure BIGINT arithmetic). This is the question a curation
+    // team asks when choosing/stacking detectors — "does the cheaper
+    // fingerprint find the same duplicates?" — answered in-engine, on
+    // ids only. Scale shape: both legs are the already-blocked
+    // operators (band / pigeonhole equi-joins); the audit overlays one
+    // equi-join and one union-distinct on id-pair frames, then
+    // single-row aggregates combined by broadcast — documents never
+    // move. The oracle replays BOTH pipelines from their exported
+    // kernel frames and must land on identical counts.
+    "q_dedup_agreement" -> QueryDef(
+      fn = (spark, dir) => {
+        val mh = graft.SparkEntry.queries("q_neardup_minhash")(spark, dir)
+          .select("id_a", "id_b")
+        val sm = graft.SparkEntry.queries("q_neardup_simhash")(spark, dir)
+          .select("id_a", "id_b")
+        val m = mh.agg(count(lit(1)).as("minhash_pairs"))
+        val s = sm.agg(count(lit(1)).as("simhash_pairs"))
+        val b = mh.join(sm, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("both_pairs"))
+        val u = mh.union(sm).distinct()
+          .agg(count(lit(1)).as("union_pairs"))
+        m.crossJoin(broadcast(s)).crossJoin(broadcast(b))
+          .crossJoin(broadcast(u))
+          .select(col("minhash_pairs"), col("simhash_pairs"),
+            col("both_pairs"),
+            (col("minhash_pairs") - col("both_pairs")).as("minhash_only"),
+            (col("simhash_pairs") - col("both_pairs")).as("simhash_only"),
+            expr("both_pairs * 10000 div union_pairs").as("agreement_bp"))
+      },
+      oracle = Some(plantedCte + s""",
+        |$minhashOracleCtes,
+        |mh AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM pref p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |fp AS (
+        |  SELECT * FROM read_parquet('$oracleExportDir/simhash_fp/*.parquet')),
+        |sm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= ${FingerprintQueries.hammingMax}),
+        |cnt AS (SELECT
+        |  (SELECT COUNT(*) FROM mh) AS minhash_pairs,
+        |  (SELECT COUNT(*) FROM sm) AS simhash_pairs,
+        |  (SELECT COUNT(*) FROM mh m JOIN sm s
+        |     ON m.id_a = s.id_a AND m.id_b = s.id_b) AS both_pairs,
+        |  (SELECT COUNT(*) FROM
+        |     (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM sm))
+        |    AS union_pairs)
+        |SELECT minhash_pairs, simhash_pairs, both_pairs,
+        |  minhash_pairs - both_pairs AS minhash_only,
+        |  simhash_pairs - both_pairs AS simhash_only,
+        |  both_pairs * 10000 // union_pairs AS agreement_bp
         |FROM cnt""".stripMargin)),
 
     // ---- Passage SCRUB — the removal write-path of the ExactSubstr

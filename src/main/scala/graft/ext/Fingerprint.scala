@@ -31,7 +31,9 @@ object FingerprintQueries extends QueryModule {
 
   import DedupFunctions.oracleExportDir
 
-  private val hammingMax = 8
+  // shared with q_dedup_agreement (Dedup.scala) so the cross-method
+  // audit and the simhash operator can never disagree on the radius
+  private[ext] val hammingMax = 8
 
   /** The 9 pigeonhole blocks of a 64-bit fingerprint column:
     * rows of (block_idx, block_val). */

@@ -142,6 +142,25 @@ class DedupSpec extends SparkSpec {
       s"tp=$tp fp=$fp fn=${row.getAs[Long]("fn")}")
   }
 
+  test("q_dedup_agreement: counts equal the set algebra of the two pair sets") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(q: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(q)(spark, sf)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = pairs("q_neardup_minhash")
+    val sm = pairs("q_neardup_simhash")
+    assert(mh.nonEmpty && sm.nonEmpty, "degenerate fixture: empty pair set")
+    val row = graft.SparkEntry.queries("q_dedup_agreement")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (mhN, smN, both, mhOnly, smOnly, bp) = row
+    assert(mhN === mh.size.toLong)
+    assert(smN === sm.size.toLong)
+    assert(both === mh.intersect(sm).size.toLong)
+    assert(mhOnly === mh.diff(sm).size.toLong)
+    assert(smOnly === sm.diff(mh).size.toLong)
+    assert(bp === both * 10000L / mh.union(sm).size)
+  }
+
   test("q_ngram_novelty: late replicas measure zero novelty; counts bounded") {
     val out = graft.SparkEntry.queries("q_ngram_novelty")(
       spark, "/root/testdata/sf0.001").collect()
