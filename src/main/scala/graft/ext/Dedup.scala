@@ -797,17 +797,22 @@ object DedupQueries extends QueryModule {
     "q_dedup_agreement" -> QueryDef(
       fn = (spark, dir) => {
         val mh = graft.SparkEntry.queries("q_neardup_minhash")(spark, dir)
-          .select("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), lit(1).as("m"))
         val sm = graft.SparkEntry.queries("q_neardup_simhash")(spark, dir)
-          .select("id_a", "id_b")
-        val m = mh.agg(count(lit(1)).as("minhash_pairs"))
-        val s = sm.agg(count(lit(1)).as("simhash_pairs"))
-        val b = mh.join(sm, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("both_pairs"))
-        val u = mh.union(sm).distinct()
-          .agg(count(lit(1)).as("union_pairs"))
-        m.crossJoin(broadcast(s)).crossJoin(broadcast(b))
-          .crossJoin(broadcast(u))
+          .select(col("id_a"), col("id_b"), lit(1).as("s"))
+        // ONE pass per detector: both pair sets are distinct by
+        // construction, so a full-outer join on the pair key with
+        // presence flags yields every count from a single aggregate
+        // (the q_lsh_eval shape) — referencing mh/sm from separate
+        // count subtrees would re-execute each pipeline per consumer
+        // (Spark does not dedup common subplans)
+        mh.join(sm, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            count(col("m")).as("minhash_pairs"),
+            count(col("s")).as("simhash_pairs"),
+            count(when(col("m") === 1 && col("s") === 1, 1))
+              .as("both_pairs"),
+            count(lit(1)).as("union_pairs"))
           .select(col("minhash_pairs"), col("simhash_pairs"),
             col("both_pairs"),
             (col("minhash_pairs") - col("both_pairs")).as("minhash_only"),

@@ -50,14 +50,16 @@ class AnnRecallSpec extends SparkSpec {
     val truth = neighbors("q_ann_cosine_topk")
     val served = neighbors("q_ann_ivf")
     val monitor = SparkEntry.queries("q_ann_recall")(spark, sf)
-      .select("q_id", "hits", "recall_bp")
-      .as[(Long, Long, Long)].collect()
+      .select("q_id", "hits", "n_truth", "recall_bp")
+      .as[(Long, Long, Long, Long)].collect()
     assert(monitor.length === truth.size, "monitor dropped a query id")
-    monitor.foreach { case (q, hits, bp) =>
+    monitor.foreach { case (q, hits, nTruth, bp) =>
       val expect = served.getOrElse(q, Set.empty)
         .intersect(truth(q)).size.toLong
       assert(hits === expect, s"query $q: monitor says $hits, spec $expect")
-      assert(bp === hits * 10000L / 5L, s"query $q: bp $bp for $hits hits")
+      assert(nTruth === truth(q).size.toLong,
+        s"query $q: denominator $nTruth vs exact-set size ${truth(q).size}")
+      assert(bp === hits * 10000L / nTruth, s"query $q: bp $bp")
     }
   }
 

@@ -159,18 +159,35 @@ class SemanticPipelineSpec extends SparkSpec {
       val ord = g.map(r => (-r._6, -r._3, r._2)).toSeq
       assert(ord === ord.sorted, s"bucket $b labels out of order")
     }
-    // plan: bounded-heap partial/final pair, and the documents table is
-    // scanned ONCE (the persisted count frame serves all marginals)
+    // plan: bounded-heap partial/final pair, and every documents read
+    // outside the persisted (bucket, term) cache is a regression — a
+    // marginal recomputed from the corpus would surface as a
+    // FileSourceScan NOT hidden behind an InMemoryTableScan (execNodes
+    // alone can't see this: the one legitimate scan lives inside the
+    // cache's build plan, so a bare count would pass at 0 or 1 alike)
     df.collect()
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("TopKPerKeyPartial"), p)
-    val docScans = execNodes(df).collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.mkString(",")
-            .contains("documents.parquet") => s
-    }
-    assert(docScans.length <= 1,
-      s"documents scanned ${docScans.length}x — marginals re-read the corpus")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uncachedDocScans(
+        n: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      n match {
+        case a: AdaptiveSparkPlanExec => uncachedDocScans(a.executedPlan)
+        case q: QueryStageExec => uncachedDocScans(q.plan)
+        case _: InMemoryTableScanExec => Seq.empty // serves the cache
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.mkString(",")
+              .contains("documents.parquet") => Seq(s)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(uncachedDocScans)
+      }
+    val cacheReads = execNodes(df).collect { case c: InMemoryTableScanExec => c }
+    assert(cacheReads.nonEmpty, "the (bucket, term) frame is not cached")
+    val leaks = uncachedDocScans(df.queryExecution.executedPlan)
+    assert(leaks.isEmpty,
+      s"${leaks.length} documents scan(s) bypass the cached count frame")
   }
 
   test("semantic dedup recovers every planted twin group, origin as keeper") {
