@@ -463,6 +463,20 @@ object SimilarityQueries extends QueryModule {
     emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
 
+  /** Bounded-heap top-`k` per `q_id` by (sim desc, n_id asc), with the
+    * `rank` column reconstituted on the pruned ≤k-per-query frame
+    * under the same total order — bit-identical to the window
+    * formulation (row_number + rank<=k filter) it replaces, but a
+    * candidate stream of any size reaches the exchange as ≤k rows per
+    * query per partition instead of being shuffled and SORTED whole
+    * (the knnEdges discipline, shared by every ANN ranking tail). */
+  private def topKBySim(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    graft.plans.TopK.perKey(scored, k, Seq("q_id"),
+        Seq("sim" -> false, "n_id" -> true))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** One-pass nearest-centroid assignment of the corpus, as
     * (n_id, n_v, bucket) — shared by ivfTopK and ivfPqTopK so a
     * tie-break or assignment fix lands in ONE place. The argmax is a
@@ -588,11 +602,11 @@ object SimilarityQueries extends QueryModule {
     * for this whole stage, not a lucky textual match. */
   private def adcRerank(scored: DataFrame, emb: DataFrame,
       queries: DataFrame): DataFrame = {
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
     val wExact = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    scored
-      .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= 20)
+    // ADC candidates heap-prune to the top-20 per query before the
+    // exchange (membership only — no rank column needed)
+    graft.plans.TopK.perKey(scored, 20, Seq("q_id"),
+        Seq("adc" -> false, "n_id" -> true))
       .select("q_id", "n_id")
       .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
       .join(broadcast(queries), "q_id")
@@ -643,14 +657,13 @@ object SimilarityQueries extends QueryModule {
     val centroids = centroidsFor(spark, dir, iters = 2)
     val assigned = assignBuckets(emb, centroids)
     val probes = probeBuckets(queryVecs(emb), centroids, nprobe)
-    // search only inside the probed buckets
-    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(probes)
+    // search only inside the probed buckets; candidates (∝ probed
+    // bucket populations) heap-prune to ≤5/query before the exchange
+    val scored = broadcast(probes)
       .join(assigned, "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q_v"), col("n_v")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 5)
+    topKBySim(scored, 5)
       .select("q_id", "rank", "n_id", "sim")
       .orderBy("q_id", "rank")
   }
@@ -829,13 +842,11 @@ object SimilarityQueries extends QueryModule {
     val emb = embFrame(spark, dir)
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    lshCandidates(spark, dir, tables, radius)
+    val scored = lshCandidates(spark, dir, tables, radius)
       .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
       .join(broadcast(queries), "q_id")
       .withColumn("sim", cosine(col("q_v"), col("n_v")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 5)
+    topKBySim(scored, 5)
       .select("q_id", "rank", "n_id", "sim")
       .orderBy("q_id", "rank")
   }
@@ -883,14 +894,15 @@ object SimilarityQueries extends QueryModule {
         val emb = embFrame(spark, dir)
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        broadcast(queries)
+        // the corpus×queries score stream reaches the exchange as ≤5
+        // rows per query per partition (bounded heaps), delivering the
+        // "partial top-k per partition" this operator's scale story
+        // promises — a window would shuffle and sort the whole stream
+        val scored = broadcast(queries)
           .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")),
             col("n_id") =!= col("q_id"))
           .withColumn("sim", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
+        topKBySim(scored, 5)
           .select("q_id", "rank", "n_id", "sim")
           .orderBy("q_id", "rank")
       },
@@ -923,15 +935,12 @@ object SimilarityQueries extends QueryModule {
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("label").as("q_label"),
             col("v").as("q_v"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        broadcast(queries)
+        val scored = broadcast(queries)
           .join(emb.select(col("vec_id").as("n_id"), col("label"),
               col("v").as("n_v")),
             col("label") === col("q_label") && col("n_id") =!= col("q_id"))
           .withColumn("sim", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
+        topKBySim(scored, 5)
           .select("q_id", "label", "rank", "n_id", "sim")
           .orderBy("q_id", "rank")
       },
@@ -994,15 +1003,12 @@ object SimilarityQueries extends QueryModule {
         val q = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("label").as("q_label"),
             col("v").as("q_v"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        broadcast(q)
+        val scored = broadcast(q)
           .join(emb.select(col("vec_id").as("n_id"),
               col("label").as("n_label"), col("v").as("n_v")),
             col("n_label") =!= col("q_label"))
           .withColumn("sim", cosine(col("q_v"), col("n_v")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        topKBySim(scored, 3)
           .select("q_id", "q_label", "rank", "n_id", "n_label", "sim")
           .orderBy("q_id", "rank")
       },
@@ -1264,13 +1270,14 @@ object SimilarityQueries extends QueryModule {
             col("qv").as("q_qv"))
         val corpus = quantized.select(col("vec_id").as("n_id"),
           col("v").as("n_v"), col("qv").as("n_qv"))
-        val wQuant = Window.partitionBy("q_id")
-          .orderBy(col("qsim").desc, col("n_id"))
-        val candidates = broadcast(queries)
-          .join(corpus, col("n_id") =!= col("q_id"))
-          .withColumn("qsim", cosine(col("q_qv"), col("n_qv")))
-          .withColumn("qrank", row_number().over(wQuant))
-          .filter(col("qrank") <= 20)
+        // the quantized corpus×queries stream heap-prunes to the
+        // top-20 candidates per query BEFORE any exchange (ranks are
+        // never needed — only membership in the candidate set)
+        val candidates = graft.plans.TopK.perKey(
+          broadcast(queries)
+            .join(corpus, col("n_id") =!= col("q_id"))
+            .withColumn("qsim", cosine(col("q_qv"), col("n_qv"))),
+          20, Seq("q_id"), Seq("qsim" -> false, "n_id" -> true))
         val wExact = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("n_id"))
         candidates

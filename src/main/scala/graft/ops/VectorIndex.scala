@@ -158,14 +158,19 @@ object VectorIndex {
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
     val index = metaFilter.map(f => pruned.filter(f)).getOrElse(pruned)
 
+    // candidates from the pruned scan heap-prune to ≤k per query per
+    // partition before the exchange (bounded heaps); rank
+    // reconstitutes on the pruned frame under the same total order —
+    // bit-identical to the window formulation it replaces
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    broadcast(probes)
+    val scored = broadcast(probes)
       .join(index.select(col("vec_id").as("n_id"), col("v").as("n_v"),
         col("bucket")), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("q_v"), col("n_v")))
+    graft.plans.TopK.perKey(scored, k, Seq("q_id"),
+        Seq("sim" -> false, "n_id" -> true))
       .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
   }
 }
