@@ -466,10 +466,16 @@ object SimilarityQueries extends QueryModule {
   /** Bounded-heap top-`k` per `q_id` by (sim desc, n_id asc), with the
     * `rank` column reconstituted on the pruned ≤k-per-query frame
     * under the same total order — bit-identical to the window
-    * formulation (row_number + rank<=k filter) it replaces, but a
-    * candidate stream of any size reaches the exchange as ≤k rows per
-    * query per partition instead of being shuffled and SORTED whole
-    * (the knnEdges discipline, shared by every ANN ranking tail). */
+    * formulation (row_number + rank<=k filter) it replaces.
+    *
+    * Honest plan economics: Spark's own InferWindowGroupLimit already
+    * bounds the EXCHANGE of the window formulation to ≤k rows per key
+    * per partition, but its WindowGroupLimit is sort-based — the whole
+    * per-partition stream is sorted (O(n log n)) on BOTH sides of the
+    * exchange before limiting. The heaps do O(n log k) updates and
+    * never materialize a sorted run, which is the difference that
+    * matters when the pre-exchange stream is corpus-sized (the
+    * knnEdges discipline, shared by every ANN ranking tail). */
   private def topKBySim(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     graft.plans.TopK.perKey(scored, k, Seq("q_id"),
@@ -505,9 +511,10 @@ object SimilarityQueries extends QueryModule {
     val left = assigned.select(col("n_id").as("vec_id"),
       col("n_v").as("v"), col("bucket"))
     // top-k through the bounded-heap TopKPerKey operator: the pair
-    // stream is Σ bucket² rows, and a per-vec window would shuffle and
-    // SORT all of it — the heaps keep ≤k rows per vec per partition
-    // ahead of the exchange instead (the q_bigram_lm shape). Ranks
+    // stream is Σ bucket² rows, and the window path fully SORTS each
+    // partition's share of it (twice — both sides of the exchange)
+    // before its group limit; the heaps keep ≤k rows per vec with
+    // O(n log k) updates and no sorted runs (see topKBySim doc). Ranks
     // reconstitute on the pruned ≤k-per-vec frame under the same
     // total order (sim desc, n_id asc), so output is bit-identical.
     val scored = left.join(assigned, "bucket")
@@ -894,10 +901,10 @@ object SimilarityQueries extends QueryModule {
         val emb = embFrame(spark, dir)
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        // the corpus×queries score stream reaches the exchange as ≤5
-        // rows per query per partition (bounded heaps), delivering the
-        // "partial top-k per partition" this operator's scale story
-        // promises — a window would shuffle and sort the whole stream
+        // the corpus×queries score stream heap-prunes to ≤5 rows per
+        // query per partition with O(n log k) updates — the native
+        // window path bounds the exchange the same way but only after
+        // fully SORTING each partition's stream (see topKBySim doc)
         val scored = broadcast(queries)
           .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")),
             col("n_id") =!= col("q_id"))

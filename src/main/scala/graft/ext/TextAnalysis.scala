@@ -928,10 +928,12 @@ object TextQueries extends QueryModule {
     // quota selected by content-hash order — the reproducible way to
     // downsample a corpus per stratum (rand() samples differ per run
     // and per engine; hash order is stable everywhere). Scale shape:
-    // one shuffle on (lang), per-key top-k by hash — and with the
-    // TopKRewriteRule installed, the row_number window plans as the
-    // bounded-heap operator, so only 20 rows per language per
-    // partition ever reach the shuffle.
+    // one shuffle on (lang), per-key top-k by hash. The rank is
+    // filter-only, so Spark's native InferWindowGroupLimit already
+    // bounds the exchange to 20 rows per language per partition
+    // (sort-based); installing TopKRewriteRule upgrades the same plan
+    // to the bounded-heap operator (no per-partition sort) — this
+    // query is the rewrite rule's demo target either way.
     "q_stratified_sample" -> QueryDef(
       fn = (spark, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -1005,11 +1007,17 @@ object TextQueries extends QueryModule {
         val n = docs.agg(count(lit(1)).as("__n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-        tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        // the (doc, term) frame is corpus-scale; route it through
+        // TopKPerKey directly (O(n log k) heaps — the native window
+        // path bounds the exchange identically but fully sorts each
+        // partition's stream first) and reconstitute rnk on the pruned
+        // frame under the same total order (bit-identical)
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
           .withColumn("score",
             (col("tf") * (col("__n_docs") + 1L)).cast("double") / (col("df") + 1L))
+        graft.plans.TopK.perKey(scored, 3, Seq("doc_id"),
+            Seq("score" -> false, "term" -> true))
           .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
           .select("doc_id", "rnk", "term", "tf", "df", "score")
           .orderBy("doc_id", "rnk")
       },
