@@ -604,8 +604,139 @@ object PipelineQueries extends QueryModule {
         |                            ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT lang, source, rn, doc_id, n_chars
-        |FROM t WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin))
+        |FROM t WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin)),
+
+    // ---- THE CURATION FUNNEL — the end-to-end per-stage report every
+    // corpus-curation run ships: raw → exact-dedup keepers → near-dup
+    // survivors → decontaminated → quality+language final, as ONE
+    // exact-count row computed by ONE declarative plan. Each stage's
+    // rule is the same one its standalone operator demonstrates
+    // (normalized-hash keepers = q_dedup_normalized; banded-Jaccard
+    // pairwise drop-to-lower-id = q_lsh_eval's truth set — the full
+    // transitive-closure variant is q_dedup_clusters; 8-gram eval
+    // collision = q_decontaminate; quality ≥ 0.5 ∧ lang_pred = lang =
+    // q_training_pipeline), so the funnel is the integration proof
+    // that the stages COMPOSE.
+    //
+    // Scale shape: one narrow corpus pass builds the per-doc flag
+    // frame (persisted WITHOUT text, swap-released); near-dup pair
+    // generation is the (lang, length-band) equi-join restricted to
+    // exact-keepers only; decontamination broadcasts the eval gram
+    // set; the report itself is three id-frame left joins + a single
+    // conditional-count aggregate. Every shuffle is one a standalone
+    // stage already pays — the funnel adds none.
+    "q_curation_funnel" -> QueryDef(
+      fn = (spark, dir) => {
+        val all = Tables(spark, dir, "documents")
+        val eval = all.filter(col("doc_id") < 10)
+        val docs = all.filter(col("doc_id") >= 10)
+        // flag inputs, text dropped before the persist (the cache
+        // holds ids + small columns only; the text-bearing scans below
+        // are separate narrow projections of the parquet)
+        val sc = graft.ops.BuildOnce.swapPersist(lastFunnelFlags,
+          PipelineOps.curationScore(docs)
+            .select("doc_id", "lang", "content_hash", "quality",
+              "lang_pred"))
+        val keepers = sc.groupBy("content_hash")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(1).as("keeper"))
+        val blocked = docs
+          .join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            distinctShingles(col("text")).as("sh"))
+        val ndDropped = bandedPairs(blocked)
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+          .select(col("id_b").as("doc_id")).distinct()
+          .select(col("doc_id"), lit(1).as("nd_drop"))
+        val contaminated =
+          decontaminate(docs.select(col("doc_id"), col("text")), eval, n = 8)
+            .select(col("doc_id"), lit(1).as("contam"))
+        sc.join(keepers, Seq("doc_id"), "left")
+          .join(ndDropped, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_raw"),
+            count(when(col("keeper") === 1, 1)).as("n_exact"),
+            count(when(col("keeper") === 1 && col("nd_drop").isNull, 1))
+              .as("n_neardup"),
+            count(when(col("keeper") === 1 && col("nd_drop").isNull &&
+              col("contam").isNull, 1)).as("n_clean"),
+            count(when(col("keeper") === 1 && col("nd_drop").isNull &&
+              col("contam").isNull && col("quality") >= 0.5 &&
+              col("lang_pred") === col("lang"), 1)).as("n_final"))
+      },
+      oracle = Some(s"""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id >= 10),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |      + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |      AS quality,
+        |    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(enStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'en'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)})))
+        |          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(esStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'es'
+        |         WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(frStop)}))) >= len(list_filter(string_split_regex(text, '\\s+'), x -> x IN (${listSqlPub(deStop)}))) THEN 'fr'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM corpus),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM scored GROUP BY content_hash),
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(toks) - 3, 0)),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          string_split_regex(text, '\\s+') AS toks
+        |        FROM corpus
+        |        WHERE doc_id IN (SELECT doc_id FROM keepers))),
+        |nd_drop AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 60
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |eval_grams AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 8, 0)),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |    FROM (SELECT string_split_regex(text, '\\s+') AS toks
+        |          FROM documents WHERE doc_id < 10))),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(0, greatest(len(toks) - 8, 0)),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        |          FROM corpus))
+        |  WHERE g IN (SELECT g FROM eval_grams))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_exact,
+        |  CAST(COUNT(CASE WHEN k.doc_id IS NOT NULL
+        |    AND nd.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_neardup,
+        |  CAST(COUNT(CASE WHEN k.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |    AND ct.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_clean,
+        |  CAST(COUNT(CASE WHEN k.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |    AND ct.doc_id IS NULL AND s.quality >= 0.5
+        |    AND s.lang_pred = s.lang THEN 1 END) AS BIGINT) AS n_final
+        |FROM scored s
+        |LEFT JOIN keepers k ON s.doc_id = k.doc_id
+        |LEFT JOIN nd_drop nd ON s.doc_id = nd.doc_id
+        |LEFT JOIN contam ct ON s.doc_id = ct.doc_id""".stripMargin))
   )
+
+  /** q_curation_funnel's per-doc flag-input frame (ids + small
+    * columns, text dropped) — two consumers; swap-release bounds the
+    * cache at one live copy across invocations. */
+  private val lastFunnelFlags =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** Build-once memo for the incrementally-built join view (one per
     * dataset dir). Orders split by KEY parity, lineitems by

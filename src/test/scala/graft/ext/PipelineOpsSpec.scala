@@ -142,4 +142,26 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("canonical_doc_id") < 500000L))
     } finally out.unpersist()
   }
+
+  test("q_curation_funnel: monotone stages, exact stage independently recomputed") {
+    val row = graft.SparkEntry.queries("q_curation_funnel")(spark, sf).head()
+    val Seq(nRaw, nExact, nNearDup, nClean, nFinal) =
+      Seq("n_raw", "n_exact", "n_neardup", "n_clean", "n_final")
+        .map(row.getAs[Long])
+    // the funnel only ever narrows, and no stage may drain it
+    assert(nRaw >= nExact && nExact >= nNearDup &&
+      nNearDup >= nClean && nClean >= nFinal,
+      s"non-monotone funnel: $nRaw/$nExact/$nNearDup/$nClean/$nFinal")
+    assert(nFinal > 0L, "funnel drained to zero — degenerate fixture")
+    // stage-1/2 parity from first principles: raw corpus size and the
+    // distinct normalized-content-hash count of docs >= 10
+    val corpus = docs.filter(col("doc_id") >= 10)
+    assert(nRaw === corpus.count())
+    val distinctHashes = corpus
+      .select(md5(DedupFunctions.normText(col("text")).cast("binary"))
+        .as("h"))
+      .distinct().count()
+    assert(nExact === distinctHashes,
+      s"exact-keeper count $nExact vs $distinctHashes distinct hashes")
+  }
 }
