@@ -729,7 +729,8 @@ object PipelineQueries extends QueryModule {
         |FROM scored s
         |LEFT JOIN keepers k ON s.doc_id = k.doc_id
         |LEFT JOIN nd_drop nd ON s.doc_id = nd.doc_id
-        |LEFT JOIN contam ct ON s.doc_id = ct.doc_id""".stripMargin))
+        |LEFT JOIN contam ct ON s.doc_id = ct.doc_id""".stripMargin),
+      bench = true) // the composed pipeline is the cost users feel
   )
 
   /** q_curation_funnel's per-doc flag-input frame (ids + small
