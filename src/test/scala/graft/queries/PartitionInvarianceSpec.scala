@@ -27,10 +27,14 @@ class PartitionInvarianceSpec extends SparkSpec {
   // numShufflePartitions slices — the offsets math must make the
   // selected element independent of how many), and the label-prop
   // pair whose vote rollups/argmax must not see partition order
+  // ... and the late-round composites: cluster labels (persisted
+  // count frame + TopKPerKey heaps + integer lift) and the curation
+  // funnel (per-doc flags from three independent id-frame joins)
   private val names = Seq("q_pricing_summary", "q_weather_trend",
     "q_bm25", "q_weighted_avg_udaf", "q_ann_pq", "q_table_checksum",
     "q_rfm_segments", "q_char_diversity", "q_sweepline_concurrency",
-    "q_exact_median", "q_label_prop", "q_modularity")
+    "q_exact_median", "q_label_prop", "q_modularity",
+    "q_cluster_labels", "q_curation_funnel")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
