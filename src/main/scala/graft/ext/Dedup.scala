@@ -132,8 +132,8 @@ object DedupFunctions {
   private[ext] val lastSigs =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
-  /** q_ngram_novelty's exploded gram stream (swap-released, bounded
-    * at one copy across invocations — the lastSigs pattern). */
+  /** q_ngram_novelty's per-doc shingle-set frame (swap-released,
+    * bounded at one copy across invocations — the lastSigs pattern). */
   private[ext] val lastNoveltyGrams =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
@@ -420,9 +420,10 @@ object DedupQueries extends QueryModule {
     // five old documents is ~0% novel yet pairs with none of them.
     // Scale shape: grams shuffle ONCE keyed on the window (xxhash64
     // of it at 100 TB — string kept so the oracle replays verbatim);
-    // the min(doc_id) aggregation is partial (map-side combine), the
-    // join back reuses the gram partitioning, and the per-doc rollup
-    // is the only other shuffle. Nothing is ever pairwise.
+    // the min(doc_id) aggregation is partial (map-side combine), its
+    // winners re-aggregate as bare longs (no join back on the wide
+    // gram key), and the per-doc left join is the only other
+    // shuffle. Nothing is ever pairwise.
     "q_ngram_novelty" -> QueryDef(
       fn = (spark, dir) => {
         val n = 8
@@ -440,26 +441,31 @@ object DedupQueries extends QueryModule {
           .select((col("doc_id") + 900000).as("doc_id"), col("text"))
         val corpus = docs.select(col("doc_id"), col("text"))
           .unionByName(planted)
-        val windows = corpus.select(col("doc_id"),
-          graft.functions.ShingleSet.shingleSet(col("text"), n).as("ws"))
-        // the gram stream feeds the first-occurrence aggregation AND
-        // the join back AND (via windows) the per-doc totals — persist
-        // one (doc_id, n_windows, g) frame so the corpus text is
-        // scanned/shingled ONCE, not 3× (lastSigs swap-release: the
-        // previous invocation's copy is freed, cache stays bounded)
-        val grams = graft.ops.BuildOnce.swapPersist(lastNoveltyGrams,
-          windows.select(col("doc_id"),
-            size(col("ws")).cast("long").as("n_windows"),
-            explode(col("ws")).as("g")))
-        val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        // the shingle-set frame feeds the per-doc totals AND the
+        // exploded gram stream — persist it so the corpus text is
+        // scanned/shingled ONCE (lastSigs swap-release: the previous
+        // invocation's copy is freed, cache stays bounded)
+        val windows = graft.ops.BuildOnce.swapPersist(lastNoveltyGrams,
+          corpus.select(col("doc_id"),
+            graft.functions.ShingleSet.shingleSet(col("text"), n).as("ws")))
+        val grams = windows.select(col("doc_id"), explode(col("ws")).as("g"))
+        // each gram appears at most once per doc (ws is a set), so a
+        // doc's novel-gram count is exactly the number of grams whose
+        // min(doc_id) IS that doc — count the first-occurrence
+        // aggregate by its winner instead of joining the full gram
+        // stream back on the wide 8-word string key. One wide shuffle
+        // (groupBy g, map-side combined) instead of two, and the
+        // second shuffle carries only (first_doc) longs.
+        val novel = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_novel"))
         // every doc yields >= 1 window (ShingleSet emits one partial
-        // shingle for short texts), so the gram stream covers all
-        // docs and one rollup produces totals AND novel counts
-        grams.join(first, Seq("g"))
-          .groupBy("doc_id")
-          .agg(max("n_windows").as("n_windows"),
-            sum(when(col("doc_id") === col("first_doc"), 1L)
-              .otherwise(0L)).as("n_novel"))
+        // shingle for short texts) but may own no first occurrences —
+        // left join + coalesce mirrors the oracle's LEFT JOIN cnt
+        windows.select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_windows"))
+          .join(novel, Seq("doc_id"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
           .withColumn("novelty_frac",
             col("n_novel").cast("double") / col("n_windows").cast("double"))
           .withColumn("redundant", (col("novelty_frac") < 0.1).cast("long"))
