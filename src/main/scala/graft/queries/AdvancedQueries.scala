@@ -458,6 +458,81 @@ object AdvancedQueries extends QueryModule {
         |  END AS est_distinct
         |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
 
+    // ---- Count-Min sketch heavy-key estimation — the frequency
+    // sketch of the family (KMV counts distincts, Misra–Gries finds
+    // heavy hitters, CMS answers "how often?" for ANY key from d×w
+    // integers). Like q_kmv_distinct it is an APPROX structure that is
+    // nonetheless hash-checkable cross-engine: the d=4 row hashes are
+    // the shared 60-bit md5 construction keyed "i:key", so both
+    // engines build the identical 4×256 cell table and the estimate
+    // (min over the key's 4 cells) replays exactly. The exact
+    // per-key counts exist only to score the sketch (est ≥ exact
+    // always; the gap is the collision mass — CountMinSpec pins the
+    // one-sided guarantee).
+    // Scale shape: the sketch build is the whole point at 100 TB —
+    // the exploded (i, bucket) stream partial-aggregates to ≤ d·w =
+    // 1024 cells PER PARTITION before the exchange, so the shuffle
+    // carries ≤ 1024 rows per task regardless of corpus size (an
+    // exact per-key count shuffles the full key space instead).
+    // Estimation joins the 10 probe keys' 40 coordinates against the
+    // broadcast 1024-cell table. Sketches of disjoint corpora ADD
+    // cell-wise (linear), which is what makes CMS the mergeable
+    // per-shard summary.
+    "q_countmin_heavy" -> QueryDef(
+      fn = (spark, dir) => {
+        val d = 4
+        val w = 256L
+        val li = Tables(spark, dir, "lineitem").select(col("l_suppkey"))
+        def buckets(key: Column): Column = array((0 until d).map { i =>
+          struct(lit(i).as("i"),
+            pmod(conv(md5(concat(lit(s"$i:"), key.cast("string")))
+              .substr(1, 15), 16, 10).cast("long"), lit(w)).as("b"))
+        }: _*)
+        val cells = li.select(explode(buckets(col("l_suppkey"))).as("ib"))
+          .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        // the evaluation side: exact counts for the 10 heaviest keys
+        // (deterministic total order under ties) + their coordinates
+        val heavy = li.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("l_suppkey"))
+          .limit(10)
+        heavy
+          .select(col("l_suppkey").cast("long").as("suppkey"),
+            col("exact_cnt"),
+            explode(buckets(col("l_suppkey"))).as("ib"))
+          .select(col("suppkey"), col("exact_cnt"),
+            col("ib.i").as("i"), col("ib.b").as("b"))
+          .join(broadcast(cells), Seq("i", "b"))
+          .groupBy("suppkey", "exact_cnt")
+          .agg(min(col("c")).as("cms_est"))
+          .withColumn("overest", col("cms_est") - col("exact_cnt"))
+          .select("suppkey", "exact_cnt", "cms_est", "overest")
+          .orderBy(col("exact_cnt").desc, col("suppkey"))
+      },
+      oracle = Some("""
+        |WITH cells AS (
+        |  SELECT g.i,
+        |    CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+        |      CAST(l.l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l, (SELECT unnest(generate_series(0, 3)) AS i) g
+        |  GROUP BY 1, 2),
+        |heavy AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY exact_cnt DESC, l_suppkey LIMIT 10),
+        |coords AS (
+        |  SELECT CAST(h.l_suppkey AS BIGINT) AS suppkey, h.exact_cnt, g.i,
+        |    CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+        |      CAST(h.l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS b
+        |  FROM heavy h, (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |SELECT co.suppkey, co.exact_cnt, MIN(ce.c) AS cms_est,
+        |  MIN(ce.c) - co.exact_cnt AS overest
+        |FROM coords co JOIN cells ce ON co.i = ce.i AND co.b = ce.b
+        |GROUP BY co.suppkey, co.exact_cnt
+        |ORDER BY co.exact_cnt DESC, co.suppkey""".stripMargin)),
+
     // ---- Poisson bootstrap: B=16 replicate means of the order value
     // in ONE scan — the scalable bootstrap (each row draws a
     // Poisson(1) replication weight per replicate instead of the
