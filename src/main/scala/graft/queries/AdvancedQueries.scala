@@ -458,6 +458,91 @@ object AdvancedQueries extends QueryModule {
         |  END AS est_distinct
         |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
 
+    // ---- HyperLogLog distinct-count sketch, hash-checked — the
+    // cross-engine-deterministic twin of q_approx_aggs' engine-native
+    // HLL (the one surface entry no oracle can replay): registers
+    // derive from the shared 60-bit md5 hash (bucket = h mod 64,
+    // register = leading-zero rank of the remaining 54 bits via
+    // length(bin(x)) — a string op, not a log), the harmonic sum is
+    // EXACT scaled-integer arithmetic (Σ 2^(55-reg) as BIGINT — max
+    // 64·2^55 < 2^62, no double summation order-sensitivity), and the
+    // raw estimate α·m²·2^55 / S is a single literal-over-integer
+    // double division both engines compute bit-identically. Raw HLL
+    // only (no linear-counting small-range correction — that needs a
+    // transcendental ln; the registers and scaled sum ARE the sketch,
+    // and they are what merges cell-wise across shards).
+    // Scale shape: one partial-aggregated groupBy bounded at
+    // groups×64 register rows per partition; the 64-bucket spine is a
+    // generated literal dim, the exact side joins on the 3-row group
+    // key. Register tables of disjoint corpora merge by max — the
+    // mergeable-summary property, same as KMV/CMS.
+    "q_hll_distinct" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+        val h = conv(md5(col("o_custkey").cast("string")).substr(1, 15),
+          16, 10).cast("long")
+        val regs = orders
+          .select(col("o_orderstatus").as("status"), h.as("h"))
+          .select(col("status"), pmod(col("h"), lit(64L)).as("bucket"),
+            expr("h div 64").as("rem"))
+          .withColumn("rank",
+            when(col("rem") === 0L, lit(55L))
+              .otherwise(lit(55L) - length(bin(col("rem"))).cast("long")))
+          .groupBy("status", "bucket").agg(max(col("rank")).as("reg"))
+        // all 64 registers per group (absent bucket = register 0)
+        val spine = orders.select(col("o_orderstatus").as("status")).distinct()
+          .select(col("status"),
+            explode(sequence(lit(0L), lit(63L))).as("bucket"))
+        val sk = spine.join(regs, Seq("status", "bucket"), "left")
+          .withColumn("reg", coalesce(col("reg"), lit(0L)))
+          .groupBy("status")
+          .agg(sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("n_hit"),
+            max(col("reg")).as("max_reg"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))"))
+              .as("scaled_sum"))
+        val exact = orders.groupBy(col("o_orderstatus").as("status"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        // α·m²·2^55 (α=0.709, m=64) precomputed as ONE double literal —
+        // a 3-factor product would be decimal math in DuckDB (overflow)
+        // and the decimal→double rounding need not match IEEE products
+        sk.join(exact, "status")
+          .withColumn("est_raw",
+            lit(1.0462993238608057e20) / col("scaled_sum").cast("double"))
+          .select("status", "n_hit", "max_reg", "scaled_sum",
+            "exact_distinct", "est_raw")
+          .orderBy("status")
+      },
+      oracle = Some("""
+        |WITH hashed AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |regs AS (
+        |  SELECT status, h % 64 AS bucket,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END) AS reg
+        |  FROM hashed GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT s.status,
+        |    CAST(SUM(CASE WHEN COALESCE(r.reg, 0) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit,
+        |    CAST(MAX(COALESCE(r.reg, 0)) AS BIGINT) AS max_reg,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (55 - COALESCE(r.reg, 0)))
+        |      AS BIGINT) AS scaled_sum
+        |  FROM (SELECT DISTINCT o_orderstatus AS status, bucket
+        |        FROM orders,
+        |          (SELECT unnest(generate_series(0, 63)) AS bucket)) s
+        |  LEFT JOIN regs r ON s.status = r.status AND s.bucket = r.bucket
+        |  GROUP BY s.status),
+        |ex AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |  FROM orders GROUP BY 1)
+        |SELECT sk.status, n_hit, max_reg, scaled_sum, exact_distinct,
+        |  1.0462993238608057e20 / CAST(scaled_sum AS DOUBLE) AS est_raw
+        |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
+
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds
     // heavy hitters, CMS answers "how often?" for ANY key from d×w

@@ -49,4 +49,24 @@ class ApproxAggSpec extends SparkSpec {
       .as[(Double, Double, Double)].head()
     assert(approx50 >= p40 && approx50 <= p60, s"[$p40, $p60] vs $approx50")
   }
+
+  test("hll raw estimate within 4 standard errors; registers well-formed") {
+    // m=64 => relative standard error ~ 1.04/sqrt(64) = 13%; the raw
+    // estimator (no small-range correction) needs the count to be
+    // comfortably past m (it is: hundreds of distinct custkeys/group)
+    val rows = graft.SparkEntry.queries("q_hll_distinct")(spark, dir)
+      .select(col("n_hit"), col("max_reg"), col("scaled_sum"),
+        col("exact_distinct").cast("double"), col("est_raw"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (nHit, maxReg, scaledSum, exact, est) =>
+      assert(nHit >= 1L && nHit <= 64L)
+      assert(maxReg >= 1L && maxReg <= 55L)
+      // the scaled harmonic sum is bounded by its two extremes:
+      // all-zero registers (64·2^55) and the max-register floor
+      assert(scaledSum > 0L && scaledSum <= 64L * (1L << 55))
+      assert(math.abs(est - exact) / exact < 4.0 * 1.04 / 8.0,
+        s"exact=$exact est=$est")
+    }
+  }
 }
