@@ -618,6 +618,85 @@ object AdvancedQueries extends QueryModule {
         |GROUP BY co.suppkey, co.exact_cnt
         |ORDER BY co.exact_cnt DESC, co.suppkey""".stripMargin)),
 
+    // ---- Join-size estimation from two Count-Min sketches (the
+    // AMS/CMS inner-product estimator): |R ⋈ S on k| = Σ_k r_k·s_k,
+    // and min_i Σ_b cellR(i,b)·cellS(i,b) overestimates it by exactly
+    // the cross-key collision mass — the planner-style "how big would
+    // this join be" answer from two 1024-cell summaries, WITHOUT
+    // paying the join. Sketches reuse q_countmin_heavy's cross-engine
+    // construction, so the whole estimate replays in DuckDB. The
+    // exact side (the evaluation) is the per-key count join — the
+    // very cost the sketch avoids at scale: two corpus-sized
+    // partial-agg passes vs two ≤ d·w-row summaries that may already
+    // exist (SketchMaintenance keeps them fresh incrementally).
+    // WIDTH SIZING: expected collision mass is |R|·|S|/w, so unlike
+    // the point-query sketch (w=256 suffices — error there is N/w per
+    // key) the join estimator's width must scale with the COUNT
+    // PRODUCT: w=65536 puts the expected overestimate at ~23% of the
+    // true size here (measured 21% at sf0.1; w=256 measured 58×).
+    // 4×65536 cells is still ~2 MB — broadcast-class.
+    // Overflow bound: Σ_b cellR·cellS ≤ |R|·|S| must stay under 2^63
+    // — holds to ~3e9 rows a side; past that, scale the cells down.
+    "q_joinsize_sketch" -> QueryDef(
+      fn = (spark, dir) => {
+        val d = 4
+        val w = 65536L
+        def cells(df: DataFrame, key: Column): DataFrame =
+          df.select(explode(array((0 until d).map { i =>
+            struct(lit(i).as("i"),
+              pmod(conv(md5(concat(lit(s"$i:"), key.cast("string")))
+                .substr(1, 15), 16, 10).cast("long"), lit(w)).as("b"))
+          }: _*)).as("ib"))
+            .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+        val orders = Tables(spark, dir, "orders")
+        val events = Tables(spark, dir, "events")
+        val co = cells(orders, col("o_custkey"))
+          .select(col("i"), col("b"), col("c").as("co"))
+        val ce = cells(events, col("user_id"))
+          .select(col("i"), col("b"), col("c").as("ce"))
+        val est = co.join(ce, Seq("i", "b"))
+          .groupBy("i").agg(sum(col("co") * col("ce")).as("ip"))
+          .agg(min(col("ip")).as("est_size"))
+        val exact = orders.groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n_o"))
+          .join(events.groupBy(col("user_id").as("k"))
+            .agg(count(lit(1)).as("n_e")), "k")
+          .agg(coalesce(sum(col("n_o") * col("n_e")), lit(0L))
+            .as("exact_size"))
+        exact.crossJoin(est)
+          .withColumn("overest", col("est_size") - col("exact_size"))
+          .select("exact_size", "est_size", "overest")
+      },
+      oracle = Some("""
+        |WITH co AS (
+        |  SELECT g.i,
+        |    CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+        |      CAST(o.o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM orders o, (SELECT unnest(generate_series(0, 3)) AS i) g
+        |  GROUP BY 1, 2),
+        |ce AS (
+        |  SELECT g.i,
+        |    CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+        |      CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS ce
+        |  FROM events e, (SELECT unnest(generate_series(0, 3)) AS i) g
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT MIN(ip) AS est_size FROM (
+        |    SELECT co.i, CAST(SUM(co.co * ce.ce) AS BIGINT) AS ip
+        |    FROM co JOIN ce ON co.i = ce.i AND co.b = ce.b
+        |    GROUP BY co.i)),
+        |ex AS (
+        |  SELECT CAST(COALESCE(SUM(n_o * n_e), 0) AS BIGINT) AS exact_size
+        |  FROM (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_o
+        |        FROM orders GROUP BY 1) o
+        |  JOIN (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_e
+        |        FROM events GROUP BY 1) e USING (k))
+        |SELECT exact_size, est_size, est_size - exact_size AS overest
+        |FROM ex CROSS JOIN est""".stripMargin)),
+
     // ---- Poisson bootstrap: B=16 replicate means of the order value
     // in ONE scan — the scalable bootstrap (each row draws a
     // Poisson(1) replication weight per replicate instead of the

@@ -49,4 +49,18 @@ class CountMinSpec extends SparkSpec {
     // the deterministic CMS guarantee: estimates never undershoot
     assert(out.forall { case (_, ex, est, over) => est >= ex && over === est - ex })
   }
+
+  test("q_joinsize_sketch: one-sided, and collision mass near |R||S|/w") {
+    val Array((exact, est, over)) =
+      SparkEntry.queries("q_joinsize_sketch")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every true term r_k·s_k appears in each row's inner product, so
+    // the min never undershoots — the structural guarantee
+    assert(est >= exact && over === est - exact)
+    // expected collision mass is |R|·|S|/w; min-of-4 sits well under
+    // a few multiples of it (8x slack keeps the spec deterministic-ish)
+    val o = graft.Tables(spark, sf, "orders").count()
+    val e = graft.Tables(spark, sf, "events").count()
+    assert(over <= 8L * o * e / 65536L, s"over=$over bound=${8L * o * e / 65536L}")
+  }
 }
