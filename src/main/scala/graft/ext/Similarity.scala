@@ -922,6 +922,78 @@ object SimilarityQueries extends QueryModule {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       bench = true),
 
+    // ---- Matryoshka (prefix-dimension) retrieval agreement: rank by
+    // cosine over only the FIRST 16 of 64 dims and measure top-5
+    // overlap with the full-dimension ranking, per query. This is the
+    // MRL serving pattern — coarse search in the cheap prefix space
+    // (4× fewer multiplies, 4× smaller index bytes), full-dim math
+    // only on survivors — and the query IS its recall monitor: the
+    // driver testdata's embeddings are NOT matryoshka-trained, so the
+    // measured agreement is the honest floor, not a trained model's
+    // marketing number. Prefix-zero-norm vectors are excluded from
+    // the truncated ranking on BOTH sides (same contract as
+    // [[embFrame]]'s full-vector guard — a 0/0 cosine ranks
+    // differently across engines).
+    // Scale shape: two broadcast-queries×corpus streams, each
+    // heap-pruned to ≤5 rows/query/partition (TopKPerKey); the
+    // overlap count joins two ≤100-row frames. At index scale the
+    // prefix stream reads 16/64 of the vector bytes — that 4× scan
+    // saving is the whole point.
+    "q_ann_matryoshka" -> QueryDef(
+      fn = (spark, dir) => {
+        val p = 16
+        val emb = embFrame(spark, dir)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+        val fullTop = topKBySim(
+          broadcast(queries).join(corpus, col("n_id") =!= col("q_id"))
+            .withColumn("sim", cosine(col("q_v"), col("n_v"))), 5)
+          .select(col("q_id"), col("n_id"))
+        val truncTop = topKBySim(
+          broadcast(queries
+              .filter(dot(slice(col("q_v"), 1, p), slice(col("q_v"), 1, p)) > 0))
+            .join(corpus
+              .filter(dot(slice(col("n_v"), 1, p), slice(col("n_v"), 1, p)) > 0),
+              col("n_id") =!= col("q_id"))
+            .withColumn("sim",
+              cosine(slice(col("q_v"), 1, p), slice(col("n_v"), 1, p))), 5)
+          .select(col("q_id"), col("n_id"))
+        queries.select(col("q_id"))
+          .join(fullTop.join(truncTop, Seq("q_id", "n_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("n_common")),
+            Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .orderBy("q_id")
+      },
+      oracle = Some(embCte + s"""
+        |, full_top AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                         ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |    FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |trunc_top AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v[1:16]", "n.v[1:16]")} DESC,
+        |          n.vec_id) AS rank
+        |    FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id
+        |      AND list_inner_product(q.v[1:16], q.v[1:16]) > 0
+        |      AND list_inner_product(n.v[1:16], n.v[1:16]) > 0)
+        |  WHERE rank <= 5)
+        |SELECT q.vec_id AS q_id,
+        |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common
+        |FROM emb q LEFT JOIN (
+        |  SELECT f.q_id, COUNT(*) AS n_common
+        |  FROM full_top f JOIN trunc_top t
+        |    ON f.q_id = t.q_id AND f.n_id = t.n_id
+        |  GROUP BY f.q_id) c ON q.vec_id = c.q_id
+        |WHERE q.vec_id < 20 ORDER BY q_id""".stripMargin)),
+
     // ---- Filtered similarity search: top-k under a metadata
     // predicate (here: neighbors sharing the query's label — "find
     // similar items in MY category", the filter every production
