@@ -1200,41 +1200,104 @@ object TextQueries extends QueryModule {
     // no shuffle; the classifier costs exactly one corpus scan.
     "q_quality_classifier" -> QueryDef(
       fn = (spark, dir) => {
-        val toks = filter(wsTokens(col("text")), t => t =!= "")
-        val weight = (t: org.apache.spark.sql.Column) =>
-          conv(substring(md5(t.cast("binary")), 1, 3), 16, 10).cast("long") *
-            2654435761L % 1000003L - 501501L
         Tables(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
-              .as("score"))
+          .select(col("doc_id"), col("lang"), classifierScore.as("score"))
           .withColumn("kept", (col("score") > 0).cast("long"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         |SELECT doc_id, lang,
-        |  CAST(COALESCE(list_sum(list_transform(
-        |    list_transform(
-        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-        |      t -> md5(t)),
-        |    h -> ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-        |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))
-        |        * 2654435761 % 1000003 - 501501)), 0) AS BIGINT) AS score,
-        |  CAST(COALESCE(list_sum(list_transform(
-        |    list_transform(
-        |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-        |      t -> md5(t)),
-        |    h -> ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
-        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-        |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))
-        |        * 2654435761 % 1000003 - 501501)), 0) > 0 AS BIGINT) AS kept
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |  CAST($classifierScoreSql AS BIGINT) AS score,
+        |  CAST($classifierScoreSql > 0 AS BIGINT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Calibration report for the model filter: exact quintiles
+    // of the classifier-score distribution vs the HEURISTIC quality
+    // rule's keep rate per quintile — "do the two filter families
+    // agree, and is agreement monotone in model confidence?", the
+    // eval a pipeline runs before trusting a model filter to replace
+    // its heuristics. Monotone-increasing keep_bp across quintiles =
+    // calibrated alignment; a flat profile = the model ranks nothing
+    // the heuristic cares about. All counts exact BIGINTs; keep_bp
+    // uses the floor(n·10000 / d) integer-division convention; the
+    // quality≥0.5 comparison is safe cross-engine because both
+    // engines compute the identical double bits (q_text_quality is
+    // hash-matched). The exact `percentile` is safe here because the
+    // score domain is distinct-value bounded (≈ one value per doc)
+    // at harness scale — an unbounded production corpus would swap in
+    // approx_percentile and drop to a rows-only check (the
+    // q_length_deciles convention).
+    // Scale shape: ONE corpus scan computes both scores narrowly, the
+    // 4-boundary percentile row broadcasts back, and the report is a
+    // 5-row aggregate.
+    "q_quality_calibration" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), classifierScore.as("score"),
+            qualityScore(col("text"), wsTokens(col("text"))).as("quality"))
+        val bounds = docs.agg(percentile(col("score"),
+          array(Seq(0.2, 0.4, 0.6, 0.8).map(lit(_)): _*)).as("bs"))
+        docs.crossJoin(broadcast(bounds))
+          .withColumn("quintile", size(filter(col("bs"),
+            b => b <= col("score").cast("double"))).cast("long"))
+          .groupBy("quintile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
+              .as("n_heur_keep"))
+          .withColumn("keep_bp", expr("n_heur_keep * 10000 div n_docs"))
+          .select("quintile", "n_docs", "n_heur_keep", "keep_bp")
+          .orderBy("quintile")
+      },
+      oracle = Some(s"""
+        |WITH scored AS (
+        |  SELECT doc_id, CAST($classifierScoreSql AS BIGINT) AS score,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |    + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($stopList))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |    AS quality
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(score, [0.2, 0.4, 0.6, 0.8]) AS bs
+        |      FROM scored),
+        |binned AS (
+        |  SELECT s.quality,
+        |    len(list_filter(b.bs, x -> x <= CAST(s.score AS DOUBLE))) AS quintile
+        |  FROM scored s CROSS JOIN b)
+        |SELECT CAST(quintile AS BIGINT) AS quintile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_heur_keep,
+        |  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) * 10000
+        |    // COUNT(*) AS BIGINT) AS keep_bp
+        |FROM binned GROUP BY 1 ORDER BY quintile""".stripMargin))
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
     * idf does real work) + three common ones. */
   val bm25Terms: Seq[String] = Seq("dup", "spark", "window", "join")
+
+  /** The hashed-linear classifier score (exact BIGINT sum of
+    * per-token weights; see q_quality_classifier's header comment) —
+    * shared by the classifier and its calibration report so the
+    * model definition lives in ONE place. */
+  private def classifierScore: org.apache.spark.sql.Column = {
+    val toks = filter(wsTokens(col("text")), t => t =!= "")
+    val weight = (t: org.apache.spark.sql.Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 3), 16, 10).cast("long") *
+        2654435761L % 1000003L - 501501L
+    aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB mirror of [[classifierScore]] (the 3-hex-digit feature
+    * hash decoded by strpos — DuckDB conv() has no base argument). */
+  private val classifierScoreSql: String =
+    """COALESCE(list_sum(list_transform(
+      |    list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+      |      t -> md5(t)),
+      |    h -> ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))
+      |        * 2654435761 % 1000003 - 501501)), 0)""".stripMargin
 
   /** Build-once memo for the materialized inverted index (one per
     * dataset dir) — bounded like the ANN training memos. Orphaned temp
