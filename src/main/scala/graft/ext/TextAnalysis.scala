@@ -1232,9 +1232,13 @@ object TextQueries extends QueryModule {
     // 5-row aggregate.
     "q_quality_calibration" -> QueryDef(
       fn = (spark, dir) => {
-        val docs = Tables(spark, dir, "documents")
-          .select(col("doc_id"), classifierScore.as("score"),
-            qualityScore(col("text"), wsTokens(col("text"))).as("quality"))
+        // the scored frame feeds BOTH the percentile boundaries and
+        // the binning pass — persist it (swap-release, one live copy)
+        // so the text is scanned and token-scored ONCE, not twice
+        val docs = graft.ops.BuildOnce.swapPersist(lastCalibScores,
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), classifierScore.as("score"),
+              qualityScore(col("text"), wsTokens(col("text"))).as("quality")))
         val bounds = docs.agg(percentile(col("score"),
           array(Seq(0.2, 0.4, 0.6, 0.8).map(lit(_)): _*)).as("bs"))
         docs.crossJoin(broadcast(bounds))
@@ -1274,6 +1278,13 @@ object TextQueries extends QueryModule {
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
     * idf does real work) + three common ones. */
   val bm25Terms: Seq[String] = Seq("dup", "spark", "window", "join")
+
+  /** q_quality_calibration's scored-doc frame (doc_id, score,
+    * quality) — swap-released, bounded at one copy across
+    * invocations (the Dedup.lastSigs pattern). */
+  private val lastCalibScores =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame]()
 
   /** The hashed-linear classifier score (exact BIGINT sum of
     * per-token weights; see q_quality_classifier's header comment) —

@@ -30,11 +30,19 @@ class PartitionInvarianceSpec extends SparkSpec {
   // ... and the late-round composites: cluster labels (persisted
   // count frame + TopKPerKey heaps + integer lift) and the curation
   // funnel (per-doc flags from three independent id-frame joins)
+  // ... and the sketch wave: CMS cells / HLL registers are built by
+  // commutative integer max/count aggregations (partition order must
+  // not leak into any cell), the join-size inner product sums exact
+  // integers, and the calibration report's percentile boundaries +
+  // double quality threshold must select identical rows at any
+  // partitioning
   private val names = Seq("q_pricing_summary", "q_weather_trend",
     "q_bm25", "q_weighted_avg_udaf", "q_ann_pq", "q_table_checksum",
     "q_rfm_segments", "q_char_diversity", "q_sweepline_concurrency",
     "q_exact_median", "q_label_prop", "q_modularity",
-    "q_cluster_labels", "q_curation_funnel")
+    "q_cluster_labels", "q_curation_funnel",
+    "q_countmin_heavy", "q_hll_distinct", "q_joinsize_sketch",
+    "q_quality_calibration")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")

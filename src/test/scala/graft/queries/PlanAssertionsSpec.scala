@@ -228,8 +228,48 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("q_ngram_novelty: gram stream built once and reused from cache") {
     val p = plan("q_ngram_novelty")
-    // both consumers (first-occurrence agg + join back) read the
-    // persisted gram frame instead of re-shingling the corpus
+    // both consumers (first-occurrence chain + per-doc totals) read
+    // the persisted shingle-set frame instead of re-shingling
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_countmin_heavy: probe coordinates hash-join the broadcast cells") {
+    val p = plan("q_countmin_heavy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_hll_distinct: register/exact joins are equi, no cartesian") {
+    val p = plan("q_hll_distinct")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_joinsize_sketch: cell tables equi-join; only 1-row frames cross") {
+    val p = plan("q_joinsize_sketch")
+    // the single-row exact × est combine is the only nested-loop; the
+    // cell inner product must be an equi hash join
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_matryoshka: corpus never shuffled before either ranking") {
+    val p = plan("q_ann_matryoshka")
+    // both score streams join broadcast queries against the corpus
+    // scan (non-equi ⇒ nested-loop over the broadcast side is the
+    // scale-correct shape, as in q_ann_cosine_topk)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quality_calibration: scored frame built once; boundaries broadcast") {
+    val p = plan("q_quality_calibration")
+    // the 4-boundary percentile row re-attaches as a broadcast, and
+    // both consumers (boundary agg + binning) read the persisted
+    // scored frame — the text is scanned and token-scored ONCE
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
