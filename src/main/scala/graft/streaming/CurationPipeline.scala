@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.Fs
 
-/** The composed streaming curation DAG — the four spec-tested stages
+/** The composed streaming curation DAG — the five spec-tested stages
   * wired into ONE per-micro-batch pipeline:
   *
   *   ingest ([[CurationIngest]]: score + language agreement + exact
@@ -15,6 +15,9 @@ import graft.ops.Fs
   *       the accumulated signature index)
   *       → rollup maintenance ([[RollupMaintenance.mergeDelta]]:
   *         per-(hour, lang) curation metrics, batch-stamped)
+  *         → frequency-sketch maintenance ([[SketchMaintenance]]:
+  *           the per-source CMS the admission throttle probes,
+  *           batch-stamped)
   *         → atomic publish ([[graft.sources.AtomicSink]]: staged
   *           task writes, driver commit, `_SUCCESS` manifest last).
   *
@@ -30,6 +33,10 @@ import graft.ops.Fs
   *     carrying this batch's stamp passes through unmerged
   *     (RollupMaintenance.mergeDelta), and the FIRST batch creates the
   *     store stamped with its own id for the same reason;
+  *   - frequency sketch: the identical stamp guard on the dense CMS
+  *     store (SketchMaintenance.mergeDelta) — a replayed fold is a
+  *     rewrite-unchanged, so streamed-through-crashes cells stay
+  *     bit-identical to a batch-built sketch over the admitted set;
   *   - publish: per-batch target dir, PRE-CLEANED then re-published
   *     through the staged-commit sink — readers gate on the `_SUCCESS`
   *     manifest, which is written last, so a reader never sees a
@@ -53,6 +60,7 @@ object CurationPipeline {
     val ledger = s"$base/ledger"
     val nearDupIndex = s"$base/nd_index"
     val rollup = s"$base/rollup"
+    val sketch = s"$base/cms"
     val publish = s"$base/publish"
     val checkpoint = s"$base/__checkpoint"
   }
@@ -109,7 +117,26 @@ object CurationPipeline {
       else
         RollupMaintenance.mergeDelta(spark, dirs.rollup, events, s"b$batchId")
 
-      // stage 4 — atomic publish: batch-keyed dir, pre-cleaned so a
+      // stage 4 — frequency sketch: fold the admitted docs' source
+      // keys into the CMS store ([[SketchMaintenance]] — the
+      // per-domain admission-throttle/cap service a curation loop
+      // probes). CMS linearity makes maintenance per-batch-local (no
+      // history rescan); the same `last_batch` stamp guard as the
+      // rollup makes a replayed epoch rewrite the store UNCHANGED
+      // instead of double-folding. The dense store always commits
+      // data files (1024 rows even from an all-filtered batch), so
+      // the bootstrap-vs-merge dispatch has no dataless-dir hazard —
+      // but the first build must still stamp the REAL batch id, or a
+      // crash-after-build retry would merge the same cells again.
+      val admittedSrc = admitted.join(batch.select("doc_id", "source"), "doc_id")
+      if (!Fs.hasCommittedParquet(new java.io.File(dirs.sketch)))
+        SketchMaintenance.build(admittedSrc, col("source"), dirs.sketch,
+          stamp = s"b$batchId")
+      else
+        SketchMaintenance.mergeDelta(spark, dirs.sketch, admittedSrc,
+          col("source"), s"b$batchId")
+
+      // stage 5 — atomic publish: batch-keyed dir, pre-cleaned so a
       // replay REPLACES a previously-committed copy instead of adding
       // files beside it; the sink stages per-task and manifests last
       val target = s"${dirs.publish}/batch_id=$batchId"

@@ -24,12 +24,45 @@ class CurationPipelineSpec extends SparkSpec {
   private val famC = fam("the old library keeps many ancient books on long wooden shelves and the patient readers enjoy the quiet rooms during every afternoon")
   private val famD = fam("fresh bread bakes slowly in the warm stone oven while the busy cook prepares a rich soup for the hungry guests there tonight")
   private val famE = fam("seven silver boats sail across the calm blue harbor as the evening light fades behind the distant hills and the crews wave home")
+  private val famF = fam("tall mountain paths wind slowly upward through pine forests where cool winds carry the scent of rain and hikers pause to watch eagles")
   private def perturb(t: String) = t.split(" ").updated(5, "CHANGED").mkString(" ")
 
+  // source varies by doc parity so the per-source CMS stage has a
+  // non-degenerate key space to count
   private def docs(rows: (Long, String)*) =
     rows.toSeq.toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
-        lit("src").as("source"), length(col("text")).as("n_chars"))
+        concat(lit("s"), (col("doc_id") % 2).cast("string")).as("source"),
+        length(col("text")).as("n_chars"))
+
+  /** The streamed-through-crashes CMS store must be cell-for-cell
+    * identical to a sketch batch-built over exactly the admitted docs
+    * (linearity + exactly-once folding), and its probe estimates must
+    * equal the exact per-source counts on this tiny key space. */
+  private def assertSketchConverged(dirs: CurationPipeline.Dirs,
+      admitted: Set[Long]): Unit = {
+    val expectFrame = admitted.toSeq.sorted
+      .toDF("doc_id")
+      .select(concat(lit("s"), (col("doc_id") % 2).cast("string")).as("source"))
+    val refDir = Files.createTempDirectory("cms_ref").toString
+    SketchMaintenance.build(expectFrame, col("source"), refDir)
+    val streamed = spark.read.parquet(dirs.sketch).select("i", "b", "c")
+    val ref = spark.read.parquet(refDir)
+      .select(col("i"), col("b"), col("c").as("c_ref"))
+    assert(streamed.count() === 1024L)
+    val mismatches = streamed.join(ref, Seq("i", "b"), "full")
+      .filter(col("c").isNull || col("c_ref").isNull || col("c") =!= col("c_ref"))
+      .count()
+    assert(mismatches === 0L, "streamed CMS cells differ from batch-built")
+    // probe path: estimates equal exact counts (deterministic hashes,
+    // 2 keys in 4×256 cells — no saturating collisions)
+    val exact = admitted.toSeq.groupBy(_ % 2).map { case (p, ds) =>
+      (s"s$p", ds.size.toLong) }
+    val est = SketchMaintenance.probe(spark, dirs.sketch,
+      exact.keys.toSeq.toDF("k"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact, s"probe $est vs exact $exact")
+  }
 
   private def publishedIds(publishDir: String): Seq[Long] = {
     val dirs = Option(new java.io.File(publishDir).listFiles()).toSeq.flatten
@@ -88,6 +121,9 @@ class CurationPipelineSpec extends SparkSpec {
       .filter(col("doc_id").isin(expected.toSeq: _*))
       .agg(sum(col("quality").cast("decimal(12,2)"))).head().getDecimal(0)
     assert(rollup.getDecimal(1) === quality, s"$rollup vs $quality")
+
+    // the CMS store survived the restart with exactly-once folds
+    assertSketchConverged(dirs, expected)
   }
 
   test("an all-filtered FIRST batch leaves a bootstrappable rollup store") {
@@ -108,6 +144,10 @@ class CurationPipelineSpec extends SparkSpec {
     val rollup = spark.read.parquet(dirs.rollup)
       .agg(sum("n_events")).head()
     assert(rollup.getLong(0) === 1L, rollup)
+    // the all-filtered batch 0 built the all-zero sketch (1024
+    // committed rows — no dataless-dir hazard); batch 1 and its
+    // retry folded doc 3 exactly once
+    assertSketchConverged(dirs, Set(3L))
   }
 
   test("a crash at EVERY inter-stage boundary converges on retry") {
@@ -148,8 +188,26 @@ class CurationPipelineSpec extends SparkSpec {
     RollupMaintenance.mergeDelta(spark, dirs.rollup, events3, "b3")
     CurationPipeline.processBatch(spark, b3, dirs, 3L) // retry
 
+    // batch 4 — crash AFTER stage 4 (CMS sketch already folded with
+    // this batch's stamp, publish missing): the retry must rewrite
+    // the sketch UNCHANGED (stamp guard) and produce only the publish
+    val b4 = docs((8L, famF))
+    CurationIngest.processBatch(spark, b4, dirs.curated, dirs.ledger, 4L)
+    val admitted4 = IncrementalNearDup.processBatch(spark,
+      survivorsWithText(b4, 4L).select("doc_id", "text"), dirs.nearDupIndex, 4L)
+    val events4 = survivorsWithText(b4, 4L)
+      .join(admitted4, Seq("doc_id"), "left_semi")
+      .select(to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") * 60)).as("ts"),
+        col("lang").as("event_type"), col("quality").cast("double").as("value"))
+    RollupMaintenance.mergeDelta(spark, dirs.rollup, events4, "b4")
+    SketchMaintenance.mergeDelta(spark, dirs.sketch,
+      survivorsWithText(b4, 4L).join(admitted4, Seq("doc_id"), "left_semi")
+        .join(b4.select("doc_id", "source"), "doc_id"),
+      col("source"), "b4")
+    CurationPipeline.processBatch(spark, b4, dirs, 4L) // retry
+
     // converged state == the crash-free outcome
-    val expected = Set(1L, 2L, 4L, 6L, 7L)
+    val expected = Set(1L, 2L, 4L, 6L, 7L, 8L)
     val published = publishedIds(dirs.publish)
     assert(published.length === published.distinct.length,
       s"duplicate publishes: $published")
@@ -161,11 +219,15 @@ class CurationPipelineSpec extends SparkSpec {
     val rollup = spark.read.parquet(dirs.rollup)
       .agg(sum("n_events"), sum(col("total_value").cast("decimal(12,2)")))
       .head()
-    assert(rollup.getLong(0) === 5L, rollup)
+    assert(rollup.getLong(0) === 6L, rollup)
     val quality = spark.read.option("basePath", dirs.curated)
       .parquet(dirs.curated)
       .filter(col("doc_id").isin(expected.toSeq: _*))
       .agg(sum(col("quality").cast("decimal(12,2)"))).head().getDecimal(0)
     assert(rollup.getDecimal(1) === quality, s"$rollup vs $quality")
+
+    // the sketch through every crash schedule (incl. the batch-4
+    // crash-after-fold) == one batch-built sketch of the admitted set
+    assertSketchConverged(dirs, expected)
   }
 }
