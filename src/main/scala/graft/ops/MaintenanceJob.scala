@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the idle-window table maintenance a
+  * micro-batch writer accretes: small-file compaction
+  * ([[Compaction.compact]] — crash-safe rename swap, aborts cleanly
+  * if a concurrent writer appended) followed by a statistics refresh
+  * ([[TableStats.write]] — the one-pass column stats the stats-gated
+  * broadcast planner reads). Scheduled DOWNSTREAM of the writer task
+  * in the same Airflow slot (`airflow/graft_curation_dag.py`), which
+  * is exactly the single-writer window Compaction's contract asks
+  * for.
+  *
+  * Usage: MaintenanceJob <dir> [targetMB]
+  */
+object MaintenanceJob {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MaintenanceJob <dir> [targetMB]")
+    val targetBytes =
+      (if (args.length > 1) args(1).toLong else 128L) * 1024L * 1024L
+    val spark = SparkSession.builder()
+      .appName("graft-maintenance")
+      .getOrCreate()
+    val stats = run(spark, args(0), targetBytes)
+    println(s"""{"data_files":${stats("data_files")},""" +
+      s""""rows":${stats("rows")},"dir":"${args(0)}"}""")
+    spark.stop()
+  }
+
+  /** Library entry. Stats land beside the table at `<dir>-__stats`
+    * (the layout [[TableStats.statsJoin]] consumers read). */
+  def run(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, Long] = {
+    val files = Compaction.compact(spark, dir, targetBytes)
+    TableStats.write(spark.read.parquet(dir), s"$dir-__stats")
+    val rows = TableStats.rowCount(TableStats.read(spark, s"$dir-__stats"))
+    Map("data_files" -> files.toLong, "rows" -> rows)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.CurationPipeline
+
+/** spark-submit entry point for the composed curation DAG
+  * ([[CurationPipeline]]: ingest → near-dup admission → rollup →
+  * CMS maintenance → atomic publish) — the LLM-data twin of
+  * [[EtlJob]], scheduled by `airflow/graft_curation_dag.py` on the
+  * same cadence pattern as the reference's 5-minute micro-batch.
+  * AvailableNow + checkpoint: each scheduled run drains the files
+  * that arrived since the last run and exits; a rerun of a failed
+  * slot resumes at the first uncommitted epoch and replays it
+  * through the pipeline's idempotent stages.
+  *
+  * Usage: CurationJob <sourceDir> <baseDir> [tau]
+  */
+object CurationJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurationJob <sourceDir> <baseDir> [tau]")
+    val tau = if (args.length > 2) args(2).toDouble else 0.5
+    val spark = SparkSession.builder()
+      .appName("graft-curation")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val stats = run(spark, args(0), args(1), tau)
+    println(s"""{"published_batches":${stats("published_batches")},""" +
+      s""""admitted_docs":${stats("admitted_docs")},"base":"${args(1)}"}""")
+    spark.stop()
+  }
+
+  /** Library entry (testable without spark-submit). Returns the
+    * durable outcome counts, read back from the stores the pipeline
+    * committed — not from in-flight state — so a caller sees exactly
+    * what a downstream reader sees. */
+  def run(spark: SparkSession, sourceDir: String, baseDir: String,
+      tau: Double = 0.5): Map[String, Long] = {
+    val dirs = CurationPipeline.Dirs(baseDir)
+    CurationPipeline.start(spark, sourceDir, dirs, tau).awaitTermination()
+    val publishedBatches = Option(new java.io.File(dirs.publish).listFiles())
+      .toSeq.flatten
+      .count(d => d.isDirectory && d.getName.startsWith("batch_id=") &&
+        new java.io.File(d, "_SUCCESS").exists())
+    val admitted =
+      if (graft.ops.Fs.hasCommittedParquet(
+          new java.io.File(s"${dirs.nearDupIndex}/sigs")))
+        spark.read.option("basePath", s"${dirs.nearDupIndex}/sigs")
+          .parquet(s"${dirs.nearDupIndex}/sigs").count()
+      else 0L
+    Map("published_batches" -> publishedBatches.toLong,
+      "admitted_docs" -> admitted)
+  }
+}

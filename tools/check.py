@@ -19,30 +19,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 import os
 
-DAG_FILE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "airflow", "weatherflow_spark_dag.py")
+DAG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "airflow")
+
+# every deployment artifact and the dag_id it must declare
+EXPECTED_DAGS = {
+    "weatherflow_spark_dag.py": "weatherflow_spark_etl",
+    "graft_curation_dag.py": "graft_curation",
+}
 
 
 def check_dag():
-    """Validate the Airflow deployment artifact without an Airflow
-    runtime: byte-compile it (syntax), then EXECUTE it against a stub
+    """Validate the Airflow deployment artifacts without an Airflow
+    runtime: byte-compile each (syntax), then EXECUTE it against a stub
     `airflow` module tree (catches NameErrors, bad imports, and
     operator-kwarg drift at module level — the failures a py_compile
     alone would miss)."""
+    import glob
     import py_compile
     import types
 
     captured = {}
 
     class _Stub:
-        # accepts any constructor/kwargs, supports `with` blocks
+        # accepts any constructor/kwargs, supports `with` blocks and
+        # `a >> b` dependency chaining
         def __init__(self, *a, **kw):
             captured.setdefault(type(self).__name__, []).append(kw)
         def __enter__(self):
             return self
         def __exit__(self, *a):
             return False
+        def __rshift__(self, other):
+            return other
+        def __lshift__(self, other):
+            return other
 
     mods = {
         "airflow": {"DAG": type("DAG", (_Stub,), {})},
@@ -55,26 +66,39 @@ def check_dag():
     }
     saved = {k: sys.modules.get(k) for k in mods}
     try:
-        # inside the try: a syntax error (the exact failure class this
-        # check exists to catch) must FAIL the check, not crash main
-        py_compile.compile(DAG_FILE, doraise=True)
+        # every airflow/*.py must be a declared, validated artifact —
+        # a stray file would deploy an unreviewed DAG
+        files = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(DAG_DIR, "*.py")))
+        assert files == sorted(EXPECTED_DAGS), \
+            f"airflow/ files {files} != expected {sorted(EXPECTED_DAGS)}"
         for name, attrs in mods.items():
             m = types.ModuleType(name)
             for k, v in attrs.items():
                 setattr(m, k, v)
             sys.modules[name] = m
-        ns = {"__name__": "weatherflow_spark_dag", "__file__": DAG_FILE}
-        with open(DAG_FILE) as f:
-            exec(compile(f.read(), DAG_FILE, "exec"), ns)
-        # the module must actually declare the DAG and its task(s) —
-        # EVERY constructed operator is validated, not just the last
-        assert "DAG" in captured, "DAG never constructed"
-        assert any(d.get("dag_id") == "weatherflow_spark_etl"
-                   for d in captured["DAG"]), captured
-        assert "SparkSubmitOperator" in captured, "no SparkSubmitOperator task"
-        for op in captured["SparkSubmitOperator"]:
-            assert op.get("java_class", "").startswith("graft."), op
-        print("PASS airflow_dag (parses + declares DAG/task against stubbed providers)")
+        for fname, dag_id in EXPECTED_DAGS.items():
+            captured.clear()
+            path = os.path.join(DAG_DIR, fname)
+            # inside the try: a syntax error (the exact failure class
+            # this check exists to catch) must FAIL the check, not
+            # crash main
+            py_compile.compile(path, doraise=True)
+            ns = {"__name__": fname[:-3], "__file__": path}
+            with open(path) as f:
+                exec(compile(f.read(), path, "exec"), ns)
+            # the module must actually declare the DAG and its task(s)
+            # — EVERY constructed operator is validated, not just the
+            # last
+            assert "DAG" in captured, f"{fname}: DAG never constructed"
+            assert any(d.get("dag_id") == dag_id
+                       for d in captured["DAG"]), (fname, captured)
+            assert "SparkSubmitOperator" in captured, \
+                f"{fname}: no SparkSubmitOperator task"
+            for op in captured["SparkSubmitOperator"]:
+                assert op.get("java_class", "").startswith("graft."), op
+        print(f"PASS airflow_dag ({len(EXPECTED_DAGS)} DAG files parse + "
+              "declare DAG/tasks against stubbed providers)")
         return True
     except Exception as e:
         print(f"FAIL airflow_dag: {e}")
