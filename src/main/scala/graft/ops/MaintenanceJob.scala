@@ -19,8 +19,10 @@ object MaintenanceJob {
     require(args.nonEmpty, "usage: MaintenanceJob <dir> [targetMB]")
     val targetBytes =
       (if (args.length > 1) args(1).toLong else 128L) * 1024L * 1024L
-    val spark = SparkSession.builder()
-      .appName("graft-maintenance")
+    // spark-submit provides spark.master; default to local otherwise
+    val b = SparkSession.builder().appName("graft-maintenance")
+    val spark = (if (sys.props.contains("spark.master")) b
+      else b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     val stats = run(spark, args(0), targetBytes)
     println(s"""{"data_files":${stats("data_files")},""" +

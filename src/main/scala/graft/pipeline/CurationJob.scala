@@ -20,9 +20,14 @@ object CurationJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CurationJob <sourceDir> <baseDir> [tau]")
     val tau = if (args.length > 2) args(2).toDouble else 0.5
-    val spark = SparkSession.builder()
+    // spark-submit provides spark.master; default to local otherwise
+    // so the job also runs bare (harness, ad-hoc reprocessing)
+    val b = SparkSession.builder()
       .appName("graft-curation")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", 32)
+    val spark = (if (sys.props.contains("spark.master")) b
+      else b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     val stats = run(spark, args(0), args(1), tau)
     println(s"""{"published_batches":${stats("published_batches")},""" +
