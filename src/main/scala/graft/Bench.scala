@@ -41,6 +41,23 @@ object Bench {
     }
     spark.catalog.clearCache() // drop warmup persists
 
+    // shuffle-volume diagnostics per query (ops/MetricsListener — the
+    // production observability hook): listener events arrive async,
+    // so drain until the count stops moving before reading a query's
+    // slice. Diagnostics land in a SIDE file + stderr only — the
+    // driver's stdout contract stays exactly one JSON line.
+    val ml = graft.ops.MetricsListener.attach(spark)
+    def drainedSnapshot(): Seq[ml.QueryMetrics] = {
+      var prev = -1
+      var cur = ml.snapshot.size
+      val deadline = System.currentTimeMillis() + 5000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(100); cur = ml.snapshot.size
+      }
+      ml.snapshot
+    }
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+
     val results = SparkEntry.benchQueries.map { name =>
       // one untimed pass at the TARGET dir first: the sf0.001 warmup
       // covers JIT/codegen but not the target-scale page cache, AQE
@@ -56,6 +73,7 @@ object Bench {
         System.err.println(s"[bench] target warm $name: $e")
       }
       spark.catalog.clearCache()
+      drainedSnapshot(); ml.clear() // timed runs only in the slice
       // min of 5 runs: on shared hardware single runs vary +-25%
       // from scheduler noise (observed run-to-run on the heavier
       // joins), and even min-of-3 left sub-second queries swinging
@@ -76,8 +94,19 @@ object Bench {
         (ok, t)
       }
       val dt = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
+      // avg shuffle bytes per timed run (a query may fire several
+      // actions internally — persists, exports — all of them ARE the
+      // query's cost, so sum the slice and divide by runs)
+      shuffleBytes(name) = drainedSnapshot().map(_.shuffleBytesWritten).sum / 5
       name -> dt
     }
+    val sj = shuffleBytes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench] shuffle bytes/run: $sj")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")),
+      (s"""{"shuffle_bytes_per_run":$sj}""" + "\n").getBytes("UTF-8"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
