@@ -307,6 +307,78 @@ object AnalyticsQueries extends QueryModule {
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- ROLLING DISTINCT COUNT (the WAU/MAU curve): customers with
+    // >= 1 order in the trailing 28 days, for EVERY day of the span.
+    // No engine evaluates COUNT(DISTINCT) over a sliding frame
+    // scalably — the naive fan-out replicates each active day W times
+    // (and a per-day correlated subquery is |days|x|orders|). The
+    // scale formulation here is interval coverage: a customer covers
+    // day d iff their LAST active day on-or-before d is within W-1
+    // days, so per (cust, active-day) the covered days form the
+    // interval [day, min(day+W-1, next_active-1)] — disjoint per
+    // customer BY CONSTRUCTION (next interval starts at next_active),
+    // so membership needs no second dedup and the interval stream is
+    // O(distinct pairs) REGARDLESS of window length (a 365-day MAU
+    // costs the same as 7-day). Intervals then become +-1 endpoint
+    // events -> per-day rollup with map-side partials -> prefix sum
+    // over the BOUNDED date dimension (the q_sweepline_concurrency
+    // two-level shape; the only sequential step). Exchanges: the pair
+    // distinct + the per-cust lead window share ONE shuffle on cust?
+    // No — distinct shuffles on (cust, day), lead on cust: two
+    // corpus-sized exchanges total, then day-sized frames. Integer
+    // counts end-to-end => hash-exact. Oracle = the W-times fan-out
+    // brute force, an INDEPENDENT construction (coverage-by-
+    // replication vs coverage-by-interval), so the hash gate is the
+    // disjointness proof.
+    "q_rolling_wau" -> QueryDef(
+      fn = (spark, dir) => {
+        val W = 28
+        val pairs = Tables(spark, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            to_date(col("o_orderdate")).as("day"))
+          .distinct()
+        val byCust = Window.partitionBy("cust").orderBy("day")
+        val iv = pairs
+          .withColumn("nxt", lead(col("day"), 1).over(byCust))
+          .select(col("day").as("d0"),
+            least(date_add(col("day"), W - 1),
+              coalesce(date_sub(col("nxt"), 1),
+                date_add(col("day"), W - 1))).as("d1"))
+        // both endpoint events from ONE pass (sweepline precedent)
+        val deltas = iv.select(explode(array(
+            struct(col("d0").as("d"), lit(1L).as("delta")),
+            struct(date_add(col("d1"), 1).as("d"), lit(-1L).as("delta"))))
+            .as("e"))
+          .select(col("e.d").as("d"), col("e.delta").as("delta"))
+        val daily = deltas.groupBy("d").agg(sum("delta").as("net"))
+        val spine = pairs.agg(min("day").as("dmin"), max("day").as("dmax"))
+          .select(explode(expr("sequence(dmin, dmax, interval 1 day)"))
+            .as("d"))
+        val w = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("d"), "left")
+          .withColumn("net", coalesce(col("net"), lit(0L)))
+          .withColumn("active_28d", sum("net").over(w))
+          .select(col("d"), col("active_28d"))
+          .orderBy("d")
+      },
+      oracle = Some("""
+        |WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |cover AS (
+        |  SELECT DISTINCT cust, day + CAST(g.i AS INTEGER) AS d
+        |  FROM pairs, (SELECT unnest(generate_series(0, 27)) AS i) g),
+        |per_day AS (SELECT d, COUNT(*) AS n FROM cover GROUP BY d),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    (SELECT MIN(day) FROM pairs),
+        |    (SELECT MAX(day) FROM pairs), INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT s.d, CAST(COALESCE(p.n, 0) AS BIGINT) AS active_28d
+        |FROM spine s LEFT JOIN per_day p ON s.d = p.d
+        |ORDER BY s.d""".stripMargin)),
+
     // ---- TABLE CHECKSUM: order-independent per-table fingerprint —
     // bit_xor over a 60-bit cross-engine row hash (md5 hex prefix,
     // the q_kmv_distinct construction) plus the row count. This is
