@@ -307,7 +307,8 @@ object AnalyticsQueries extends QueryModule {
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin)),
 
-    // ---- ROLLING DISTINCT COUNT (the WAU/MAU curve): customers with
+    // ---- ROLLING DISTINCT COUNT (the WAU/MAU curve), served by the
+    // [[graft.ops.RollingDistinct]] operator: customers with
     // >= 1 order in the trailing 28 days, for EVERY day of the span.
     // No engine evaluates COUNT(DISTINCT) over a sliding frame
     // scalably — the naive fan-out replicates each active day W times
@@ -332,34 +333,11 @@ object AnalyticsQueries extends QueryModule {
     // disjointness proof.
     "q_rolling_wau" -> QueryDef(
       fn = (spark, dir) => {
-        val W = 28
-        val pairs = Tables(spark, dir, "orders")
-          .select(col("o_custkey").as("cust"),
-            to_date(col("o_orderdate")).as("day"))
-          .distinct()
-        val byCust = Window.partitionBy("cust").orderBy("day")
-        val iv = pairs
-          .withColumn("nxt", lead(col("day"), 1).over(byCust))
-          .select(col("day").as("d0"),
-            least(date_add(col("day"), W - 1),
-              coalesce(date_sub(col("nxt"), 1),
-                date_add(col("day"), W - 1))).as("d1"))
-        // both endpoint events from ONE pass (sweepline precedent)
-        val deltas = iv.select(explode(array(
-            struct(col("d0").as("d"), lit(1L).as("delta")),
-            struct(date_add(col("d1"), 1).as("d"), lit(-1L).as("delta"))))
-            .as("e"))
-          .select(col("e.d").as("d"), col("e.delta").as("delta"))
-        val daily = deltas.groupBy("d").agg(sum("delta").as("net"))
-        val spine = pairs.agg(min("day").as("dmin"), max("day").as("dmax"))
-          .select(explode(expr("sequence(dmin, dmax, interval 1 day)"))
-            .as("d"))
-        val w = Window.orderBy("d")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(daily, Seq("d"), "left")
-          .withColumn("net", coalesce(col("net"), lit(0L)))
-          .withColumn("active_28d", sum("net").over(w))
-          .select(col("d"), col("active_28d"))
+        graft.ops.RollingDistinct.activeCount(
+            Tables(spark, dir, "orders"),
+            key = col("o_custkey"), day = to_date(col("o_orderdate")),
+            window = 28)
+          .select(col("d"), col("active").as("active_28d"))
           .orderBy("d")
       },
       oracle = Some("""

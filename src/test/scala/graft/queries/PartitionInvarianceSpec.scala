@@ -42,7 +42,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_exact_median", "q_label_prop", "q_modularity",
     "q_cluster_labels", "q_curation_funnel",
     "q_countmin_heavy", "q_hll_distinct", "q_joinsize_sketch",
-    "q_quality_calibration")
+    "q_quality_calibration",
+    // rolling distinct: the lead-window interval construction + the
+    // endpoint rollup both shuffle; coverage counts are integers but
+    // the interval DERIVATION must not see partition order
+    "q_rolling_wau")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
