@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * step rides a frame whose size is the calendar, not the corpus).
   *
   * Exchanges: the (key, day) distinct + the per-key lead window =
-  * two corpus-sized shuffles; everything after is day-sized.
+  * two corpus-sized shuffles; everything after is day-sized. The
+  * spine bounds re-scan the input (one extra 1-column columnar pass)
+  * DELIBERATELY: the alternative — persisting the corpus-sized pair
+  * frame so both subtrees share it — trades a narrow scan for
+  * cluster-wide cache residency of one row per (key, active-day),
+  * the wrong trade at 100 TB. PlanAssertionsSpec pins the shape
+  * (4 exchanges, keyed lead window, broadcast day frame, no
+  * cartesian).
   * Integer counts end-to-end. `RollingDistinctSpec` proves the
   * construction against a brute-force model at RANDOM window
   * lengths; the q_rolling_wau oracle (a W× fan-out, an independent

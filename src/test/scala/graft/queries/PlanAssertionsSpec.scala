@@ -316,4 +316,22 @@ class PlanAssertionsSpec extends SparkSpec {
     // over the ≤parts-row count frame (ExactRankSpec pins the rest)
     assert(!p.contains("row_number"), p)
   }
+
+  test("q_rolling_wau: 2 corpus exchanges + keyed lead, day frame broadcasts") {
+    val p = plan("q_rolling_wau")
+    assert(!p.contains("CartesianProduct"), p)
+    // the interval derivation's lead window must partition by key — a
+    // global lead would funnel every (key, day) pair through one task
+    val leadLine = p.linesIterator.find(_.contains("lead(day"))
+    assert(leadLine.isDefined, p)
+    assert(leadLine.get.contains("windowspecdefinition(k#"), leadLine.get)
+    // exchange census: pairs distinct + lead repartition (the two
+    // corpus-sized ones) + the day-sized rollup + the 1-row span agg;
+    // the daily frame reaches the spine as a BROADCAST, never a shuffle
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    assert(shuffles == 4, s"expected 4 shuffle exchanges, got $shuffles\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
