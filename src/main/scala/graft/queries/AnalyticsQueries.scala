@@ -355,7 +355,8 @@ object AnalyticsQueries extends QueryModule {
         |    (SELECT MAX(day) FROM pairs), INTERVAL 1 DAY)) AS DATE) AS d)
         |SELECT s.d, CAST(COALESCE(p.n, 0) AS BIGINT) AS active_28d
         |FROM spine s LEFT JOIN per_day p ON s.d = p.d
-        |ORDER BY s.d""".stripMargin)),
+        |ORDER BY s.d""".stripMargin),
+      bench = true),
 
     // ---- TABLE CHECKSUM: order-independent per-table fingerprint —
     // bit_xor over a 60-bit cross-engine row hash (md5 hex prefix,
