@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** ANALYZE-style equi-depth (equi-height) histogram — the column
+  * statistic every cost-based optimizer consults for range-predicate
+  * selectivity (Spark's own `ANALYZE TABLE ... FOR COLUMNS` builds
+  * one when `spark.sql.statistics.histogram.enabled` is set; this is
+  * the engine-native twin with EXACT boundaries).
+  *
+  * Boundaries are exact global order statistics: bucket `b`'s upper
+  * boundary is the element at 1-based rank `(n·b) div B` under the
+  * caller's total order — selected in ONE distributed pass by
+  * [[ExactRank.selectRanks]] (range repartition + local ranks +
+  * prefix-sum offsets; no single-task sort, no interpolation). Exact
+  * elements rather than sampled estimates buy two things:
+  *   - the selectivity estimate below carries a PROVABLE bracket
+  *     (lower/upper bounds the true count can never escape), which a
+  *     sampled histogram cannot promise;
+  *   - the whole statistic is engine-replayable (hash-checkable) —
+  *     the same property that makes `q_exact_quantiles` oracle-exact.
+  *
+  * Estimation contract (see `q_histogram_selectivity`): for a
+  * predicate `value <= x`,
+  *   - `est_lo` = max boundary rank whose value ≤ x (0 if none):
+  *     every row at rank ≤ that boundary sorts ≤ its value ≤ x, so
+  *     the true count is ≥ est_lo;
+  *   - `est_hi` = (min boundary rank whose value > x) − 1 (n if
+  *     none): any row with value ≤ x < boundary value sorts strictly
+  *     before that boundary row, so the true count is ≤ est_hi.
+  * Consecutive boundary ranks differ by ≤ ⌈n/B⌉, so the bracket
+  * width — the estimator's worst-case absolute error — is bounded by
+  * ONE bucket depth by construction (`HistogramSpec` asserts both
+  * properties directly).
+  *
+  * Scale shape: build is one range-shuffled sort pass (ANALYZE —
+  * run once, persist beside the data via [[write]]/[[read]], the
+  * [[TableStats]] posture); the histogram itself is B rows, so every
+  * consult is driver-cheap and every estimate join is a broadcast of
+  * a bounded frame. Nothing here ever collects data rows.
+  */
+object Histogram {
+
+  /** Equi-depth boundaries of `df` under `sortCols` (must totalize
+    * the order — include a unique tiebreak): one row per DISTINCT
+    * boundary rank `(n·b) div B`, b = 1..`buckets`, carrying the
+    * boundary row's columns plus its 1-based global `rank` and the
+    * total row count `n_total`. The last boundary is the maximum
+    * element (rank n). Duplicate ranks (n < buckets) emit once.
+    */
+  def equiDepth(df: DataFrame, sortCols: Seq[Column],
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets")
+    ExactRank.selectRanks(df, sortCols,
+      n => (1 to buckets).map(b => (n * b / buckets).cast("long")))
+  }
+
+  /** Persist a histogram frame beside the data (B rows → one file). */
+  def write(hist: DataFrame, dir: String): Unit =
+    hist.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Bracketed cardinality estimates for `value <= threshold`
+    * predicates, one row per probe: (threshold, est_lo, est_hi,
+    * est_mid, n_rows). `bounds` is an [[equiDepth]] frame whose
+    * boundary value column is `valueCol`; `probes` any frame with a
+    * `threshold` column (comparable to the value column). Both
+    * inputs are bounded (B rows × P probes) — the cross join is the
+    * documented broadcast-of-a-bounded-dim shape; the data is never
+    * touched.
+    */
+  def estimateLe(bounds: DataFrame, valueCol: String,
+      probes: DataFrame): DataFrame = {
+    val v = col(s"`$valueCol`")
+    probes.crossJoin(broadcast(bounds))
+      .groupBy("threshold")
+      .agg(
+        coalesce(max(when(v <= col("threshold"), col("rank"))), lit(0L))
+          .as("est_lo"),
+        coalesce(min(when(v > col("threshold"), col("rank"))) - 1,
+          max(col("n_total"))).as("est_hi"),
+        max(col("n_total")).as("n_rows"))
+      .withColumn("est_mid", expr("(est_lo + est_hi) div 2"))
+  }
+}

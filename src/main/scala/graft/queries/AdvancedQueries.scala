@@ -1197,6 +1197,90 @@ object AdvancedQueries extends QueryModule {
         |      / sqrt(CAST(n*s_disc_disc - s_disc*s_disc AS DOUBLE)
         |             * CAST(n*s_tax_tax - s_tax*s_tax AS DOUBLE)) FROM m)
         |SELECT col_a, col_b, CAST(n AS BIGINT) AS n, r
-        |FROM p ORDER BY col_a, col_b""".stripMargin))
+        |FROM p ORDER BY col_a, col_b""".stripMargin)),
+
+    // ---- ANALYZE-style EQUI-DEPTH HISTOGRAM driving range-predicate
+    // cardinality estimation — the optimizer-stats member of the rank
+    // family (ops/Histogram; Spark's ANALYZE ... FOR COLUMNS builds
+    // the sampled twin). Boundaries are exact order statistics at
+    // ranks (n·b) div 20 (ONE ExactRank.selectRanks pass — m
+    // boundaries never cost m sorts), so the estimate carries a
+    // PROVABLE bracket: est_lo = max boundary rank with value ≤ x
+    // (every row at rank ≤ it sorts ≤ x), est_hi = min boundary rank
+    // with value > x, minus 1 (a row ≤ x sorts strictly before that
+    // boundary) — actual ∈ [est_lo, est_hi] always, and the bracket
+    // width is ≤ one bucket depth ⌈n/20⌉ by construction
+    // (HistogramSpec asserts both; the hash gate replays the whole
+    // estimator). The actual counts exist only to measure the
+    // estimator's error: ONE conditional-aggregation scan (the
+    // TableStats shape) — at production scale the histogram is built
+    // once beside the data (Histogram.write) and every consult
+    // touches 20 rows, never the table. All-BIGINT arithmetic
+    // (est_mid/err_bp via `div`), so both engines replay it exactly.
+    "q_histogram_selectivity" -> QueryDef(
+      fn = (spark, dir) => {
+        import spark.implicits._
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        val bounds = graft.ops.Histogram.equiDepth(li,
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")), 20)
+          .select(col("l_extendedprice").as("v"), col("rank"),
+            col("n_total"))
+        val ths = Seq(500L, 2000L, 5000L, 10000L, 25000L, 50000L,
+          75000L, 110000L)
+        val est = graft.ops.Histogram.estimateLe(bounds, "v",
+          ths.toDF("threshold"))
+        val aggs = ths.map(x =>
+          sum(when(col("l_extendedprice") <= x, 1L).otherwise(0L))
+            .as(s"a_$x"))
+        val acts = li.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(ths.map(x =>
+            struct(lit(x).as("threshold"), col(s"a_$x").as("actual"))):
+            _*)).as("s"))
+          .select("s.*")
+        est.join(acts, "threshold")
+          .select(col("threshold"), col("est_lo"), col("est_hi"),
+            col("est_mid"), col("actual"), col("n_rows"),
+            expr("(abs(est_mid - actual) * 10000) div n_rows")
+              .as("err_bp"))
+          .orderBy("threshold")
+      },
+      oracle = Some("""
+        |WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                       l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem),
+        |bs AS (SELECT unnest(range(1, 21)) AS b),
+        |bd AS (SELECT DISTINCT v, rn, n FROM r
+        |       JOIN bs ON r.rn = (r.n * bs.b) // 20),
+        |th AS (SELECT unnest([500, 2000, 5000, 10000, 25000, 50000,
+        |                      75000, 110000]) AS threshold),
+        |est AS (
+        |  SELECT t.threshold,
+        |    coalesce((SELECT max(rn) FROM bd WHERE v <= t.threshold),
+        |             0) AS est_lo,
+        |    coalesce((SELECT min(rn) - 1 FROM bd WHERE v > t.threshold),
+        |             (SELECT max(n) FROM bd)) AS est_hi,
+        |    (SELECT max(n) FROM bd) AS n_rows
+        |  FROM th t),
+        |act AS (
+        |  SELECT t.threshold,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_extendedprice <= t.threshold) AS actual
+        |  FROM th t)
+        |SELECT CAST(e.threshold AS BIGINT) AS threshold,
+        |  CAST(est_lo AS BIGINT) AS est_lo,
+        |  CAST(est_hi AS BIGINT) AS est_hi,
+        |  CAST((est_lo + est_hi) // 2 AS BIGINT) AS est_mid,
+        |  CAST(actual AS BIGINT) AS actual,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST((abs((est_lo + est_hi) // 2 - actual) * 10000) // n_rows
+        |       AS BIGINT) AS err_bp
+        |FROM est e JOIN act a ON e.threshold = a.threshold
+        |ORDER BY threshold""".stripMargin))
   )
 }
