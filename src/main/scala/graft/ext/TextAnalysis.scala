@@ -1272,7 +1272,73 @@ object TextQueries extends QueryModule {
         |    AS n_heur_keep,
         |  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) * 10000
         |    // COUNT(*) AS BIGINT) AS keep_bp
-        |FROM binned GROUP BY 1 ORDER BY quintile""".stripMargin))
+        |FROM binned GROUP BY 1 ORDER BY quintile""".stripMargin)),
+
+    // ---- HEAPS-LAW VOCABULARY GROWTH — the corpus-saturation curve
+    // crawl planning reads ("is the next 10% of documents still
+    // buying new vocabulary?"). Complements q_ngram_novelty (per-DOC
+    // admission novelty) at corpus granularity: cumulative distinct
+    // whitespace tokens after each admission-order decile of the
+    // document stream, plus the per-decile increment. Exactness:
+    // everything is integer counts over min(doc_id) first
+    // occurrences. Scale shape: one token-keyed shuffle builds the
+    // (token, first_doc) vocabulary (Heaps-law small relative to the
+    // corpus), decile bounds are 10 exact order statistics over
+    // doc_id (ONE ExactRank pass — doc_id is unique, so it is its
+    // own total order), and the growth rollup is the vocabulary ×
+    // broadcast-bounds conditional count with map-side partials —
+    // ≤10 rows reach the final exchange. The lag window runs on the
+    // 10-row frame (bounded, like the date-spine prefix sums).
+    "q_vocab_growth" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val vocab = Tables(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("t"))
+          .groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+        val bounds = graft.ops.ExactRank.selectRanks(
+          Tables(spark, dir, "documents").select(col("doc_id")),
+          Seq(col("doc_id")),
+          n => (1 to 10).map(d => (n * d / 10).cast("long")))
+          .select(col("doc_id").as("bound"), col("rank"),
+            col("n_total"))
+          .withColumn("decile",
+            expr("(rank * 10 + n_total - 1) div n_total"))
+        val g = vocab.crossJoin(broadcast(bounds))
+          .groupBy("decile", "rank")
+          .agg(sum(when(col("first_doc") <= col("bound"), 1L)
+            .otherwise(0L)).as("vocab_cum"))
+        import org.apache.spark.sql.expressions.Window
+        g.select(col("decile"), col("rank").as("docs_cum"),
+            col("vocab_cum"),
+            (col("vocab_cum") - coalesce(
+              lag(col("vocab_cum"), 1)
+                .over(Window.orderBy(col("decile"))), lit(0L)))
+              .as("new_tokens"))
+          .orderBy("decile")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, min(doc_id) AS first_doc FROM tok
+        |      WHERE t != '' GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM documents),
+        |ds AS (SELECT unnest(range(1, 11)) AS d),
+        |b AS (SELECT DISTINCT doc_id AS bound, rn, n FROM r
+        |      JOIN ds ON r.rn = (r.n * ds.d) // 10),
+        |g AS (SELECT (rn * 10 + n - 1) // n AS decile, rn AS docs_cum,
+        |        (SELECT COUNT(*) FROM v WHERE v.first_doc <= b.bound)
+        |          AS vocab_cum
+        |      FROM b)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(docs_cum AS BIGINT) AS docs_cum,
+        |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        |  CAST(vocab_cum - coalesce(lag(vocab_cum)
+        |    OVER (ORDER BY decile), 0) AS BIGINT) AS new_tokens
+        |FROM g ORDER BY decile""".stripMargin))
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
