@@ -1338,7 +1338,40 @@ object TextQueries extends QueryModule {
         |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
         |  CAST(vocab_cum - coalesce(lag(vocab_cum)
         |    OVER (ORDER BY decile), 0) AS BIGINT) AS new_tokens
-        |FROM g ORDER BY decile""".stripMargin))
+        |FROM g ORDER BY decile""".stripMargin)),
+
+    // ---- ECDF (PERCENTILE-RANK) NORMALIZATION of the quality
+    // classifier score — the feature-engineering transform that makes
+    // a model score comparable across corpora/snapshots ("keep the
+    // top 30%" survives recalibration; "keep score > 1.7" does not).
+    // This is ops/ExactRank's TRANSFORM use (rankAll): EVERY doc gets
+    // its exact global rank, so the single-partition window
+    // formulation would funnel the whole corpus through one task —
+    // here it stays a range-partitioned parallel pipeline end-to-end.
+    // ecdf_bp = rank·10000 div n is pure integer arithmetic on an
+    // exact BIGINT score (shared with q_quality_classifier — ONE
+    // model definition), so the oracle replays it bit-for-bit.
+    "q_ecdf_quality" -> QueryDef(
+      fn = (spark, dir) => {
+        val scored = Tables(spark, dir, "documents")
+          .select(col("doc_id"), classifierScore.as("score"))
+        graft.ops.ExactRank.rankAll(scored,
+          Seq(col("score"), col("doc_id")), rankCol = "srank")
+          .select(col("doc_id"), col("score"), col("srank"),
+            expr("(srank * 10000) div n_total").as("ecdf_bp"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        |WITH scored AS (
+        |  SELECT doc_id, CAST($classifierScoreSql AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, score,
+        |        ROW_NUMBER() OVER (ORDER BY score, doc_id) AS srank,
+        |        COUNT(*) OVER () AS n
+        |      FROM scored)
+        |SELECT doc_id, score, CAST(srank AS BIGINT) AS srank,
+        |  CAST((srank * 10000) // n AS BIGINT) AS ecdf_bp
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —

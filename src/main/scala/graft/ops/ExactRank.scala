@@ -71,6 +71,24 @@ object ExactRank {
       sortCols: Seq[Column],
       ksOf: Column => Seq[Column],
       rankCol: String = "rank",
+      nCol: String = "n_total"): DataFrame =
+    rankAll(df, sortCols, rankCol, nCol)
+      .filter(array_contains(
+        array(ksOf(col(nCol)): _*), col(rankCol)))
+
+  /** EVERY row of `df` annotated with its exact 1-based global rank
+    * under `sortCols` plus the total count — the same parallel
+    * pipeline as [[selectRanks]] without the membership filter. This
+    * is the TRANSFORM use of distributed ranking (ECDF/percentile
+    * normalization, rank-weighted statistics like Gini) where the
+    * single-partition window formulation is at its worst: the whole
+    * frame, not just m selected rows, flows through the rank step,
+    * so it MUST stay parallel end-to-end.
+    */
+  def rankAll(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String = "rank",
       nCol: String = "n_total"): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
@@ -94,8 +112,6 @@ object ExactRank {
     sorted
       .join(broadcast(offs), "__pid")
       .withColumn(rankCol, col("__off") + col("__lrn"))
-      .filter(array_contains(
-        array(ksOf(col(nCol)): _*), col(rankCol)))
       .drop("__pid", "__lrn", "__id", "__off")
   }
 }

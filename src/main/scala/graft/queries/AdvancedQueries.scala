@@ -1281,6 +1281,55 @@ object AdvancedQueries extends QueryModule {
         |  CAST((abs((est_lo + est_hi) // 2 - actual) * 10000) // n_rows
         |       AS BIGINT) AS err_bp
         |FROM est e JOIN act a ON e.threshold = a.threshold
-        |ORDER BY threshold""".stripMargin))
+        |ORDER BY threshold""".stripMargin)),
+
+    // ---- GINI CONCENTRATION of customer spend — the inequality
+    // metric curation reads over source/domain contribution ("is 1%
+    // of the corpus supplying 80% of the tokens?"), demonstrated on
+    // the order book. A RANK-WEIGHTED statistic: with spend sorted
+    // ascending (1-based rank i over a total order), Gini =
+    // (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — the rank product makes it
+    // ops/ExactRank.rankAll's second transform use (q_ecdf_quality
+    // normalizes; this one aggregates rank×value). Exactness: cents
+    // as DECIMAL(38,0) (sums exact and order-free), rank products
+    // ≤1e27 at sf1 vs the 1e38 cap, one integral `div` at the end —
+    // gini_bp is the same BIGINT on both engines. Scale: one
+    // custkey-keyed aggregation, one range sort over the bounded
+    // customer frame, a single-row result.
+    "q_gini_spend" -> QueryDef(
+      fn = (spark, dir) => {
+        val s = Tables(spark, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(col("o_totalprice")) * 100)
+            .cast("decimal(38,0)").as("cents"))
+        val r = graft.ops.ExactRank.rankAll(s,
+          Seq(col("cents"), col("o_custkey")), rankCol = "i")
+        r.agg(
+            max(col("n_total")).as("n"),
+            sum(col("cents")).cast("decimal(38,0)").as("sc"),
+            sum(col("i").cast("decimal(38,0)") * col("cents"))
+              .cast("decimal(38,0)").as("si"))
+          .select(
+            col("n").as("n_customers"),
+            col("sc").cast("long").as("total_cents"),
+            expr("(2 * si - (n + 1) * sc) * 10000 div (n * sc)")
+              .as("gini_bp"))
+      },
+      oracle = Some("""
+        |WITH s AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(o_totalprice) * 100 AS HUGEINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |        ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+        |        COUNT(*) OVER () AS n
+        |      FROM s)
+        |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST((2 * SUM(i * cents)
+        |        - (CAST(max(n) AS HUGEINT) + 1) * SUM(cents)) * 10000
+        |       // (CAST(max(n) AS HUGEINT) * SUM(cents)) AS BIGINT)
+        |    AS gini_bp
+        |FROM r""".stripMargin))
   )
 }
