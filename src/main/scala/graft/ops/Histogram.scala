@@ -86,4 +86,33 @@ object Histogram {
         max(col("n_total")).as("n_rows"))
       .withColumn("est_mid", expr("(est_lo + est_hi) div 2"))
   }
+
+  /** The certain UPPER bound on rows satisfying `value <= threshold`,
+    * read from a boundary frame — B rows, so the `.head()` is the
+    * documented sketch-row driver class (the [[TableStats.rowCount]]
+    * posture). */
+  def estHiLe(bounds: DataFrame, valueCol: String,
+      threshold: Column): Long = {
+    val v = col(s"`$valueCol`")
+    bounds.agg(coalesce(min(when(v > threshold, col("rank"))) - 1,
+      max(col("n_total")))).head().getLong(0)
+  }
+
+  /** Broadcast-hint `df` (a frame filtered to `value <= threshold`)
+    * iff the histogram PROVES it small: the decision reads
+    * [[estHiLe]], a certain upper bound on the filtered cardinality,
+    * so a histogram-licensed broadcast can never OOM the driver —
+    * the guarantee [[TableStats.statsJoin]]'s whole-table counts
+    * cannot give once a selective filter intervenes (the filtered
+    * side may be 1000× smaller than the table the stats describe).
+    * When the bound doesn't clear `maxBroadcastRows`, no hint is
+    * planted and the cost model keeps its shuffle join — the same
+    * graceful-degradation posture as statsJoin.
+    */
+  def broadcastIfRangeSmall(df: DataFrame, bounds: DataFrame,
+      valueCol: String, threshold: Column,
+      maxBroadcastRows: Long = 1000000L): DataFrame =
+    if (estHiLe(bounds, valueCol, threshold) <= maxBroadcastRows)
+      broadcast(df)
+    else df
 }

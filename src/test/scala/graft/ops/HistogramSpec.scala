@@ -60,6 +60,42 @@ class HistogramSpec extends SparkSpec {
     assert(above.getLong(1) === n && above.getLong(2) === n)
   }
 
+  test("histogram-licensed broadcast: selective range flips the join") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    val right = (1 to 5000).map(i => (i.toLong, s"k$i")).toDF("id", "tag")
+    val left = rows.toDF("v", "id")
+    // kill the size-estimate broadcast so the decision under test is
+    // the histogram's alone (the BucketingSpec pattern)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(threshold: Double, maxRows: Long) = {
+        val filtered = left.filter(col("v") <= threshold)
+        val hinted = Histogram.broadcastIfRangeSmall(
+          filtered, bounds, "v", lit(threshold), maxRows)
+        val j = right.join(hinted, "id")
+        j.collect()
+        execNodes(j)
+      }
+      // selective predicate: est_hi <= cap proves the filtered side
+      // small, the hint fires, and the broadcast CANNOT OOM (true
+      // count <= est_hi by the bracketing property)
+      val selective = planOf(30.0, 2000L)
+      assert(selective.collect {
+        case b: BroadcastHashJoinExec => b }.nonEmpty, "broadcast expected")
+      // wide predicate: the certain bound exceeds the cap, no hint —
+      // the shuffle join stands
+      val wide = planOf(1e9, 2000L)
+      assert(wide.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        "no histogram hint on a wide range")
+      assert(wide.collect { case s: SortMergeJoinExec => s }.nonEmpty,
+        "shuffle join on a wide range")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("write/read round-trips the boundary frame") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hist").toString + "/h"
