@@ -1645,6 +1645,69 @@ object SimilarityQueries extends QueryModule {
         |SELECT t.q_id, COALESCE(h.hits, 0) AS hits, t.n_truth,
         |  COALESCE(h.hits, 0) * 10000 // t.n_truth AS recall_bp
         |FROM ts t LEFT JOIN hits h ON t.q_id = h.q_id
+        |ORDER BY t.q_id""".stripMargin)),
+
+    // ---- MRR (reciprocal rank) of the SERVED IVF ranking against
+    // the exact top-1 neighbor — q_ann_recall's rank-position-
+    // sensitive sibling: recall@5 says "the truth is somewhere in
+    // the list"; MRR says "how far down". Same composition
+    // discipline — both legs are the PUBLISHED queries, so the
+    // monitor moves with any change to their definitions. rr_bp =
+    // 10000 div found_rank is exact integer arithmetic (10000/1..5
+    // → 10000, 5000, 3333, 2500, 2000; 0 when the truth misses the
+    // served list entirely), so the eval is hash-checked, never
+    // approximate. Scale: both legs are k-row frames per query; the
+    // eval join touches 20×5 rows.
+    "q_mrr_eval" -> QueryDef(
+      fn = (spark, dir) => {
+        val truth = graft.SparkEntry.queries("q_ann_cosine_topk")(spark, dir)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("n_id").as("truth_id"))
+        val served = graft.SparkEntry.queries("q_ann_ivf")(spark, dir)
+          .select(col("q_id"), col("n_id").as("truth_id"),
+            col("rank").as("served_rank"))
+        truth.join(served, Seq("q_id", "truth_id"), "left")
+          .select(col("q_id"), col("truth_id"),
+            coalesce(col("served_rank"), lit(0L)).as("found_rank"),
+            coalesce(expr("10000 div served_rank"), lit(0L)).as("rr_bp"))
+          .orderBy("q_id")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT n_id, n_v, c_id AS bucket FROM (
+        |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, c_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id < 20)
+        |  WHERE c_rank <= 2),
+        |served AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT p.q_id, a.n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |        ORDER BY ${cosSqlOf("p.q_v", "a.n_v")} DESC, a.n_id) AS rank
+        |    FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |    WHERE a.n_id != p.q_id)
+        |  WHERE rank <= 5),
+        |truth AS (
+        |  SELECT q_id, n_id AS truth_id FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |    FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE rank = 1)
+        |SELECT t.q_id, t.truth_id,
+        |  CAST(COALESCE(s.rank, 0) AS BIGINT) AS found_rank,
+        |  CAST(COALESCE(10000 // s.rank, 0) AS BIGINT) AS rr_bp
+        |FROM truth t LEFT JOIN served s
+        |  ON t.q_id = s.q_id AND t.truth_id = s.n_id
         |ORDER BY t.q_id""".stripMargin))
   )
 
