@@ -449,6 +449,11 @@ object SimilarityQueries extends QueryModule {
   private val lastExactTop =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_mutual_knn's edge frame (both sides of the mutuality join) —
+    * same swap-release bounding. */
+  private val lastMutualEdges =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Test hook: drop EVERY build-once memo (training, index layouts,
     * the star warehouse) so a spec can force the artifacts to be
     * REBUILT under a changed runtime config (partition counts etc.).
@@ -1708,7 +1713,53 @@ object SimilarityQueries extends QueryModule {
         |  CAST(COALESCE(10000 // s.rank, 0) AS BIGINT) AS rr_bp
         |FROM truth t LEFT JOIN served s
         |  ON t.q_id = s.q_id AND t.truth_id = s.n_id
-        |ORDER BY t.q_id""".stripMargin))
+        |ORDER BY t.q_id""".stripMargin)),
+
+    // ---- MUTUAL (reciprocal) kNN pairs — the high-precision slice
+    // of the kNN graph: a pair where EACH vector ranks the other in
+    // its own top-3 is the classic RNN duplicate-confidence signal
+    // (one-directional neighbors are often hub artifacts; mutual ones
+    // are near-duplicates or tight cluster cores). Built ON the
+    // published q_knn_graph edges: the mutuality test is one
+    // self-equi-join on (vec_id, n_id) of the ≤3·n edge frame —
+    // bounded fan-in, no new pair generation — with the edge frame
+    // persisted once (swap-release) so the bucket join + heaps run
+    // once, not twice. sim is exactly symmetric (same index-ordered
+    // dot product both directions), so emitting the (a<b) direction
+    // is canonical on both engines.
+    "q_mutual_knn" -> QueryDef(
+      fn = (spark, dir) => {
+        val e = graft.ops.BuildOnce.swapPersist(lastMutualEdges,
+          knnEdges(embFrame(spark, dir),
+            centroidsFor(spark, dir, iters = 2), 3)
+            .select("vec_id", "n_id", "rank", "sim"))
+        val rev = e.select(col("n_id").as("vec_id"),
+          col("vec_id").as("n_id"), col("rank").as("rank_ba"))
+        e.join(rev, Seq("vec_id", "n_id"))
+          .filter(col("vec_id") < col("n_id"))
+          .select(col("vec_id").as("id_a"), col("n_id").as("id_b"),
+            col("rank").as("rank_ab"), col("rank_ba"), col("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |${assignedSql("emb")},
+        |knn AS (
+        |  SELECT vec_id, n_id, rank, sim FROM (
+        |    SELECT a.vec_id, b.vec_id AS n_id,
+        |      ${cosSqlOf("a.v", "b.v")} AS sim,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY ${cosSqlOf("a.v", "b.v")} DESC, b.vec_id) AS rank
+        |    FROM assigned a JOIN assigned b
+        |      ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+        |  WHERE rank <= 3)
+        |SELECT e.vec_id AS id_a, e.n_id AS id_b,
+        |  CAST(e.rank AS BIGINT) AS rank_ab,
+        |  CAST(r.rank AS BIGINT) AS rank_ba, e.sim
+        |FROM knn e JOIN knn r
+        |  ON e.vec_id = r.n_id AND e.n_id = r.vec_id
+        |WHERE e.vec_id < e.n_id
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** DuckDB replay of the full IVF-PQ composition (training, bucketing,
