@@ -606,6 +606,82 @@ object PipelineQueries extends QueryModule {
         |SELECT lang, source, rn, doc_id, n_chars
         |FROM t WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin)),
 
+    // ---- NEYMAN (variance-optimal) STRATIFIED SAMPLE — the
+    // allocation-aware member of the sampling family:
+    // q_source_quota_sample fixes EQUAL per-stratum quotas; Neyman
+    // allocates the budget ∝ N_h·σ_h, which minimizes the variance of
+    // the stratified mean — high-variance strata (where one doc tells
+    // you least) get more draws. The allocation weight simplifies to
+    // w_h = √(N_h·Σx² − (Σx)²) (exact DECIMAL(38,0) moments inside
+    // the sqrt — the q_corr_matrix recipe), and the total Σw_h is a
+    // FIXED-ORDER fold over the ≤|strata| weights (sort by lang,
+    // left-fold from 0.0 — the q_char_diversity discipline; a SUM
+    // aggregate over doubles would be order-dependent and could
+    // never hash-match). Draw = deterministic md5-ticket top-n_h per
+    // stratum through the bounded-heap TopKPerKey operator (alloc ≤
+    // 100, so ≤100 rows per stratum per partition reach the
+    // exchange — no per-stratum single-task window), ranks
+    // reconstituted on the pruned frame. Metric = n_chars (already
+    // materialized — the sampler never reads text).
+    "q_neyman_sample" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val m = docs.groupBy("lang").agg(
+          count(lit(1)).as("nh"),
+          sum(d(col("n_chars"))).as("sx"),
+          sum(d(col("n_chars")) * d(col("n_chars"))).as("sxx"))
+        val w = m.select(col("lang"), col("nh"),
+          sqrt((d(col("nh")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("wt"))
+        val tot = w.agg(aggregate(
+          array_sort(collect_list(struct(col("lang"), col("wt")))),
+          lit(0.0), (acc, x) => acc + x("wt")).as("wsum"))
+        val alloc = w.crossJoin(broadcast(tot))
+          .select(col("lang"), col("nh"),
+            floor(col("wt") * 100 / col("wsum")).cast("long")
+              .as("n_alloc"))
+        val ticket = md5(concat(lit("neyman:"),
+          col("doc_id").cast("string")).cast("binary"))
+        val ranked = graft.plans.TopK.perKey(
+          docs.select(col("doc_id"), col("lang"), ticket.as("ticket")),
+          100, Seq("lang"), Seq("ticket" -> true, "doc_id" -> true))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"))
+              .orderBy(col("ticket"), col("doc_id"))).cast("long"))
+        ranked.join(broadcast(alloc), "lang")
+          .filter(col("rn") <= col("n_alloc"))
+          .select(col("lang"), col("nh"), col("n_alloc"), col("rn"),
+            col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      oracle = Some("""
+        |WITH m AS (
+        |  SELECT lang, COUNT(*) AS nh,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, nh,
+        |        sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) AS wt
+        |      FROM m),
+        |tot AS (SELECT list_reduce([0.0] || list(wt ORDER BY lang),
+        |          (a, b) -> a + b) AS wsum FROM w),
+        |alloc AS (SELECT lang, nh,
+        |            CAST(FLOOR(wt * 100 / wsum) AS BIGINT) AS n_alloc
+        |          FROM w, tot),
+        |t AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY md5('neyman:' || CAST(doc_id AS VARCHAR)),
+        |            doc_id) AS rn
+        |      FROM documents)
+        |SELECT t.lang, a.nh, a.n_alloc, CAST(t.rn AS BIGINT) AS rn,
+        |  t.doc_id
+        |FROM t JOIN alloc a ON t.lang = a.lang
+        |WHERE t.rn <= a.n_alloc
+        |ORDER BY t.lang, t.rn""".stripMargin)),
+
     // ---- THE CURATION FUNNEL — the end-to-end per-stage report every
     // corpus-curation run ships: raw → exact-dedup keepers → near-dup
     // survivors → decontaminated → quality+language final, as ONE
