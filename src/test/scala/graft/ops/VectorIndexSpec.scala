@@ -133,4 +133,48 @@ class VectorIndexSpec extends SparkSpec {
     info(s"filtered probe rows/query: min=${perQuery.getLong(0)} " +
       s"max=${perQuery.getLong(1)} (k=5; < k ⇒ label starved in probed buckets)")
   }
+
+  test("compaction closes the maintenance lifecycle: merged index " +
+    "compacts to fewer files, probes bit-identical, stays pruned") {
+    val dir = Files.createTempDirectory("ivf_compact").toString + "/index"
+    val emb = embWithLabel
+    val centroids = graft.ext.Similarity.trainedCentroids(
+      emb.select("vec_id", "v"), iters = 2)
+    // build small, then grow by three deltas — each append lays down
+    // its own files per bucket partition (the small-file problem the
+    // micro-batch cadence creates)
+    VectorIndex.build(emb.filter(col("vec_id") % 4 === 0), centroids, dir)
+    for (r <- 1 to 3)
+      VectorIndex.mergeDelta(spark, dir,
+        emb.filter(col("vec_id") % 4 === r), centroids)
+
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    def probeAll() =
+      VectorIndex.probe(spark, dir, queries, centroids, nprobe = 2, k = 5)
+    val before = probeAll().collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val filesBefore = Compaction.dataFileCount(spark, dir)
+
+    // the GENERIC compactor preserves hive partition columns, so the
+    // index layout needs no special-case maintenance path
+    val filesAfter = Compaction.compact(spark, dir)
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink: $filesBefore -> $filesAfter")
+    assert(Compaction.partitionColumns(spark, dir) === Seq("bucket"),
+      "bucket partitioning lost in the rewrite")
+
+    // probe-after-compact: bit-identical AND still partition-pruned
+    val probed = probeAll()
+    probed.collect()
+    val scans = execNodes(probed).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",")
+            .contains("ivf_compact") => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(
+      s.partitionFilters.mkString(" ").contains("bucket"),
+      s"pruning lost after compaction: ${s.partitionFilters}"))
+    assert(probed.collect().map(_.toSeq).sortBy(_.toString).toSeq === before)
+  }
 }
