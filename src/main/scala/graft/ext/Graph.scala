@@ -223,6 +223,40 @@ object GraphOps {
     }
     dist
   }
+
+  /** Bounded k-core peeling — `rounds` synchronous rounds of "drop
+    * every node with fewer than `k` distinct neighbors, then drop
+    * the edges that lost an endpoint". The true k-core is this
+    * peel's fixpoint; a FIXED round count keeps the whole run one
+    * declarative plan both engines replay exactly (the
+    * [[labelPropagation]] discipline — an open-ended loop would be
+    * irreproducible in SQL without recursion), and on bounded-degree
+    * graphs (kNN: degree ≤ 2·topk) cascades are shallow, so small
+    * `rounds` reaches the fixpoint in practice (`GraphSpec` asserts
+    * it on a crafted clique + pendant-chain graph).
+    *
+    * `edges` must carry BOTH directions of each undirected edge,
+    * deduplicated — degree is then a plain per-src count. Scale
+    * shape per round: one partial-agg'd degree count + two semi-joins
+    * on the shrinking edge list; each round localCheckpoints (eager)
+    * so round r's lineage doesn't nest r copies of the join tree
+    * (the [[bfsHops]]/connectedComponents pattern). Returns the
+    * surviving (node, deg) frame after the final round.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds")
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
 }
 
 object GraphQueries extends QueryModule {

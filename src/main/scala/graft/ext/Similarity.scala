@@ -454,6 +454,11 @@ object SimilarityQueries extends QueryModule {
   private val lastMutualEdges =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_kcore's knn edge frame (probe + build sides of the
+    * reciprocity semi-join) — same swap-release bounding. */
+  private val lastKcoreEdges =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Test hook: drop EVERY build-once memo (training, index layouts,
     * the star warehouse) so a spec can force the artifacts to be
     * REBUILT under a changed runtime config (partition counts etc.).
@@ -1759,7 +1764,59 @@ object SimilarityQueries extends QueryModule {
         |FROM knn e JOIN knn r
         |  ON e.vec_id = r.n_id AND e.n_id = r.vec_id
         |WHERE e.vec_id < e.n_id
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- K-CORE of the MUTUAL-kNN graph (K=2, 3 peel rounds via
+    // GraphOps.kCorePeel) — the community-density member of the graph
+    // family, composing with q_mutual_knn: mutual pairs are the
+    // high-precision duplicate EDGES; their 2-core keeps only nodes
+    // whose reciprocation is CYCLIC (each survivor holds ≥2 mutual
+    // neighbors that themselves survive) — duplicate communities and
+    // template families, with pendant one-off pairs peeled away. The
+    // mutual graph is the right substrate: measured on the driver
+    // corpus the peel retains a substantial, slowly-shrinking core
+    // (463→341→289→263 nodes over 3 rounds at sf0.001) whose degree
+    // structure is scale-invariant, where a raw-kNN 4-core collapses
+    // to near-empty. Rounds are FIXED so the unrolled-CTE oracle
+    // replays the peel exactly (the labelPropagation discipline);
+    // the bounded peel approaches the true core from above.
+    "q_kcore" -> QueryDef(
+      fn = (spark, dir) => {
+        // mutual edges arrive with BOTH directions present (if (a,b)
+        // passes the reciprocity semi-join, so does (b,a)) — exactly
+        // kCorePeel's input contract; the knn frame feeds probe AND
+        // build sides of that semi-join, so persist it (swap-release)
+        val ek = graft.ops.BuildOnce.swapPersist(lastKcoreEdges,
+          knnEdges(embFrame(spark, dir),
+            centroidsFor(spark, dir, iters = 2), 3)
+            .select(col("vec_id").as("src"), col("n_id").as("dst")))
+        val mutual = ek.join(
+          ek.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        GraphOps.kCorePeel(mutual, k = 2, rounds = 3)
+          .select(col("node").as("vec_id"), col("deg"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |${assignedSql("emb")},
+        |knn AS (
+        |  SELECT vec_id, n_id FROM (
+        |    SELECT a.vec_id, b.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY ${cosSqlOf("a.v", "b.v")} DESC, b.vec_id) AS rank
+        |    FROM assigned a JOIN assigned b
+        |      ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
+        |  WHERE rank <= 3),
+        |e0 AS (SELECT e.vec_id AS src, e.n_id AS dst FROM knn e
+        |       JOIN knn r ON e.vec_id = r.n_id AND e.n_id = r.vec_id),
+        |${(1 to 3).map(r => s"""n$r AS (SELECT src FROM e${r - 1}
+        |        GROUP BY src HAVING COUNT(*) >= 2),
+        |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+        |        JOIN n$r a ON e.src = a.src
+        |        JOIN n$r b ON e.dst = b.src)""").mkString(",\n")}
+        |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY src ORDER BY vec_id""".stripMargin))
   )
 
   /** DuckDB replay of the full IVF-PQ composition (training, bucketing,

@@ -366,6 +366,78 @@ object TimeSeriesQueries extends QueryModule {
         |  st[1] + st[2] AS fcst_1, st[1] + st[2] * 7.0 AS fcst_7
         |FROM fold ORDER BY n_name""".stripMargin)),
 
+    // ---- WALK-FORWARD BACKTEST of the Holt forecaster — the
+    // eval-family member for forecasting (ANN has recall/MRR, LSH has
+    // q_lsh_eval, the classifier has calibration; a forecaster ships
+    // with its one-step-ahead error): at every step t the PRIOR
+    // state's forecast l+b is scored against the arriving y_t before
+    // the state updates, so the error is honestly out-of-sample at
+    // each step. Implementation extends q_holt_linear's ordered fold
+    // with a third accumulator element — acc = [l, b, Σ|err|] — the
+    // error term reads the OLD (l, b) and the l_t expression is
+    // repeated verbatim inside b_t (the holt discipline), so Spark's
+    // `aggregate` and DuckDB's list_reduce run the identical IEEE
+    // chain and the doubles hash-match. MAE = Σ|err|/(n−1) is one
+    // deterministic division. Same scale shape as the forecaster:
+    // fold rides the bounded per-nation day series.
+    "q_backtest_mae" -> QueryDef(
+      fn = (spark, dir) => {
+        val cust = Tables(spark, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val nation = Tables(spark, dir, "nation")
+          .select("n_nationkey", "n_name")
+        val daily = Tables(spark, dir, "orders")
+          .select("o_custkey", "o_orderdate")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderdate"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        daily.groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sort_array(collect_list(
+              struct(col("o_orderdate"), col("y")))).as("seq"))
+          .filter(col("n_days") >= 2)
+          .withColumn("vals", expr("transform(seq, s -> s.y)"))
+          .withColumn("st", expr(
+            "aggregate(slice(vals, 2, size(vals) - 1)," +
+              " array(vals[0], 0.0D, 0.0D)," +
+              " (acc, x) -> array(" +
+              "x * 0.5D + (acc[0] + acc[1]) * 0.5D, " +
+              "(x * 0.5D + (acc[0] + acc[1]) * 0.5D - acc[0]) * 0.25D" +
+              " + acc[1] * 0.75D, " +
+              "acc[2] + abs(x - (acc[0] + acc[1]))))"))
+          .select(col("n_name"), col("n_days"),
+            col("st")(2).as("abs_err_sum"),
+            (col("st")(2) / (col("n_days") - 1)).as("mae"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT n.n_name, o.o_orderdate AS d,
+        |         CAST(COUNT(*) AS DOUBLE) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |series AS (
+        |  SELECT n_name, COUNT(*) AS n_days, list(y ORDER BY d) AS vals
+        |  FROM daily GROUP BY 1),
+        |fold AS (
+        |  SELECT n_name, n_days,
+        |    list_reduce(
+        |      list_transform(vals, v -> list_value(v,
+        |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |      (acc, x) -> list_value(
+        |        x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+        |        (x[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.25
+        |          + acc[2] * 0.75,
+        |        acc[3] + abs(x[1] - (acc[1] + acc[2])))) AS st
+        |  FROM series WHERE n_days >= 2)
+        |SELECT n_name, n_days, st[3] AS abs_err_sum,
+        |  st[3] / (n_days - 1) AS mae
+        |FROM fold ORDER BY n_name""".stripMargin)),
+
     // ---- AUTOCORRELATION FUNCTION (ACF, lags 1..7) of the daily
     // order-count series — the standard seasonality/persistence
     // diagnostic that decides a forecast model (and pairs with

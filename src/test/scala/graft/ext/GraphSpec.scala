@@ -179,4 +179,35 @@ class GraphSpec extends SparkSpec {
     }
     assert(rows.map(_._2).max <= 4L)
   }
+
+  test("kCorePeel isolates the clique and cascades down the chain") {
+    import spark.implicits._
+    // 5-clique {0..4} + pendant chain 4-10-11-12: the 4-core is
+    // exactly the clique, and reaching it needs the CASCADE (12 peels
+    // first, exposing 11, then 10 — a single degree filter would
+    // leave 10 and 11 in place)
+    val clique = for {
+      a <- 0L to 4L; b <- 0L to 4L if a != b
+    } yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (clique ++ chain).toDF("src", "dst")
+
+    val core4 = GraphOps.kCorePeel(edges, k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 === (0L to 4L).map(_ -> 4L).toMap,
+      s"4-core must be exactly the clique: $core4")
+
+    // fixpoint: one more round changes nothing
+    val core4b = GraphOps.kCorePeel(edges, k = 4, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4b === core4, "peel not converged at rounds=3")
+
+    // K=2: the open chain unravels one node per round from the tail
+    // (12, then 11, then 10) — after 3 rounds only the clique stands
+    val core2 = GraphOps.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 === (0L to 4L).toSet,
+      s"2-core should unravel the open chain completely: $core2")
+  }
 }
