@@ -21,6 +21,11 @@ object AdvancedQueries extends QueryModule {
   private val lastParetoSup =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** q_assoc_rules' basket-item frame (pair self-join both sides +
+    * support counts) — same swap-release bounding. */
+  private val lastRuleItems =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** A-priori pruned pair mining over distinct (ok, item) rows: drop
     * items whose basket-support share is below `minShare` (an
     * anti-monotone bound — no pair can out-support its rarest member),
@@ -966,6 +971,81 @@ object AdvancedQueries extends QueryModule {
         |SELECT item_a, item_b, n_baskets_together
         |FROM pairs
         |ORDER BY n_baskets_together DESC, item_a, item_b
+        |LIMIT 25""".stripMargin)),
+
+    // ---- ASSOCIATION RULES — the directional second half of the
+    // a-priori story (q_itemset_pairs mines frequent PAIRS; a rule
+    // a→b adds the conditional read: "baskets holding a also hold b
+    // conf% of the time, lift× more often than b's base rate").
+    // Confidence and lift are exact integer ratios (conf_bp =
+    // 10000·n_ab div n_a; lift_x100 = 100·n_ab·N div (n_a·n_b)), so
+    // the report hash-matches. Scale shape: the basket-item frame is
+    // persisted once (swap-release) and feeds the pair self-join +
+    // the support counts; undirected pair counts expand to both rule
+    // directions by a generator (inline) — counting each direction
+    // separately would double the join work for a symmetric number.
+    // Supports are a ~|items|-row broadcast; the 1%-share floor keeps
+    // the rule set scale-stable.
+    "q_assoc_rules" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+        val parts = Tables(spark, dir, "part")
+          .select("p_partkey", "p_brand")
+        val items = graft.ops.BuildOnce.swapPersist(lastRuleItems,
+          li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+            .distinct())
+        val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+        val nb = items.agg(countDistinct(col("ok")).as("n_baskets"))
+        val a = items.select(col("ok"), col("item").as("item_a"))
+        val b = items.select(col("ok"), col("item").as("item_b"))
+        val pairs = a.join(b, "ok")
+          .filter(col("item_a") < col("item_b"))
+          .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+        val rules = pairs.select(expr(
+          "inline(array(struct(item_a AS ante, item_b AS cons, n_ab)," +
+            " struct(item_b AS ante, item_a AS cons, n_ab)))"))
+        rules
+          .join(broadcast(supp.select(col("item").as("ante"),
+            col("n_item").as("n_a"))), "ante")
+          .join(broadcast(supp.select(col("item").as("cons"),
+            col("n_item").as("n_b"))), "cons")
+          .crossJoin(broadcast(nb))
+          .filter(col("n_ab") * 100 >= col("n_baskets"))
+          .select(col("ante"), col("cons"), col("n_ab"), col("n_a"),
+            col("n_b"), col("n_baskets"),
+            expr("n_ab * 10000 div n_a").as("conf_bp"),
+            expr("(n_ab * 100 * n_baskets) div (n_a * n_b)")
+              .as("lift_x100"))
+          .orderBy(col("conf_bp").desc, col("ante"), col("cons"))
+          .limit(25)
+      },
+      oracle = Some("""
+        |WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |supp AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |rules AS (
+        |  SELECT item_a AS ante, item_b AS cons, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT item_b AS ante, item_a AS cons, n_ab FROM pairs)
+        |SELECT r.ante, r.cons, r.n_ab,
+        |  sa.n_item AS n_a, sb.n_item AS n_b, nb.n_baskets,
+        |  r.n_ab * 10000 // sa.n_item AS conf_bp,
+        |  (r.n_ab * 100 * nb.n_baskets) // (sa.n_item * sb.n_item)
+        |    AS lift_x100
+        |FROM rules r
+        |JOIN supp sa ON r.ante = sa.item
+        |JOIN supp sb ON r.cons = sb.item
+        |CROSS JOIN nb
+        |WHERE r.n_ab * 100 >= nb.n_baskets
+        |ORDER BY conf_bp DESC, ante, cons
         |LIMIT 25""".stripMargin)),
 
     // ---- JOIN-KEY SKEW REPORT: the measurement half of the skew story
