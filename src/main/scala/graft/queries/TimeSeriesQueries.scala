@@ -438,6 +438,47 @@ object TimeSeriesQueries extends QueryModule {
         |  st[3] / (n_days - 1) AS mae
         |FROM fold ORDER BY n_name""".stripMargin)),
 
+    // ---- WEEKDAY SEASONALITY INDEX — names the weekly cycle the ACF
+    // detects (q_autocorr says "lag-7 structure exists"; this says
+    // WHICH days carry it): per weekday, mean daily order count as a
+    // ratio to the all-days mean, ×100. Pure integer arithmetic —
+    // idx_x100 = (sum_wd·n_days·100) div (n_days_wd·sum_total) — so
+    // the index is engine-exact; the weekday mapping pins Spark's
+    // dayofweek (1=Sun) to DuckDB's dayofweek()+1 (the
+    // q_date_functions contract). Scale shape: one partial-agg'd
+    // shuffle to the bounded daily frame, then a 7-group rollup and
+    // a broadcast single-row total.
+    "q_weekday_seasonality" -> QueryDef(
+      fn = (spark, dir) => {
+        val daily = Tables(spark, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val byDow = daily
+          .groupBy(dayofweek(col("d")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_days_wd"), sum(col("cnt")).as("sum_wd"))
+        val tot = daily.agg(count(lit(1)).as("n_days"),
+          sum(col("cnt")).as("sum_total"))
+        byDow.crossJoin(broadcast(tot))
+          .select(col("dow"), col("n_days_wd"), col("sum_wd"),
+            expr("(sum_wd * n_days * 100) div (n_days_wd * sum_total)")
+              .as("idx_x100"))
+          .orderBy("dow")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT o_orderdate AS d, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |bydow AS (
+        |  SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |    COUNT(*) AS n_days_wd, CAST(SUM(cnt) AS BIGINT) AS sum_wd
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_days,
+        |          CAST(SUM(cnt) AS BIGINT) AS sum_total
+        |        FROM daily)
+        |SELECT dow, n_days_wd, sum_wd,
+        |  (sum_wd * n_days * 100) // (n_days_wd * sum_total) AS idx_x100
+        |FROM bydow, tot ORDER BY dow""".stripMargin)),
+
     // ---- AUTOCORRELATION FUNCTION (ACF, lags 1..7) of the daily
     // order-count series — the standard seasonality/persistence
     // diagnostic that decides a forecast model (and pairs with
