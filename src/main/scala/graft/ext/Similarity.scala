@@ -1749,7 +1749,7 @@ object SimilarityQueries extends QueryModule {
       oracle = Some(embCte + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
         |${assignedSql("emb")},
-        |knn AS (
+        |knn AS MATERIALIZED (
         |  SELECT vec_id, n_id, rank, sim FROM (
         |    SELECT a.vec_id, b.vec_id AS n_id,
         |      ${cosSqlOf("a.v", "b.v")} AS sim,
@@ -1797,10 +1797,15 @@ object SimilarityQueries extends QueryModule {
           .select(col("node").as("vec_id"), col("deg"))
           .orderBy("vec_id")
       },
+      // every peel CTE is MATERIALIZED: DuckDB inlines plain CTEs, so
+      // e3's tree would otherwise re-evaluate e2 twice (via n3 and
+      // itself), e1 four times, ... and the expensive knn pair join
+      // ~2^rounds times — measured as a >50 GB spill at sf1; with
+      // materialization the chain is linear and knn runs once
       oracle = Some(embCte + s""",
         |${Similarity.lloydSql(2, cosSqlOf)},
         |${assignedSql("emb")},
-        |knn AS (
+        |knn AS MATERIALIZED (
         |  SELECT vec_id, n_id FROM (
         |    SELECT a.vec_id, b.vec_id AS n_id,
         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1808,11 +1813,14 @@ object SimilarityQueries extends QueryModule {
         |    FROM assigned a JOIN assigned b
         |      ON a.bucket = b.bucket AND b.vec_id != a.vec_id)
         |  WHERE rank <= 3),
-        |e0 AS (SELECT e.vec_id AS src, e.n_id AS dst FROM knn e
+        |e0 AS MATERIALIZED (
+        |       SELECT e.vec_id AS src, e.n_id AS dst FROM knn e
         |       JOIN knn r ON e.vec_id = r.n_id AND e.n_id = r.vec_id),
-        |${(1 to 3).map(r => s"""n$r AS (SELECT src FROM e${r - 1}
+        |${(1 to 3).map(r => s"""n$r AS MATERIALIZED (
+        |        SELECT src FROM e${r - 1}
         |        GROUP BY src HAVING COUNT(*) >= 2),
-        |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+        |e$r AS MATERIALIZED (
+        |        SELECT e.src, e.dst FROM e${r - 1} e
         |        JOIN n$r a ON e.src = a.src
         |        JOIN n$r b ON e.dst = b.src)""").mkString(",\n")}
         |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
