@@ -1371,7 +1371,10 @@ object TextQueries extends QueryModule {
         |      FROM scored)
         |SELECT doc_id, score, CAST(srank AS BIGINT) AS srank,
         |  CAST((srank * 10000) // n AS BIGINT) AS ecdf_bp
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin),
+      bench = true) // the rank-TRANSFORM scale path: every doc flows
+                    // through the range-partitioned sort (vs
+                    // q_exact_median's rank SELECTION of one element)
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —
