@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.ops.{MaintenanceJob, TableStats}
+import graft.ops.{Histogram, MaintenanceJob, TableStats}
 
 /** The two spark-submit entry points `airflow/graft_curation_dag.py`
   * schedules, driven end-to-end in sequence exactly as the DAG
@@ -41,9 +41,10 @@ class CurationJobSpec extends SparkSpec {
     val retry = CurationJob.run(spark, src, pipeBase)
     assert(retry === stats, s"$retry vs $stats")
 
-    // maintenance: compact the per-batch small files, refresh stats
+    // maintenance: compact the per-batch small files, refresh stats +
+    // the doc_id equi-depth histogram
     val curated = s"$pipeBase/curated"
-    val m = MaintenanceJob.run(spark, curated)
+    val m = MaintenanceJob.run(spark, curated, histColumns = Seq("doc_id"))
     assert(m("rows") === 2L, m)
     assert(m("data_files") >= 1L && m("data_files") <= 2L, m)
     // batch_id partitioning survived the rewrite; rows intact
@@ -53,5 +54,12 @@ class CurationJobSpec extends SparkSpec {
     // stats landed in the layout statsJoin consumers read
     val ts = TableStats.read(spark, s"$curated-__stats")
     assert(TableStats.rowCount(ts) === 2L)
+    // the histogram landed in the layout the broadcast gate consults:
+    // with 2 rows the boundaries are the median and max doc_ids, and
+    // the estimate bracket is immediately usable
+    val hist = Histogram.read(spark, s"$curated-__hist/doc_id")
+    assert(hist.count() === 2L, "expected 2 distinct boundary ranks")
+    assert(Histogram.estHiLe(hist, "v",
+      org.apache.spark.sql.functions.lit(999L)) === 2L)
   }
 }
