@@ -97,7 +97,8 @@ object Bench {
       // avg shuffle bytes per timed run (a query may fire several
       // actions internally — persists, exports — all of them ARE the
       // query's cost, so sum the slice and divide by runs)
-      shuffleBytes(name) = drainedSnapshot().map(_.shuffleBytesWritten).sum / 5
+      shuffleBytes(name) =
+        drainedSnapshot().map(_.shuffleBytesWritten).sum / runs.size
       name -> dt
     }
     val sj = shuffleBytes.map { case (k, v) => "\"" + k + "\":" + v }

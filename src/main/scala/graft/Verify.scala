@@ -13,11 +13,14 @@ object Verify {
     val only = args.drop(2).toSet
     // kernel-frame exports (minhash sigs, simhash fps) feed the DuckDB
     // oracle; only the correctness harness needs them written. The
-    // export dir lives INSIDE this run's outDir (set before any query
-    // module initializes, so the oracle SQL embeds the same path) —
-    // runs at different scales can't clobber each other's exports.
+    // export dir is a SIBLING of this run's outDir (set before any
+    // query module initializes, so the oracle SQL embeds the same
+    // path): still keyed to the run — concurrent scales can't clobber
+    // each other — but NOT inside outDir, where the driver's checker
+    // would enumerate it as a phantom oracle-less query.
     sys.props("graft.oracle.export") = "true"
-    sys.props("graft.oracle.exportDir") = s"$outDir/graft_oracle"
+    sys.props("graft.oracle.exportDir") =
+      s"${outDir.stripSuffix("/")}_graft_oracle_frames"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

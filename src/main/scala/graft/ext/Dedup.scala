@@ -27,13 +27,14 @@ object DedupFunctions {
     * the same kernel output (the kernels themselves are spec-covered).
     * The oracle runs next to the Spark driver, so a local path works.
     *
-    * [[graft.Verify]] points this INSIDE its output dir (the property
-    * is read before any oracle SQL is constructed, so the embedded
-    * read_parquet paths follow): exports are keyed to the verify run
-    * that produced them. With a shared fixed path, a Verify at one
-    * scale would silently overwrite the exports a concurrent/later
-    * oracle check at another scale still needs — the oracle then
-    * joins sf0.001-sized kernel frames against sf1 query output. */
+    * [[graft.Verify]] points this at a SIBLING of its output dir (the
+    * property is read before any oracle SQL is constructed, so the
+    * embedded read_parquet paths follow): exports are keyed to the
+    * verify run that produced them — with a shared fixed path, a
+    * Verify at one scale would silently overwrite the exports a
+    * concurrent/later oracle check at another scale still needs — but
+    * live OUTSIDE the output dir itself, which the driver's checker
+    * enumerates as the query surface. */
   val oracleExportDir: String =
     sys.props.getOrElse("graft.oracle.exportDir",
       s"${System.getProperty("java.io.tmpdir")}/graft_oracle")
@@ -130,17 +131,17 @@ object DedupFunctions {
   }
 
   private[ext] val lastSigs =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_ngram_novelty's per-doc shingle-set frame (swap-released,
     * bounded at one copy across invocations — the lastSigs pattern). */
   private[ext] val lastNoveltyGrams =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_passage_scrub's positioned-gram frame cache — bounded at one
     * copy across invocations (the lastSigs pattern). */
   private[ext] val lastGrams =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** DuckDB CTE mirroring [[withPlantedNearDups]]. */
   val plantedCte: String =

@@ -35,6 +35,11 @@ object FingerprintQueries extends QueryModule {
   // audit and the simhash operator can never disagree on the radius
   private[ext] val hammingMax = 8
 
+  /** q_neardup_simhash's fingerprint frame — read twice by the
+    * pigeonhole self-join, so persisted; swap-released so exactly one
+    * copy stays live across invocations (the Dedup.lastSigs bound). */
+  private val lastSimhashFp = graft.ops.BuildOnce.swapRef()
+
   /** The 9 pigeonhole blocks of a 64-bit fingerprint column:
     * rows of (block_idx, block_val). */
   private def blocks(fp: org.apache.spark.sql.Column) = {
@@ -119,10 +124,10 @@ object FingerprintQueries extends QueryModule {
     // frame is exported so DuckDB can verify the join end-to-end.
     "q_neardup_simhash" -> QueryDef(
       fn = (spark, dir) => {
-        val docs = withPlantedNearDups(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            simhash64(spark, TextFunctions.wsTokens(col("text"))).as("fp"))
-          .persist()
+        val docs = graft.ops.BuildOnce.swapPersist(lastSimhashFp,
+          withPlantedNearDups(Tables(spark, dir, "documents"))
+            .select(col("doc_id"), col("lang"),
+              simhash64(spark, TextFunctions.wsTokens(col("text"))).as("fp")))
         if (DedupFunctions.exportOracleFrames) {
           docs.coalesce(1).write.mode("overwrite")
             .parquet(s"$oracleExportDir/simhash_fp")

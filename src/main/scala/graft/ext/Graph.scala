@@ -145,9 +145,9 @@ object GraphOps {
   /** Bounded caches for the iteration-invariant frames (one live copy
     * each across invocations; superseded copies released on swap). */
   private val lastEdges =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
   private val lastNodes =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** BFS hop distances from `source` over directed edges (src, dst),
     * capped at `maxHops` — frontier-style Pregel traversal: each round
@@ -204,7 +204,7 @@ object GraphOps {
   }
 
   private val lastLpEdges =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops")

@@ -114,16 +114,11 @@ object PipelineOps {
     * notice it was unreferenced (unbounded in-flight copies on a big
     * graph; the whole point of releasing per round is a bounded
     * working set). */
-  private def release(df: DataFrame): Unit = {
-    df.unpersist()
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
-  }
+  private def release(df: DataFrame): Unit =
+    graft.ops.BuildOnce.releaseFrame(df)
 
   private val lastLabels =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** Rounds the last [[connectedComponents]] call took to converge —
     * test observability for the O(log diameter) claim. */
@@ -813,7 +808,7 @@ object PipelineQueries extends QueryModule {
     * columns, text dropped) — two consumers; swap-release bounds the
     * cache at one live copy across invocations. */
   private val lastFunnelFlags =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** Build-once memo for the incrementally-built join view (one per
     * dataset dir). Orders split by KEY parity, lineitems by

@@ -437,27 +437,27 @@ object SimilarityQueries extends QueryModule {
   /** The previous invocation's persisted PQ-code index — released when
     * the next invocation installs its own (bounded at one copy). */
   private val lastCodes =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_cluster_labels' (bucket, term) count frame — four consumers
     * read it; swap-release bounds the cache at one live copy. */
   private val lastBucketTerms =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_ann_recall's exact top-k truth frame (sample×k ids, but its
     * lineage is the corpus pass) — two consumers; same bounding. */
   private val lastExactTop =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_mutual_knn's edge frame (both sides of the mutuality join) —
     * same swap-release bounding. */
   private val lastMutualEdges =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_kcore's knn edge frame (probe + build sides of the
     * reciprocity semi-join) — same swap-release bounding. */
   private val lastKcoreEdges =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** Test hook: drop EVERY build-once memo (training, index layouts,
     * the star warehouse) so a spec can force the artifacts to be

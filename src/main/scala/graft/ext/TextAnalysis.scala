@@ -106,7 +106,7 @@ object TextFunctions {
     * copy across invocations, the Dedup.lastSigs pattern) so the
     * explode+distinct shuffle over the eval set runs once, not twice. */
   private val lastEvalGrams =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   def decontaminateBloom(corpus: DataFrame, eval: DataFrame, n: Int): DataFrame = {
     val evalGrams = graft.ops.BuildOnce.swapPersist(lastEvalGrams, eval
@@ -287,11 +287,11 @@ object TextQueries extends QueryModule {
   /** q_token_lift's pair-count frame cache — bounded at one copy
     * across invocations (the Dedup.lastSigs swap-release pattern). */
   private val lastPairs =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_bigram_oov's bigram-stream cache — same swap-release bounding. */
   private val lastBigrams =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1385,8 +1385,7 @@ object TextQueries extends QueryModule {
     * quality) — swap-released, bounded at one copy across
     * invocations (the Dedup.lastSigs pattern). */
   private val lastCalibScores =
-    new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** The hashed-linear classifier score (exact BIGINT sum of
     * per-token weights; see q_quality_classifier's header comment) —

@@ -62,6 +62,57 @@ object BuildOnce {
     while (hooks.hasNext) hooks.next().apply()
   }
 
+  private val swapRefs = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]]
+
+  /** Create a REGISTERED one-slot swap ref (see [[swapPersist]]).
+    * Every query-held persisted frame must live in one of these — the
+    * registry is what lets [[releaseSwapped]] (and the cache-hygiene
+    * sweep spec built on it) prove that nothing in the codebase pins
+    * executor memory outside an owned, releasable slot. */
+  def swapRef(): java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame] = {
+    val r = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame]()
+    swapRefs.add(r)
+    r
+  }
+
+  /** Live (currently-persisted) swap slots. */
+  def liveSwapCount: Int = {
+    var n = 0
+    val it = swapRefs.iterator()
+    while (it.hasNext) if (it.next().get() != null) n += 1
+    n
+  }
+
+  /** Deterministic frame release: unpersist, PLUS the LogicalRDD
+    * reach-through for localCheckpoint'ed frames — those hold their
+    * data as RDD-level persistence that `Dataset.unpersist()` does NOT
+    * touch; without the reach-through the copy sits in storage until
+    * the weak-ref ContextCleaner happens to collect it. */
+  def releaseFrame(df: org.apache.spark.sql.DataFrame,
+      blocking: Boolean = false): Unit = {
+    df.unpersist(blocking)
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking)
+      case _ => ()
+    }
+  }
+
+  /** Release EVERY swap slot (blocking unpersist) — the test hook that
+    * makes cache hygiene checkable: after queries run, releaseSwapped()
+    * + clearAll() must leave zero persisted RDDs, or some code path
+    * persisted outside an owned slot (the leak class this registry
+    * exists to kill). */
+  def releaseSwapped(): Unit = {
+    val it = swapRefs.iterator()
+    while (it.hasNext) {
+      Option(it.next().getAndSet(null)).foreach(releaseFrame(_, blocking = true))
+    }
+  }
+
   /** One-slot persisted-frame cache: release the PREVIOUS invocation's
     * copy FIRST, then persist the new one. The reverse order
     * (persist-then-release) self-defeats whenever consecutive

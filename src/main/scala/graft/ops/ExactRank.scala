@@ -90,6 +90,14 @@ object ExactRank {
       sortCols: Seq[Column],
       rankCol: String = "rank",
       nCol: String = "n_total"): DataFrame = {
+    // the offs branch and the join branch MUST observe one shared range
+    // exchange (identical sampled partition boundaries) — that is what
+    // Catalyst exchange reuse provides. ExactRankSpec asserts it in the
+    // physical plan; this require catches a session that disabled it
+    // (results would be silently wrong, not slow).
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "ExactRank requires spark.sql.exchange.reuse=true: local ranks and " +
+        "prefix-sum offsets must branch from one shared range exchange")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)

@@ -19,12 +19,12 @@ object AdvancedQueries extends QueryModule {
     * derivation and the output semi-join; swap-released, bounded at
     * one copy across invocations (the Dedup.lastSigs pattern). */
   private val lastParetoSup =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** q_assoc_rules' basket-item frame (pair self-join both sides +
     * support counts) — same swap-release bounding. */
   private val lastRuleItems =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   /** A-priori pruned pair mining over distinct (ok, item) rows: drop
     * items whose basket-support share is below `minShare` (an

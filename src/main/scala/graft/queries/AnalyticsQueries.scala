@@ -17,7 +17,7 @@ object AnalyticsQueries extends QueryModule {
     * rank passes + bucket join; swap-released so repeated Bench/Verify
     * invocations never accumulate pinned cache entries. */
   private val lastRfm =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 

@@ -15,15 +15,15 @@ object EventsQueries extends QueryModule {
     * invocations (the Dedup.lastSigs release pattern): repeated
     * Bench/Verify runs must not accumulate cache entries. */
   private val lastSeries =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
   private val lastTrans =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
   private val lastFunnelS1 =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
   private val lastMadDev =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
   private val lastFunnelS2 =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    graft.ops.BuildOnce.swapRef()
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 

@@ -35,11 +35,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object HistogramMaintenance {
 
-  /** Bucket of `v` over the fixed grid: clamp(⌊(v − lo)/width⌋, 0,
-    * buckets−1). Below-lo quotients are negative and clamp to 0, so
-    * floor-vs-truncate never matters post-clamp. */
+  /** Bucket of `v` over the fixed grid: clamp((v − lo) div width, 0,
+    * buckets−1). Exact LONG arithmetic throughout — `div` is integral
+    * division, and clamping below-lo values to 0 BEFORE dividing makes
+    * truncation and floor coincide — so bucket assignment and
+    * [[estimateLe]]'s exact-long edge math share one definition. (The
+    * earlier double-division formulation could round a value past
+    * 2^53 into the adjacent bucket, silently breaking the certain
+    * est_lo/est_hi bracket.) */
   def bucketOf(v: Column, lo: Long, width: Long, buckets: Int): Column =
-    least(greatest(floor((v - lo) / width).cast("long"), lit(0L)),
+    least(
+      call_function("div", greatest(v.cast("long") - lo, lit(0L)), lit(width)),
       lit(buckets - 1L))
 
   /** One frame reduced to its sparse (bucket, c) counts — partial
