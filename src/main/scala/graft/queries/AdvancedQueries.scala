@@ -886,6 +886,47 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag"),
       oracle = None),
 
+    // ---- q_approx_aggs' CORRECTNESS companion: the sketches above are
+    // engine-specific (no hash oracle), but their ERROR BOUNDS are
+    // checkable claims — this query computes, in-engine, whether each
+    // approximate answer sits inside its documented bound vs the exact
+    // answer (the ApproxAggSpec contract: |approx−exact| within 4× the
+    // 2% rsd for HLL++, approx-median between exact P40 and P60 for the
+    // 1e-3-accuracy KLL), and emits the WITHIN-BOUND flags. Those flags
+    // are deterministic — comfortably inside the bound at every scale —
+    // so the oracle is the all-ones table over the same groups, and the
+    // last rows-only entry gains a hash-checked error certificate.
+    // Integer comparisons only (|a−e|·100 ≤ e·8 in BIGINT), no float
+    // thresholds cross the engine boundary.
+    "q_approx_err_bound" -> QueryDef(
+      fn = (spark, dir) => Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile(col("l_extendedprice"), lit(0.4)).as("p40"),
+          percentile(col("l_extendedprice"), lit(0.6)).as("p60"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .select(
+          col("l_returnflag"),
+          (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 8).cast("long").as("orders_in_bound"),
+          (abs(col("approx_parts") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 8).cast("long").as("parts_in_bound"),
+          (col("approx_median") >= col("p40") &&
+            col("approx_median") <= col("p60"))
+            .cast("long").as("median_in_bound"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        |SELECT l_returnflag,
+        |  CAST(1 AS BIGINT) AS orders_in_bound,
+        |  CAST(1 AS BIGINT) AS parts_in_bound,
+        |  CAST(1 AS BIGINT) AS median_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- Nested/array types: per-customer sorted order-price list +
     // array ops over it (the collect + array-function surface).
     "q_array_agg" -> QueryDef(
