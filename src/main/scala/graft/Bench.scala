@@ -46,6 +46,27 @@ object Bench {
     // so drain until the count stops moving before reading a query's
     // slice. Diagnostics land in a SIDE file + stderr only — the
     // driver's stdout contract stays exactly one JSON line.
+    // ambient-load calibration: a fixed single-thread spin kernel (pure
+    // register arithmetic — no allocation, no I/O) timed before and
+    // after the query loop. Its wall time depends ONLY on how much CPU
+    // the shared host is giving this process, so a driver run that
+    // lands in the inflated class (observed: same-commit totals
+    // swinging 22.7 → 30.1 s under ambient load) is machine-
+    // identifiable from the JSON tail instead of burning a round on a
+    // phantom regression. Reference: ~0.5 s unloaded on this host.
+    def spinSec(): Double = {
+      val t0 = System.nanoTime()
+      var x = 88172645463325252L
+      var i = 0L
+      while (i < 250000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    spinSec() // JIT warm
+    val calibPre = spinSec()
+
     val ml = graft.ops.MetricsListener.attach(spark)
     def drainedSnapshot(): Seq[ml.QueryMetrics] = {
       var prev = -1
@@ -108,10 +129,11 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")),
       (s"""{"shuffle_bytes_per_run":$sj}""" + "\n").getBytes("UTF-8"))
+    val calibPost = spinSec()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":{"pre":$calibPre,"post":$calibPost}}"""
     // stdout for the driver, plus a file copy so a log-drowned stdout
     // (warnings interleaved by sbt) can't lose the measurement
     println(json)

@@ -69,45 +69,50 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000L, broadcastNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters $iters")
-    // TRANSIENT cache of the raw edge frame: the caller's edge-building
-    // subtree (typically a fact join + pair aggregation) is the
-    // expensive part, and three derivations need it — the out-weight
-    // aggregate, the regime count, and the out-weight attach below.
-    // Cached, each is a narrow pass over columnar memory; released as
-    // soon as the attached frame is materialized (see the eager count).
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .persist()
+    // Cache the raw edge frame: the caller's edge-building subtree
+    // (typically a fact join + pair aggregation) is the expensive
+    // part, and the returned plan embeds `iters` references to it —
+    // uncached, every iteration would re-derive it (measured: the
+    // sf0.1 order graph rebuilt lineitem⨝orders 5×). Swap-release
+    // bounds the cache at one copy across invocations.
+    val e = graft.ops.BuildOnce.swapPersist(lastEdges,
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
     // out-weights — exactly one row per node that HAS out-edges, which
     // (sources define the node set, see below) IS the node list: so
     // persist it, count it to pick the join regime, and derive `nodes`
-    // as a projection instead of a distinct over the edge frame
+    // as a projection instead of a distinct over the edge frame. This
+    // count is the ONE eager action of the build: it materializes the
+    // edge cache and the out-weight cache in a single pass.
     val outw = graft.ops.BuildOnce.swapPersist(lastNodes,
       e.groupBy("src").agg(sum(col("w")).as("ow")))
     val small = outw.count() <= broadcastNodes
     val nodes = outw.select(col("src").as("node"))
-    // every edge carries its source's total out-weight; this join
-    // happens ONCE, not per iteration. PERSISTED: the returned plan
-    // embeds `iters` references to the edge frame — uncached, every
-    // iteration would re-derive the whole edge-building subtree
-    // (measured: the sf0.1 order graph rebuilt lineitem⨝orders 5×).
-    // In the broadcast regime the out-weight attach is itself a
-    // broadcast join, so the edge frame is built and cached WITHOUT
-    // ever shuffling (the cost model previously picked a
-    // SortMergeJoin here — a full 2-sided sort-shuffle of the edge
-    // list — because a fresh aggregate has no size stats; the regime
-    // count doubles as the measurement that licenses the hint). The
-    // co-partitioned regime instead pins the persisted layout to
-    // hash(src) so per-iteration joins reuse the exchange. Swap-release
-    // refs bound the cache at one copy per frame across invocations.
-    val withOw = graft.ops.BuildOnce.swapPersist(lastEdges,
+    // every edge must carry its source's total out-weight. Regimes:
+    //   - broadcast (node set ≤ broadcastNodes, the common curation
+    //     case): the attach is NOT materialized at all — each
+    //     iteration's map stage fuses a broadcast hash probe of the
+    //     nlist-bounded out-weight table into its scan of the cached
+    //     edge frame. Measured against both alternatives at sf0.1,
+    //     this is the fastest shape: eagerly persisting the attached
+    //     frame costs a serial build action, and LAZILY persisting it
+    //     (iteration 1 materializes) pays the 4-column cache encode of
+    //     the whole edge list — both cost more than re-probing a
+    //     16k-row broadcast five times (min 2.8 s vs 3.1/3.4 s).
+    //   - co-partitioned (larger graphs, where a per-node broadcast
+    //     would not fit): attach ONCE, pinned to hash(src) so every
+    //     per-iteration join reuses the exchange; materialized eagerly
+    //     FROM the raw edge cache, which is then released — at this
+    //     regime's scale, double-caching the edge list is real memory,
+    //     and a per-iteration re-attach would be a full shuffle each.
+    val iterFrame =
       if (small) e.join(broadcast(outw), "src")
-      else e.repartition(col("src")).join(outw, "src"))
-    // eagerly materialize the attached frame FROM the transient edge
-    // cache, then release the raw copy — the iterations hold only one
-    // cached edge frame (memory matters more than the extra narrow
-    // pass; at cluster scale this is one columnar scan)
-    withOw.count()
-    e.unpersist()
+      else {
+        val attached = graft.ops.BuildOnce.swapPersist(lastAttached,
+          e.repartition(col("src")).join(outw, "src"))
+        attached.count()
+        Option(lastEdges.getAndSet(null)).foreach(_.unpersist())
+        attached
+      }
     // pr as a pure BIGINT function of the previous contribution sum
     // (absent sum ⇒ 0); `div`/left-assoc precedence matches the doc'd
     // recurrence exactly — never Column./ (double division)
@@ -127,11 +132,11 @@ object GraphOps {
     for (_ <- 1 to iters) {
       val joined = contrib match {
         // iteration 1: every node holds exactly `scale`
-        case None => withOw.select(col("dst"),
+        case None => iterFrame.select(col("dst"),
           expr(s"CAST($scale AS BIGINT) * w div ow").as("c"))
         case Some(prev) =>
           val p = if (small) broadcast(prev) else prev
-          withOw.join(p, withOw("src") === p("node"), "left")
+          iterFrame.join(p, iterFrame("src") === p("node"), "left")
             .select(col("dst"), expr(s"$prSql * w div ow").as("c"))
       }
       contrib = Some(joined.groupBy(col("dst").as("node"))
@@ -143,10 +148,14 @@ object GraphOps {
   }
 
   /** Bounded caches for the iteration-invariant frames (one live copy
-    * each across invocations; superseded copies released on swap). */
+    * each across invocations; superseded copies released on swap).
+    * `lastAttached` is occupied only in the co-partitioned regime
+    * (the broadcast regime fuses the attach into each iteration). */
   private val lastEdges =
     graft.ops.BuildOnce.swapRef()
   private val lastNodes =
+    graft.ops.BuildOnce.swapRef()
+  private val lastAttached =
     graft.ops.BuildOnce.swapRef()
 
   /** BFS hop distances from `source` over directed edges (src, dst),
@@ -284,6 +293,42 @@ object GraphQueries extends QueryModule {
     |    FROM $prev r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = e.src
     |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
+  /** The shared weighted bipartite order graph — integer node ids
+    * (cust → 2k, supp → 2k+1), both directions via one generator pass
+    * (a union of the join+agg subtree would execute it twice; Spark
+    * does no CSE across union branches). ONE definition for pagerank /
+    * label propagation / modularity: q_modularity reads the edge list
+    * from labelPropagation's cache, which only works while their
+    * canonical plans stay identical.
+    *
+    * The pair aggregation is repartition-FIRST: the (cust, supp) key is
+    * near-unique (w̄ ≈ 1.1 lineitems per pair), so map-side partial
+    * aggregation reduces almost nothing while serializing the whole
+    * 550k-entry hash into the scan stage — whose parallelism is capped
+    * by the file's row groups (3 tasks at sf0.1). The explicit exchange
+    * on the group keys moves the same bytes the aggregation would
+    * shuffle anyway, but runs the hash at full width (measured
+    * 1.47 → 0.72 s at sf0.1). The explicit partition count keeps AQE
+    * from advisory-coalescing the user shuffle back to one task. */
+  private def orderGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("o_custkey"), col("l_suppkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"),
+        col("w"))
+      .select(expr(
+        "inline(array(struct(c AS src, s AS dst, w)," +
+          " struct(s AS src, c AS dst, w)))"))
+  }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- PageRank over the customer–supplier order graph: an edge
@@ -295,15 +340,6 @@ object GraphQueries extends QueryModule {
     // serving well-connected customers, not merely many of them.
     "q_pagerank" -> QueryDef(
       fn = (spark, dir) => {
-        val orders = Tables(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        // aggregate on the INTEGER keys (narrow shuffle, partial-agg
-        // friendly), label only the ~distinct pairs afterwards; the
-        // bidirectional expansion is one generator pass — a
-        // union(cs, cs.swapped) would execute the whole join+agg
-        // subtree twice (Spark does no CSE across union branches)
         // INTEGER node ids through the iterations (cust → 2k,
         // supp → 2k+1): the ranks/contributions hash-join and
         // re-aggregate 5×, and long keys hash/compare/serialize far
@@ -311,16 +347,7 @@ object GraphQueries extends QueryModule {
         // presentational, so they attach ONCE at the end. The rank
         // arithmetic is key-type-independent, and the output (label,
         // pr) is unchanged, so the string-keyed oracle still matches.
-        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-          .groupBy(col("o_custkey"), col("l_suppkey"))
-          .agg(count(lit(1)).as("w"))
-          .select((col("o_custkey").cast("long") * 2).as("c"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
-            col("w"))
-          .select(expr(
-            "inline(array(struct(c AS src, s AS dst, w)," +
-              " struct(s AS src, c AS dst, w)))"))
-        GraphOps.pageRank(edges, iters = 5)
+        GraphOps.pageRank(orderGraphEdges(spark, dir), iters = 5)
           .filter(col("node") % 2 === 1)
           .select(
             concat(lit("S"), shiftright(col("node"), 1).cast("string"))
@@ -359,20 +386,7 @@ object GraphQueries extends QueryModule {
     // replays every round exactly.
     "q_label_prop" -> QueryDef(
       fn = (spark, dir) => {
-        val orders = Tables(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-          .groupBy(col("o_custkey"), col("l_suppkey"))
-          .agg(count(lit(1)).as("w"))
-          .select((col("o_custkey").cast("long") * 2).as("c"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
-            col("w"))
-          .select(expr(
-            "inline(array(struct(c AS src, s AS dst, w)," +
-              " struct(s AS src, c AS dst, w)))"))
-        GraphOps.labelPropagation(edges, iters = 3)
+        GraphOps.labelPropagation(orderGraphEdges(spark, dir), iters = 3)
           .groupBy("label")
           .agg(count(lit(1)).as("sz"))
           .select(col("label").as("community"), col("sz"))
@@ -408,19 +422,7 @@ object GraphQueries extends QueryModule {
     // (same canonical plan → CacheManager serves it).
     "q_modularity" -> QueryDef(
       fn = (spark, dir) => {
-        val orders = Tables(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val edges = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-          .groupBy(col("o_custkey"), col("l_suppkey"))
-          .agg(count(lit(1)).as("w"))
-          .select((col("o_custkey").cast("long") * 2).as("c"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("s"),
-            col("w"))
-          .select(expr(
-            "inline(array(struct(c AS src, s AS dst, w)," +
-              " struct(s AS src, c AS dst, w)))"))
+        val edges = orderGraphEdges(spark, dir)
         val labels = GraphOps.labelPropagation(edges, iters = 3)
         val e = edges.select(col("src"), col("dst"),
           col("w").cast("long").as("w"))

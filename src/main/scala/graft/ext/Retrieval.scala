@@ -58,18 +58,25 @@ object RetrievalQueries extends QueryModule {
   /** Build-once memo for the plain-IVF `VectorIndex` layout the
     * indexed hybrid's semantic leg probes (same bounded-memo policy
     * as the ANN index memos; trained with the SHARED `q_ann_ivf`
-    * centroids, so one training serves every consumer). */
-  private val vecIdxMemo = graft.ops.BuildOnce.memo[String, String]()
+    * centroids, so one training serves every consumer). Holds the
+    * OPENED DataFrame so repeat probes reuse the resolved FileIndex
+    * (the same serving-handle discipline as the IVF-PQ / inverted
+    * index memos). */
+  private val vecIdxMemo = graft.ops.BuildOnce.memo[String, DataFrame]()
 
-  private def vecIndexFor(spark: SparkSession, dir: String): String =
+  private def vecIndexFor(spark: SparkSession, dir: String): DataFrame = {
+    vecIdxMemo.get(dir).foreach { ix =>
+      if (!(ix.sparkSession eq spark)) vecIdxMemo.remove(dir)
+    }
     graft.ops.BuildOnce.cached(vecIdxMemo, dir) {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_hybrid_vec_index").toString
       graft.ops.VectorIndex.build(
         SimilarityQueries.embCorpus(spark, dir),
         SimilarityQueries.ivfCentroids(spark, dir), idx)
-      idx
+      spark.read.parquet(idx)
     }
+  }
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
@@ -148,17 +155,17 @@ object RetrievalQueries extends QueryModule {
     "q_hybrid_rrf_indexed" -> QueryDef(
       fn = (spark, dir) => {
         val lexW = Window.orderBy(col("score").desc, col("doc_id"))
-        val lex = graft.ops.InvertedIndex.probe(spark,
+        val lex = graft.ops.InvertedIndex.probe(
             TextQueries.invIndexFor(spark, dir),
             TextQueries.bm25Terms, FuseDepth)
           .withColumn("r_lex", row_number().over(lexW).cast("long"))
           .select("doc_id", "r_lex")
         val qv = embFrame(spark, dir).filter(col("vec_id") === 0)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        val sem = graft.ops.VectorIndex.probe(spark,
+        val sem = graft.ops.VectorIndex.probe(
             vecIndexFor(spark, dir), qv,
             SimilarityQueries.ivfCentroids(spark, dir),
-            nprobe = 2, k = FuseDepth)
+            nprobe = 2, k = FuseDepth, metaFilter = None)
           .select(col("n_id").as("doc_id"), col("rank").as("r_sem"))
         lex.join(sem, Seq("doc_id"), "full_outer")
           .withColumn("rrf",

@@ -752,20 +752,44 @@ object SimilarityQueries extends QueryModule {
     adcRerank(scored, emb, queries)
   }
 
+  /** An OPENED served IVF-PQ index: the on-disk path plus everything a
+    * probe session holds resident — the two training sketches READ BACK
+    * from the layout (bounded: nlist + m×16 rows; parquet round-trips
+    * doubles bit-exactly, so they equal the training memo's values) and
+    * the two hive-layout DataFrames, opened ONCE so their resolved
+    * FileIndex (directory listing + schema) is reused across probes.
+    * Re-listing per probe was q_ann_ivfpq_indexed's measured overhead:
+    * the served path cost MORE than its rebuild-per-run twin at sf0.1
+    * because every run re-enumerated the hive tree. A real vector store
+    * keeps exactly this handle open per serving process. */
+  private case class ServedPqIndex(
+      path: String,
+      centroids: Seq[(Long, Seq[Double])],
+      books: Seq[(Int, Long, Seq[Double])],
+      codes: DataFrame,
+      vectors: DataFrame)
+
   /** Build-once memo for the MATERIALIZED IVF-PQ index ("build once on
     * disk, probe many"): first use per (dataset dir, m, subDim) trains
-    * (via the bounded training memos), encodes, and writes the
-    * [[graft.ops.VectorIndex.buildPq]] layout; repeat uses return the
-    * index path. Bounded like the training memos — on overflow the map
-    * clears and a later use rebuilds (the orphaned temp dirs are
-    * harness-lifetime only; a production deployment pins ONE index dir
-    * per corpus). */
+    * (via the bounded training memos), encodes, writes the
+    * [[graft.ops.VectorIndex.buildPq]] layout, and opens it; repeat
+    * uses return the opened handle. Bounded like the training memos —
+    * on overflow the map clears and a later use rebuilds (the orphaned
+    * temp dirs are harness-lifetime only; a production deployment pins
+    * ONE index dir per corpus). */
   private val pqIndexMemo =
-    graft.ops.BuildOnce.memo[(String, Int, Int), String]()
+    graft.ops.BuildOnce.memo[(String, Int, Int), ServedPqIndex]()
 
   private def pqIndexFor(spark: SparkSession, dir: String, m: Int,
-      subDim: Int): String =
-    graft.ops.BuildOnce.cached(pqIndexMemo, (dir, m, subDim)) {
+      subDim: Int): ServedPqIndex = {
+    val key = (dir, m, subDim)
+    // an opened handle is session-bound (its DataFrames belong to the
+    // session that resolved them) — a handle from a stopped/previous
+    // session must be dropped, not served
+    pqIndexMemo.get(key).foreach { ix =>
+      if (!(ix.codes.sparkSession eq spark)) pqIndexMemo.remove(key)
+    }
+    graft.ops.BuildOnce.cached(pqIndexMemo, key) {
       import spark.implicits._
       val idx = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_index").toString
@@ -781,8 +805,18 @@ object SimilarityQueries extends QueryModule {
         centroids = centroids,
         codebooks = books.toDF("s", "c_id", "c_v"),
         dir = idx)
-      idx
+      ServedPqIndex(
+        path = idx,
+        centroids = spark.read.parquet(s"$idx/centroids")
+          .select("c_id", "c_v").as[(Long, Seq[Double])]
+          .collect().toSeq.sortBy(_._1),
+        books = spark.read.parquet(s"$idx/codebooks")
+          .select("s", "c_id", "c_v").as[(Int, Long, Seq[Double])]
+          .collect().toSeq.sortBy(t => (t._1, t._2)),
+        codes = spark.read.parquet(s"$idx/codes"),
+        vectors = spark.read.parquet(s"$idx/vectors"))
     }
+  }
 
   /** IVF-PQ top-k served from the MATERIALIZED on-disk index — the
     * production shape of [[ivfPqTopK]] (which demonstrates the same
@@ -800,23 +834,22 @@ object SimilarityQueries extends QueryModule {
   def ivfPqTopKIndexed(spark: SparkSession, dir: String, nprobe: Int = 2,
       m: Int = 8, subDim: Int = 8): DataFrame = {
     import spark.implicits._
-    val idx = pqIndexFor(spark, dir, m, subDim)
+    val ix = pqIndexFor(spark, dir, m, subDim)
     val queries = queryVecs(embFrame(spark, dir))
-    val centroids = spark.read.parquet(s"$idx/centroids")
-    // bounded sketch reads: m×16 codebook rows, ≤ queries×nprobe ids
-    val books = spark.read.parquet(s"$idx/codebooks")
-      .select("s", "c_id", "c_v").as[(Int, Long, Seq[Double])]
-      .collect().toSeq.sortBy(t => (t._1, t._2))
+    // the training sketches came back FROM THE LAYOUT when the handle
+    // was opened (ServedPqIndex); here they are local relations — the
+    // centroid probe plans with zero file scans
+    val centroids = ix.centroids.toDF("c_id", "c_v")
     val probes = probeBuckets(queries, centroids, nprobe)
       .select("q_id", "bucket")
     val buckets = probes.select("bucket").distinct().as[Long].collect()
-    val codes = spark.read.parquet(s"$idx/codes")
+    val codes = ix.codes
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
-    val look = Similarity.adcLookups(pqLutAll(queries, books, subDim), m, maxQ = 20)
+    val look = Similarity.adcLookups(pqLutAll(queries, ix.books, subDim), m, maxQ = 20)
     val scored = broadcast(probes).join(codes, "bucket")
       .withColumn("adc", (0 until m).map(look).reduceLeft(_ + _))
       .filter(col("n_id") =!= col("q_id"))
-    val vecs = spark.read.parquet(s"$idx/vectors")
+    val vecs = ix.vectors
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
       .select("vec_id", "v")
     adcRerank(scored, vecs, queries)

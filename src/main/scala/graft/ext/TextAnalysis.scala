@@ -1166,7 +1166,7 @@ object TextQueries extends QueryModule {
       // the benched entry: at 100 TB retrieval cost is probe cost, not
       // a corpus scan per query.
       fn = (spark, dir) => graft.ops.InvertedIndex.probe(
-        spark, invIndexFor(spark, dir), bm25Terms, 10),
+        invIndexFor(spark, dir), bm25Terms, 10),
       oracle = Some(bm25OracleSql),
       bench = true),
 
@@ -1414,16 +1414,26 @@ object TextQueries extends QueryModule {
   /** Build-once memo for the materialized inverted index (one per
     * dataset dir) — bounded like the ANN training memos. Orphaned temp
     * dirs on overflow are harness-lifetime only; production pins ONE
-    * index dir per corpus. */
-  private val invIndexMemo = graft.ops.BuildOnce.memo[String, String]()
+    * index dir per corpus. The memo holds the OPENED handle
+    * ([[graft.ops.InvertedIndex.Opened]]) so repeat probes reuse the
+    * resolved hive-tree FileIndex instead of re-listing it per run. */
+  private val invIndexMemo =
+    graft.ops.BuildOnce.memo[String, graft.ops.InvertedIndex.Opened]()
 
-  private[ext] def invIndexFor(spark: SparkSession, dir: String): String =
+  private[ext] def invIndexFor(spark: SparkSession,
+      dir: String): graft.ops.InvertedIndex.Opened = {
+    // a handle from a previous/stopped session must be reopened, not
+    // served (its DataFrames are bound to the resolving session)
+    invIndexMemo.get(dir).foreach { ix =>
+      if (!(ix.postings.sparkSession eq spark)) invIndexMemo.remove(dir)
+    }
     graft.ops.BuildOnce.cached(invIndexMemo, dir) {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_inv_index").toString
       graft.ops.InvertedIndex.build(Tables(spark, dir, "documents"), idx)
-      idx
+      graft.ops.InvertedIndex.open(spark, idx)
     }
+  }
 
   /** DuckDB replay of the exact-rational BM25 — shared verbatim by
     * `q_bm25` (full scan) and `q_bm25_indexed` (on-disk posting-list

@@ -121,6 +121,28 @@ object InvertedIndex {
     }
   }
 
+  /** An OPENED index: the 1-row corpus stats read once, plus the two
+    * layout DataFrames resolved once — so every later probe reuses the
+    * cached FileIndex (directory listing + schema of the nBuckets-way
+    * hive tree) instead of re-enumerating it. Probe latency at serving
+    * time is dominated by exactly that per-run metadata work; a real
+    * retrieval process holds one of these per index for its lifetime. */
+  case class Opened(nDocs: Long, totalDl: Long, nBuckets: Long,
+      postings: DataFrame, docstats: DataFrame)
+
+  def open(spark: SparkSession, dir: String): Opened = {
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    Opened(stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/docstats"))
+  }
+
+  /** One-shot convenience probe: open + probe (specs, ad-hoc). Serving
+    * paths should hold the [[Opened]] handle and probe that. */
+  def probe(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int): DataFrame =
+    probe(open(spark, dir), terms, k)
+
   /** BM25 top-k over the index for a fixed term list — BIT-IDENTICAL
     * to the full-scan `q_bm25` on the same corpus (spec-proven): the
     * probed postings pivot to fixed per-term tf columns, so the score
@@ -128,15 +150,12 @@ object InvertedIndex {
     * [[bm25TermScore]] expression, not an order-dependent SUM over
     * grouped rows (double addition does not commute across orderings).
     *
-    * Reads: the 1-row stats table (driver-side `.head()` — a bounded
-    * metadata read, the documented sketch-row class), the probed
-    * postings partitions only, and `docstats` joined on doc_id for
-    * candidate lengths. The corpus itself is never touched. */
-  def probe(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int): DataFrame = {
-    val stats = spark.read.parquet(s"$dir/stats").head()
-    val (nDocs, totalDl, nBuckets) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    * Reads: the probed postings partitions only, and `docstats` joined
+    * on doc_id for candidate lengths (corpus stats ride in on the
+    * handle). The corpus itself is never touched. */
+  def probe(ix: Opened, terms: Seq[String], k: Int): DataFrame = {
+    val spark = ix.postings.sparkSession
+    val (nDocs, totalDl, nBuckets) = (ix.nDocs, ix.totalDl, ix.nBuckets)
 
     // bucket ids via the same engine expression the build used (a
     // driver-side reimplementation of xxhash64 could drift)
@@ -145,7 +164,7 @@ object InvertedIndex {
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("bucket"))
       .distinct().as[Long].collect()
 
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = ix.postings
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*)) // static partition pruning
       .filter(col("term").isin(terms: _*)) // footer-pruned within buckets
 
@@ -170,7 +189,7 @@ object InvertedIndex {
       }: _*)
 
     val scored = cand
-      .join(spark.read.parquet(s"$dir/docstats"), "doc_id")
+      .join(ix.docstats, "doc_id")
       .crossJoin(broadcast(dfRow))
       .withColumn("score", terms.indices.map { i =>
         bm25TermScore(col(s"tf$i"), col(s"df$i"), col("dl"),

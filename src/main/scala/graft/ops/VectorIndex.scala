@@ -53,9 +53,19 @@ object VectorIndex {
 
   /** Assign every corpus vector to its nearest centroid and write the
     * index partitioned by the centroid id. `centroids` must be small
-    * (it is broadcast: nlist rows). */
+    * (it is broadcast: nlist rows).
+    *
+    * The write is COMPACTED: repartitioning by the bucket column lands
+    * each bucket's rows in one task, so every hive partition is one
+    * file instead of one-per-upstream-partition (nlist × shuffle
+    * partitions small files otherwise). Probe cost is dominated by
+    * per-file listing/footer/task overhead at this index's file sizes,
+    * so layout compactness IS probe latency; at 100 TB the same
+    * repartition instead bounds files per bucket at a sane target size
+    * (`ops/Compaction` owns the later re-compaction of delta files). */
   def build(emb: DataFrame, centroids: DataFrame, dir: String): Unit =
     assign(emb, centroids)
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(dir)
@@ -117,12 +127,16 @@ object VectorIndex {
     * layout, mirroring [[build]]/[[probe]] for plain IVF. */
   def buildPq(codes: DataFrame, vectors: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, dir: String): Unit = {
-    codes.write.mode(SaveMode.Overwrite)
+    // compacted like [[build]]: one file per bucket partition — the
+    // probe pays per-file overhead, so the build step owns compactness
+    codes.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$dir/codes")
-    vectors.write.mode(SaveMode.Overwrite)
+    vectors.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$dir/vectors")
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    codebooks.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+    codebooks.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/codebooks")
   }
 
   /** Top-k neighbors for each query vector, reading ONLY the probed
@@ -141,7 +155,17 @@ object VectorIndex {
     * equi-key, losing the index but keeping exactness.) */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
       centroids: DataFrame, nprobe: Int, k: Int,
-      metaFilter: Option[Column] = None): DataFrame = {
+      metaFilter: Option[Column] = None): DataFrame =
+    probe(spark.read.parquet(dir), queries, centroids, nprobe, k, metaFilter)
+
+  /** Probe an ALREADY-OPENED index frame — serving paths hold the
+    * opened `spark.read.parquet(dir)` handle so the hive tree's
+    * FileIndex (listing + schema) resolves once per process, not once
+    * per probe (the measured per-run overhead of the served layouts);
+    * the dir overload above re-opens per call (specs, ad-hoc). */
+  def probe(opened: DataFrame, queries: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int,
+      metaFilter: Option[Column]): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("c_id"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("c_sim", cosine(col("q_v"), col("c_v")))
@@ -154,7 +178,7 @@ object VectorIndex {
     // with DPP; an IN-list is statically pruned in every Spark version)
     val buckets = probes.select("bucket").distinct()
       .collect().map(_.getLong(0)) // nlist-bounded: ≤ queries × nprobe ids
-    val pruned = spark.read.parquet(dir)
+    val pruned = opened
       .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
     val index = metaFilter.map(f => pruned.filter(f)).getOrElse(pruned)
 
