@@ -29,9 +29,16 @@ object CurationJob {
     val spark = (if (sys.props.contains("spark.master")) b
       else b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
+    // slot wall time rides in the emitted JSON so scheduled runs leave
+    // a scale record behind (the slot-scaling artifact: compare the
+    // line across source scales to see per-epoch constant vs per-row
+    // cost — a slot must finish well inside its schedule interval)
+    val t0 = System.nanoTime()
     val stats = run(spark, args(0), args(1), tau)
+    val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"published_batches":${stats("published_batches")},""" +
-      s""""admitted_docs":${stats("admitted_docs")},"base":"${args(1)}"}""")
+      s""""admitted_docs":${stats("admitted_docs")},""" +
+      s""""slot_wall_sec":$wall,"base":"${args(1)}"}""")
     spark.stop()
   }
 
