@@ -233,6 +233,38 @@ object GraphOps {
     dist
   }
 
+  /** Bounded single-source shortest paths — `rounds` synchronous
+    * Bellman–Ford relaxations over weighted directed edges (`src`,
+    * `dst`, BIGINT `w` ≥ 0): each round extends every settled node
+    * through its out-edges and keeps the MIN tentative distance per
+    * node. After r rounds every shortest path of ≤ r edges is exact
+    * (the true SSSP is the fixpoint; the FIXED round count is the
+    * [[bfsHops]]/[[kCorePeel]] discipline — one declarative plan both
+    * engines replay exactly, unrolled in SQL without recursion).
+    * Unlike [[bfsHops]] this is the min-PLUS semiring: the cheapest
+    * route may be LONGER in hops than the hop-minimal one (`GraphSpec`
+    * forces that case). Scale shape per round: one equi-join on the
+    * frontier key + one partial-agg'd min — never all-pairs; each
+    * round localCheckpoints (eager) so round r's lineage doesn't nest
+    * r copies of the join tree. Integer weights keep every distance a
+    * hash-checkable BIGINT.
+    */
+  def ssspBounded(edges: DataFrame, source: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("d") + e("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Bounded k-core peeling — `rounds` synchronous rounds of "drop
     * every node with fewer than `k` distinct neighbors, then drop
     * the edges that lost an endpoint". The true k-core is this
@@ -523,6 +555,64 @@ object GraphQueries extends QueryModule {
         |  FROM walk w JOIN bi e ON w.node = e.src
         |  WHERE w.d < 4)
         |SELECT node, MIN(d) AS d FROM walk GROUP BY node
-        |ORDER BY d, node""".stripMargin))
+        |ORDER BY d, node""".stripMargin)),
+
+    // ---- Weighted single-source shortest paths (bounded
+    // Bellman–Ford, [[GraphOps.ssspBounded]]): min-PLUS distances over
+    // the same customer↔supplier bipartite graph as q_bfs_hops, each
+    // edge weighted by the smallest line-item quantity ever shipped
+    // across it (an exact BIGINT, so distances hash-check). Four
+    // relaxation rounds — every ≤4-edge shortest route exact, the
+    // same bounded-rounds discipline as the BFS/k-core family; the
+    // cheapest route may be LONGER in hops than the hop-minimal one,
+    // which is precisely what separates this from q_bfs_hops
+    // (GraphSpec forces that case on a crafted graph). Scale shape
+    // per round: frontier equi-join + map-side-partial min — the edge
+    // list shuffles once at build, never per round. The oracle
+    // unrolls the four relaxations as chained CTEs.
+    "q_sssp_weighted" -> QueryDef(
+      fn = (spark, dir) => {
+        val orders = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        val pair = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .groupBy(
+            concat(lit("C"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("S"), col("l_suppkey").cast("string")).as("s"))
+          .agg(min("l_quantity").cast("long").as("w"))
+        val edges = pair.select(expr(
+          "inline(array(struct(c AS src, s AS dst, w)," +
+            " struct(s AS src, c AS dst, w)))"))
+        GraphOps.ssspBounded(edges, "C0", rounds = 4)
+          .orderBy("d", "node")
+      },
+      oracle = Some {
+        def relax(prev: String, cur: String): String = s"""
+          |$cur AS (
+          |  SELECT node, MIN(d) AS d FROM (
+          |    SELECT node, d FROM $prev
+          |    UNION ALL
+          |    SELECT e.dst AS node, p.d + e.w AS d
+          |    FROM $prev p JOIN bi e ON p.node = e.src)
+          |  GROUP BY node)""".stripMargin
+        s"""
+        |WITH pair AS MATERIALIZED (
+        |  SELECT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |         'S' || CAST(l.l_suppkey AS VARCHAR) AS s,
+        |         CAST(MIN(l.l_quantity) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |bi AS MATERIALIZED (
+        |  SELECT c AS src, s AS dst, w FROM pair
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, w FROM pair),
+        |d0 AS (SELECT 'C0' AS node, CAST(0 AS BIGINT) AS d),
+        |${relax("d0", "d1")},
+        |${relax("d1", "d2")},
+        |${relax("d2", "d3")},
+        |${relax("d3", "d4")}
+        |SELECT node, d FROM d4 ORDER BY d, node""".stripMargin
+      })
   )
 }

@@ -124,6 +124,49 @@ object PipelineOps {
     * test observability for the O(log diameter) claim. */
   val lastIterations = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** DBSCAN role classification over a prebuilt SYMMETRIZED edge frame
+    * (`src`, `dst`; both directions present, no self-loops): a node
+    * with ≥ `minPts` neighbors is CORE; clusters are connected
+    * components of the core-core subgraph labeled by min core id; a
+    * non-core node adjacent to a core joins that core's cluster as
+    * BORDER (min cluster over its core neighbors — deterministic);
+    * everything else is NOISE with cluster −1.
+    *
+    * This is the classification plain CC cannot make: CC clusters ANY
+    * edge-connected pair, DBSCAN demands local density before a point
+    * may seed a cluster — an isolated near-dup pair stays noise.
+    * Scale shape: one degree aggregation, two semi-joins to the core
+    * subgraph, [[connectedComponents]] (O(log diameter) rounds) on the
+    * much smaller core set, one border equi-join — never all-pairs,
+    * no per-node iteration. `nodes` must carry `id`. */
+  def dbscanRoles(nodes: DataFrame, edges: DataFrame,
+      minPts: Int): DataFrame = {
+    val core = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select(col("src").as("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val comp = connectedComponents(core, coreEdges)
+    val borderLbl = edges
+      .join(core.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(comp.select(col("id").as("dst"), col("cluster")), "dst")
+      .groupBy("src").agg(min("cluster").as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
+    nodes
+      .join(comp.select(col("id"), col("cluster").as("__core_cl")),
+        Seq("id"), "left")
+      .join(borderLbl.select(col("id"), col("cluster").as("__border_cl")),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core_cl").isNotNull, "core")
+          .when(col("__border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("__core_cl"), col("__border_cl"), lit(-1L))
+          .as("cluster"))
+  }
+
   /** Token-budget sequence packing — the step between a curated corpus
     * and a training run: documents are concatenated (in a deterministic
     * shard-local order) and sliced into fixed `seqLen`-token context

@@ -459,6 +459,11 @@ object SimilarityQueries extends QueryModule {
   private val lastKcoreEdges =
     graft.ops.BuildOnce.swapRef()
 
+  /** q_dbscan's symmetrized eps-edge frame (degree count, core-core
+    * restriction, border attachment all read it) — same bounding. */
+  private val lastDbscanEdges =
+    graft.ops.BuildOnce.swapRef()
+
   /** Test hook: drop EVERY build-once memo (training, index layouts,
     * the star warehouse) so a spec can force the artifacts to be
     * REBUILT under a changed runtime config (partition counts etc.).
@@ -1223,6 +1228,89 @@ object SimilarityQueries extends QueryModule {
         |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
         |SELECT cluster, COUNT(*) AS cluster_size FROM components
         |GROUP BY cluster HAVING COUNT(*) > 1 ORDER BY cluster""".stripMargin)),
+
+    // ---- DBSCAN over the embedding corpus: density-based clustering
+    // with core/border/noise roles — the classification SemDeDup-style
+    // plain CC cannot make (CC clusters ANY ≥θ pair; DBSCAN demands
+    // minPts eps-neighbors before a point may seed a cluster, so an
+    // isolated near-dup PAIR stays noise while a dense group becomes a
+    // cluster). eps-neighborhood = cosine ≥ 0.95 within the vector's
+    // Lloyd bucket (the same blocked candidate generator as
+    // q_semantic_dedup — never all-pairs; cross-bucket neighbors are
+    // outside the neighborhood BY THE SAME recall contract), minPts =
+    // 2 neighbors excluding self. Clusters = connected components of
+    // the core-core subgraph (pointer jumping, O(log diameter)
+    // rounds); border points attach to their MIN core-neighbor
+    // cluster (deterministic); everything else is noise (cluster −1).
+    // Scale shape: bucket equi-join → one degree aggregation → CC on
+    // the (much smaller) core subgraph → one border equi-join; the
+    // edge frame is built once into an owned swap slot. The oracle
+    // replays blocking, degrees, core reachability (recursive CTE)
+    // and border attachment — fully hash-checked. DbscanSpec proves
+    // the role classification on a crafted chain fixture.
+    "q_dbscan" -> QueryDef(
+      fn = (spark, dir) => {
+        val all = plantedEmb(spark, dir)
+        val centroids = centroidsFor(spark, dir, iters = 2)
+        val assigned = assignBuckets(all, centroids)
+        val a = assigned.select(col("n_id").as("id_a"),
+          col("n_v").as("v_a"), col("bucket"))
+        val b = assigned.select(col("n_id").as("id_b"),
+          col("n_v").as("v_b"), col("bucket"))
+        val prs = a.join(b, "bucket")
+          .filter(col("id_a") < col("id_b"))
+          .filter(cosine(col("v_a"), col("v_b")) >= 0.95)
+          .select("id_a", "id_b")
+        val edges = graft.ops.BuildOnce.swapPersist(lastDbscanEdges,
+          prs.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .unionByName(
+              prs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        PipelineOps.dbscanRoles(all.select(col("vec_id").as("id")),
+            edges, minPts = 2)
+          .select(col("id").as("vec_id"), col("role"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(embCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |$plantedSql,
+        |${assignedSql("all_emb")},
+        |prs AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSqlOf("a.v", "b.v")} >= 0.95),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+        |core AS MATERIALIZED (
+        |  SELECT src AS id FROM edges GROUP BY src
+        |  HAVING COUNT(*) >= 2),
+        |core_edges AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM edges e
+        |  JOIN core c1 ON e.src = c1.id
+        |  JOIN core c2 ON e.dst = c2.id),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM core
+        |  UNION
+        |  SELECT e.dst AS id, r.lbl
+        |  FROM reach r JOIN core_edges e ON e.src = r.id),
+        |comp AS MATERIALIZED (
+        |  SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT e.src AS id, MIN(c.cluster) AS cluster
+        |  FROM edges e JOIN comp c ON e.dst = c.id
+        |  WHERE e.src NOT IN (SELECT id FROM core)
+        |  GROUP BY e.src)
+        |SELECT ae.vec_id,
+        |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(comp.cluster, border.cluster, CAST(-1 AS BIGINT))
+        |    AS cluster
+        |FROM all_emb ae
+        |LEFT JOIN comp ON comp.id = ae.vec_id
+        |LEFT JOIN border ON border.id = ae.vec_id
+        |ORDER BY vec_id""".stripMargin)),
 
     // ---- Triangle census of the similarity graph: per-node triangle
     // counts over the undirected kNN edge set (planted corpus, so the

@@ -122,4 +122,57 @@ object ExactRank {
       .withColumn(rankCol, col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__id", "__off")
   }
+
+  /** Every row of `df` annotated with the INCLUSIVE running total of
+    * each `values` expression under the global `sortCols` order — the
+    * distributed prefix sum (ECDF numerators, cumulative mass, KS
+    * statistics), generalizing [[rankAll]] from counting rows to
+    * summing arbitrary columns.
+    *
+    * Same parallel shape, same exchange-reuse contract: ONE range
+    * exchange; per-partition subtotals prefix-summed on a ≤`parts`-row
+    * frame (its global window is bounded by the partition count,
+    * never the data); the within-partition running sum is a window
+    * PARTITIONED BY the range-partition id and ordered by the local
+    * row id — every partition folds in parallel, no single task ever
+    * sees the whole frame.
+    *
+    * Determinism note: for integral `values` the result is exact and
+    * partition-count-invariant. For doubles the grouping of additions
+    * follows the partitioning (offset-then-local), so only integral
+    * sums should feed a hash-checked result.
+    */
+  def prefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame = {
+    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
+      "ExactRank requires spark.sql.exchange.reuse=true: local folds and " +
+        "prefix-sum offsets must branch from one shared range exchange")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__id", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__id"), 33))
+    val subtotals = values.map { case (n, c) => sum(c).as(s"__t_$n") }
+    val offs = sorted
+      .groupBy("__pid")
+      .agg(subtotals.head, subtotals.tail: _*)
+    val offsW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = offs.select(
+      col("__pid") +: values.map { case (n, _) =>
+        coalesce(sum(col(s"__t_$n")).over(offsW), lit(0L))
+          .as(s"__off_$n")
+      }: _*)
+    val localW = Window.partitionBy("__pid").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    values
+      .foldLeft(sorted.join(broadcast(offsets), "__pid")) {
+        case (acc, (n, c)) =>
+          acc.withColumn(n, col(s"__off_$n") + sum(c).over(localW))
+      }
+      .drop("__pid" +: "__id" +: values.map { case (n, _) => s"__off_$n" }: _*)
+  }
 }

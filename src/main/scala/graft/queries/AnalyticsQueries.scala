@@ -117,6 +117,70 @@ object AnalyticsQueries extends QueryModule {
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')
         |ORDER BY o_custkey""".stripMargin)),
 
+    // ---- CDC MERGE batch apply (the warehouse MERGE INTO / Delta
+    // upsert compaction): a base snapshot plus a sequenced changelog
+    // of upserts and deletes collapse to the latest state per key —
+    // latest-wins by change sequence, deletes drop the key, upserts
+    // insert-or-replace (a 'U' after a 'D' resurrects the key, the
+    // standard CDC-log replay semantics). The changelog here is
+    // derived DETERMINISTICALLY from orders (key-modulus slices with
+    // overlapping keys, so seq ordering is actually exercised:
+    // %21-keys get two updates, %77-keys an update then a delete).
+    // Scale shape: ONE shuffle on the key; latest-wins is a max_by
+    // aggregation — partial per partition (each map task pre-collapses
+    // its slice of the log), so what reaches the exchange is ≤ one row
+    // per key per partition, never the raw log. This is the same
+    // compaction a streaming CDC sink runs per micro-batch; the
+    // incremental twin is ops/JoinView's stamped delta fold.
+    "q_cdc_merge" -> QueryDef(
+      fn = (spark, dir) => {
+        val o = Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        def arm(src: DataFrame, key: Column, status: Column, price: Column,
+            op: String, seq: Long): DataFrame =
+          src.select(key.as("o_orderkey"), status.as("o_orderstatus"),
+            price.as("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
+        val upd1 = arm(o.filter(col("o_orderkey") % 7 === 0),
+          col("o_orderkey"), lit("X"), col("o_totalprice") * 1.05, "U", 1L)
+        val del = arm(o.filter(col("o_orderkey") % 11 === 0),
+          col("o_orderkey"), lit(""), lit(0.0), "D", 2L)
+        val ins = arm(o.filter(col("o_orderkey") % 13 === 0),
+          col("o_orderkey") + 100000000L, lit("N"), col("o_totalprice"),
+          "U", 3L)
+        val upd2 = arm(o.filter(col("o_orderkey") % 21 === 0),
+          col("o_orderkey"), lit("Y"), col("o_totalprice") * 1.1, "U", 4L)
+        val log = upd1.unionByName(del).unionByName(ins).unionByName(upd2)
+        graft.pipeline.CdcMerge(o, log, keys = Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        |WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'U' AS op, CAST(0 AS BIGINT) AS seq FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X',
+        |    o_totalprice * CAST(1.05 AS DOUBLE), 'U', 1
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, '', CAST(0.0 AS DOUBLE), 'D', 2
+        |  FROM o WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'U', 3
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'Y',
+        |    o_totalprice * CAST(1.1 AS DOUBLE), 'U', 4
+        |  FROM o WHERE o_orderkey % 21 = 0),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE rn = 1 AND op != 'D'
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- Data-contract report (ops/QualityChecks): nullability +
     // domain checks fold into ONE conditional-aggregation pass per
     // table; duplicate keys are a count-distinct; FK orphans are

@@ -289,6 +289,76 @@ object TimeSeriesQueries extends QueryModule {
         |    ELSE CAST(0 AS DOUBLE) END AS contrib
         |FROM e ORDER BY event_type, period""".stripMargin)),
 
+    // ---- Two-sample Kolmogorov–Smirnov drift: the distribution-level
+    // companion to q_drift_chi2's category-level test — D = max |F_a −
+    // F_b| between the click and view value distributions, computed
+    // EXACTLY as the integer max |cum_a·n_b − cum_b·n_a| over merged
+    // distinct values (the cross-multiplied form never divides until
+    // the final statistic, so the argmax and the numerator are
+    // hash-checkable BIGINTs, not float comparisons). Scale shape: one
+    // shuffle to per-value counts, then [[graft.ops.ExactRank.prefixSum]]
+    // — the distributed prefix sum (range exchange + per-partition
+    // offsets) — so no single task ever sees the whole value axis; the
+    // single-row totals broadcast. Ties at a value are handled by
+    // grouping BEFORE the cumulative, so both ECDFs step together at
+    // shared values, the textbook tie treatment.
+    "q_ks_drift" -> QueryDef(
+      fn = (spark, dir) => {
+        val ab = Tables(spark, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("value"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+        val perVal = ab.groupBy("value")
+          .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+        val cum = graft.ops.ExactRank.prefixSum(perVal, Seq(col("value")),
+          Seq("cum_a" -> col("ca"), "cum_b" -> col("cb")))
+        val tot = ab.agg(sum("ia").as("n1"), sum("ib").as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("d_num",
+            abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
+          .agg(
+            max(col("n1")).as("n1"),
+            max(col("n2")).as("n2"),
+            max(col("d_num")).as("d_num"),
+            // argmax with min-value tie-break: minimize (−d, value)
+            min_by(col("value"),
+              struct((-col("d_num")).as("nd"), col("value").as("v")))
+              .as("ks_at"))
+          .withColumn("ks",
+            col("d_num").cast("double") /
+              (col("n1") * col("n2")).cast("double"))
+          .select("n1", "n2", "d_num", "ks_at", "ks")
+      },
+      oracle = Some("""
+        |WITH ab AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'click' THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ia,
+        |    CASE WHEN event_type = 'view' THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pv AS (
+        |  SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(SUM(ib) AS BIGINT) AS cb
+        |  FROM ab GROUP BY value),
+        |cum AS (
+        |  SELECT value,
+        |    CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+        |  FROM pv),
+        |tot AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS n1,
+        |    CAST(SUM(ib) AS BIGINT) AS n2
+        |  FROM ab),
+        |d AS (
+        |  SELECT c.value, t.n1, t.n2,
+        |    ABS(c.cum_a * t.n2 - c.cum_b * t.n1) AS d_num
+        |  FROM cum c CROSS JOIN tot t)
+        |SELECT n1, n2, d_num, value AS ks_at,
+        |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+        |FROM d ORDER BY d_num DESC, value ASC LIMIT 1""".stripMargin)),
+
     // ---- HOLT LINEAR-TREND FORECAST (double exponential smoothing)
     // over each nation's daily order counts — the forecasting member
     // of the family: where q_ema_decay tracks a LEVEL, Holt tracks

@@ -210,4 +210,25 @@ class GraphSpec extends SparkSpec {
     assert(core2 === (0L to 4L).toSet,
       s"2-core should unravel the open chain completely: $core2")
   }
+
+  test("ssspBounded prefers the cheap long route over the direct edge") {
+    // A→B direct costs 10; A→C→D→B costs 1+1+1 = 3 — the min-plus
+    // answer (3, via 3 hops) differs from BFS's (1 hop). Also: E is
+    // reachable only through B, so its distance must build on B's
+    // SETTLED (cheap) value, not the first tentative one.
+    val edges = Seq(
+      ("A", "B", 10L), ("A", "C", 1L), ("C", "D", 1L), ("D", "B", 1L),
+      ("B", "E", 2L)
+    ).toDF("src", "dst", "w")
+    val got = GraphOps.ssspBounded(edges, "A", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 0L, "B" -> 3L, "C" -> 1L, "D" -> 2L,
+      "E" -> 5L))
+
+    // under-relaxed: at rounds=2 only the direct edge has reached B
+    val early = GraphOps.ssspBounded(edges, "A", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(early("B") === 10L && early("E") === 12L,
+      s"2 rounds must still carry the tentative direct route: $early")
+  }
 }

@@ -103,4 +103,49 @@ class ExactRankSpec extends SparkSpec {
         "single-partition exchange must carry only the bounded count frame")
     }
   }
+
+  test("distributed prefix sum == single-partition window, multi-column") {
+    // deterministic data with duplicate sort keys (unique id tiebreak
+    // NOT needed: prefixSum folds rows in the partition-local sorted
+    // order, and equal-key rows contribute the same running totals to
+    // every row after the group — assert on the per-key MAX, which is
+    // order-free within a key)
+    val df = (1 to 4999)
+      .map { i =>
+        val k = (i * 2654435761L) % 53
+        (k / 10.0, k % 7 + 1, (k % 3).toLong)
+      }
+      .toDF("v", "a", "b")
+    val got = ExactRank
+      .prefixSum(df, Seq(col("v")), Seq("ca" -> col("a"), "cb" -> col("b")))
+      .groupBy("v").agg(max("ca").as("ca"), max("cb").as("cb"))
+      .orderBy("v").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .groupBy("v").agg(max("ca").as("ca"), max("cb").as("cb"))
+      .orderBy("v").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("prefix sum is shuffle-partition-count invariant (integral sums)") {
+    val df = (1 to 3001)
+      .map(i => ((i * 48271L) % 101, (i % 5).toLong))
+      .toDF("v", "x")
+    def run(): Seq[(Long, Long)] = ExactRank
+      .prefixSum(df, Seq(col("v")), Seq("cx" -> col("x")))
+      .groupBy("v").agg(max("cx").as("cx"))
+      .orderBy("v").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val base = run()
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try Seq("3", "17").foreach { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      assert(run() === base, s"divergence at shuffle.partitions=$parts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
 }
