@@ -129,50 +129,122 @@ object ExactRank {
     * statistics), generalizing [[rankAll]] from counting rows to
     * summing arbitrary columns.
     *
-    * Same parallel shape, same exchange-reuse contract: ONE range
-    * exchange; per-partition subtotals prefix-summed on a ≤`parts`-row
-    * frame (its global window is bounded by the partition count,
-    * never the data); the within-partition running sum is a window
-    * PARTITIONED BY the range-partition id and ordered by the local
-    * row id — every partition folds in parallel, no single task ever
-    * sees the whole frame.
+    * Shape: the same ONE range exchange as [[rankAll]], then the
+    * classic two-job RDD prefix-sum recipe over the FIXED physical
+    * plan — `sorted.rdd` pins the plan once, job 1 collects the
+    * per-partition totals to the driver (≤ `parts`×k scalars, the
+    * bounded sketch-class state the module rules allow), job 2 folds
+    * each partition with its exclusive offset seeded from the closure
+    * (mapPartitionsWithIndex — the secondary-sort escape hatch
+    * [[graft.ops.OrderedFold]] documents; a window PARTITIONED BY a
+    * partition-id column would express the same fold but forces
+    * Catalyst to re-exchange the whole frame on that id). Both jobs
+    * run on the SAME RDD object, so partition indexes agree by
+    * construction — no exchange-reuse assumption, immune to AQE
+    * re-planning a second read of the exchange differently — and the
+    * shuffle map stage is reused (job 2 skips it and reads the
+    * existing shuffle files).
     *
-    * Determinism note: for integral `values` the result is exact and
-    * partition-count-invariant. For doubles the grouping of additions
-    * follows the partitioning (offset-then-local), so only integral
-    * sums should feed a hash-checked result.
+    * Value expressions must be integral (summed as LONG — exact and
+    * partition-count-invariant, the hash-checkable path) or
+    * float/double (summed as DOUBLE — additions fold in partition
+    * order, deterministic for a fixed partitioning only). Exact
+    * DECIMAL prefixes should ride long-scaled integers instead.
+    * Nulls contribute nothing, matching SUM. Within a tie group of
+    * `sortCols` the per-row running values follow the sort's
+    * arbitrary tie order — callers needing row-stable prefixes must
+    * include a unique tiebreak column (the [[rankAll]] contract); the
+    * running value on a tie group's LAST row is tie-order-invariant.
     */
   def prefixSum(
       df: DataFrame,
       sortCols: Seq[Column],
       values: Seq[(String, Column)]): DataFrame = {
-    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "ExactRank requires spark.sql.exchange.reuse=true: local folds and " +
-        "prefix-sum offsets must branch from one shared range exchange")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // normalize each value expression to its sum type (long / double)
+    val vTypes = df.select(values.map { case (n, c) => c.as(n) }: _*)
+      .schema.map(_.dataType)
+    val isLong: Seq[Boolean] = values.zip(vTypes).map {
+      case (_, ByteType | ShortType | IntegerType | LongType) => true
+      case (_, DoubleType | FloatType) => false
+      case ((n, _), t) => throw new IllegalArgumentException(
+        s"prefixSum value '$n': unsupported type $t — use integral " +
+          "(exact) or double; exact decimals should ride scaled longs")
+    }
+    val normVals = values.zip(isLong).map { case ((n, c), l) =>
+      (n, if (l) c.cast(LongType) else c.cast(DoubleType))
+    }
+    val k = values.size
     val sorted = df
+      .select(col("*") +:
+        normVals.map { case (n, c) => c.as(s"__v_$n") }: _*)
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__id", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__id"), 33))
-    val subtotals = values.map { case (n, c) => sum(c).as(s"__t_$n") }
-    val offs = sorted
-      .groupBy("__pid")
-      .agg(subtotals.head, subtotals.tail: _*)
-    val offsW = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = offs.select(
-      col("__pid") +: values.map { case (n, _) =>
-        coalesce(sum(col(s"__t_$n")).over(offsW), lit(0L))
-          .as(s"__off_$n")
-      }: _*)
-    val localW = Window.partitionBy("__pid").orderBy("__id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    values
-      .foldLeft(sorted.join(broadcast(offsets), "__pid")) {
-        case (acc, (n, c)) =>
-          acc.withColumn(n, col(s"__off_$n") + sum(c).over(localW))
+    val inSchema = sorted.schema
+    val nIn = inSchema.length
+    val nOut = nIn - k
+    val longMask = isLong.toArray
+    val rdd = sorted.rdd // pins the physical plan: one partitioning
+    // job 1: per-partition totals → driver (≤ parts×k scalars)
+    val partTotals: Array[(Array[Long], Array[Double])] =
+      spark.sparkContext.runJob(rdd, (rows: Iterator[Row]) => {
+        val tL = new Array[Long](k)
+        val tD = new Array[Double](k)
+        rows.foreach { r =>
+          var i = 0
+          while (i < k) {
+            val ord = nOut + i
+            if (!r.isNullAt(ord)) {
+              if (longMask(i)) tL(i) += r.getLong(ord)
+              else tD(i) += r.getDouble(ord)
+            }
+            i += 1
+          }
+        }
+        (tL, tD)
+      })
+    // exclusive prefix of the totals, in partition order (driver-side
+    // loop over ≤ parts entries)
+    val offL = Array.ofDim[Long](partTotals.length, k)
+    val offD = Array.ofDim[Double](partTotals.length, k)
+    var p = 1
+    while (p < partTotals.length) {
+      var i = 0
+      while (i < k) {
+        offL(p)(i) = offL(p - 1)(i) + partTotals(p - 1)._1(i)
+        offD(p)(i) = offD(p - 1)(i) + partTotals(p - 1)._2(i)
+        i += 1
       }
-      .drop("__pid" +: "__id" +: values.map { case (n, _) => s"__off_$n" }: _*)
+      p += 1
+    }
+    // job 2: fold each partition seeded with its offset — the shuffle
+    // map stage is shared with job 1 (same RDD), so this reads the
+    // already-written shuffle files
+    val out = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val accL = offL(pid).clone()
+      val accD = offD(pid).clone()
+      rows.map { r =>
+        val runs = new Array[Any](k)
+        var i = 0
+        while (i < k) {
+          val ord = nOut + i
+          if (!r.isNullAt(ord)) {
+            if (longMask(i)) accL(i) += r.getLong(ord)
+            else accD(i) += r.getDouble(ord)
+          }
+          runs(i) = if (longMask(i)) accL(i) else accD(i)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq.take(nOut) ++ runs.toSeq)
+      }
+    }
+    val outSchema = StructType(inSchema.fields.take(nOut) ++
+      values.zip(isLong).map { case ((n, _), l) =>
+        StructField(n, if (l) LongType else DoubleType, nullable = false)
+      })
+    spark.createDataFrame(out, outSchema)
   }
 }

@@ -179,7 +179,8 @@ object AnalyticsQueries extends QueryModule {
         |  FROM log)
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM latest WHERE rn = 1 AND op != 'D'
-        |ORDER BY o_orderkey""".stripMargin)),
+        |ORDER BY o_orderkey""".stripMargin),
+      bench = true), // the one-shuffle MERGE compaction at fact volume
 
     // ---- Data-contract report (ops/QualityChecks): nullability +
     // domain checks fold into ONE conditional-aggregation pass per
