@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incrementally-maintained CDC state (the streaming twin of
+  * [[graft.pipeline.CdcMerge]]): a keyed latest-state table kept
+  * up-to-date by folding each changelog micro-batch into a
+  * key-bucketed parquet store, so a consumer reads current state
+  * without ever replaying the log.
+  *
+  * Idempotency is MONOTONE, not stamped: every stored row carries the
+  * sequence number that produced it, and a merge keeps the HIGHER
+  * sequence per key (ties → store wins). A replayed batch re-offers
+  * rows whose sequences the store already absorbed — a no-op rewrite
+  * of identical rows — and a crash mid-write re-merges exactly the
+  * bucket partitions that missed the first attempt (same
+  * read-modify-write-trap analysis as
+  * [[RollupMaintenance.mergeDelta]], but the guard is the CDC log's
+  * own ordering instead of a batch stamp, so even OUT-OF-ORDER batch
+  * replays converge — the ⊔-idempotent store class of
+  * [[HllMaintenance]]).
+  *
+  * Deletes are TOMBSTONES: the key stays in the store with op='D' and
+  * its delete sequence, so a replayed pre-delete batch cannot
+  * resurrect it (physical deletion would lose the ordering evidence).
+  * [[read]] filters tombstones out; a retention-window GC can drop
+  * tombstones older than the maximum possible replay horizon — the
+  * standard CDC compaction contract.
+  *
+  * Scale shape: the store is hive-partitioned by a hash bucket of the
+  * key. Per batch: the batch collapses to its per-key latest rows
+  * (one max_by shuffle, map-side partial), only the AFFECTED buckets
+  * of the store are read back (partition-pruned semi-join), the merge
+  * is one equi-join on the key, and dynamic partition overwrite
+  * rewrites only those buckets. Writes are proportional to touched
+  * buckets, never the table.
+  */
+object CdcMaintenance {
+
+  private val Meta = Seq("op", "seq")
+
+  private def payloadCols(df: DataFrame, keys: Seq[String]): Seq[String] =
+    df.columns.toSeq.filterNot(c =>
+      keys.contains(c) || Meta.contains(c) || c == "bucket")
+
+  private def bucketOf(keys: Seq[String], buckets: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(buckets))
+
+  /** Initial store load from a base snapshot (payload columns only —
+    * rows enter as op='U' at the minimum sequence, so ANY log entry
+    * outranks them). */
+  def buildStore(base: DataFrame, keys: Seq[String], storeDir: String,
+      buckets: Int): Unit =
+    base
+      .withColumn("op", lit("U"))
+      .withColumn("seq", lit(Long.MinValue))
+      .withColumn("bucket", bucketOf(keys, buckets))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+
+  /** Fold one changelog micro-batch (keys ++ payload ++ op/seq) into
+    * the store. Replay-idempotent and out-of-order-safe by the
+    * monotone sequence guard; touches only the batch's buckets. */
+  def mergeBatch(spark: SparkSession, storeDir: String, batch: DataFrame,
+      keys: Seq[String], buckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val payload = payloadCols(batch, keys)
+    // collapse the batch to its per-key latest row first — one
+    // map-side-partial max_by, so the raw log never joins the store
+    val delta = batch
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct((Meta ++ payload).map(col): _*), col("seq"))
+        .as("__last"))
+      .select(keys.map(col) ++
+        (Meta ++ payload).map(c => col(s"__last.$c").as(c)): _*)
+      .withColumn("bucket", bucketOf(keys, buckets))
+      .persist()
+    try {
+      val affected = delta.select("bucket").distinct()
+      val base = spark.read.parquet(storeDir)
+        .join(affected, Seq("bucket"), "left_semi")
+        .select((keys :+ "bucket").map(col) ++
+          (Meta ++ payload).map(c => col(c).as(s"__b_$c")): _*)
+      // full outer on the key: the log can open brand-new keys. The
+      // store wins ties (>=) — a replayed sequence is a no-op.
+      val baseWins = col("__b_seq").isNotNull &&
+        (col("seq").isNull || col("__b_seq") >= col("seq"))
+      val merged = base
+        .join(delta, keys :+ "bucket", "full_outer")
+        .select((keys :+ "bucket").map(col) ++
+          (Meta ++ payload).map(c =>
+            when(baseWins, col(s"__b_$c")).otherwise(col(c)).as(c)): _*)
+        .localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(storeDir)
+      graft.ops.BuildOnce.releaseFrame(merged, blocking = false)
+    } finally delta.unpersist()
+  }
+
+  /** Start maintaining `storeDir` from the parquet changelog stream at
+    * `sourceDir` (schema: keys ++ payload ++ op/seq). */
+  def start(spark: SparkSession, sourceDir: String, storeDir: String,
+      keys: Seq[String], buckets: Int): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, storeDir, batch, keys, buckets)
+      }
+      .option("checkpointLocation", s"$storeDir-__checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Current state: tombstones filtered, internals dropped. */
+  def read(spark: SparkSession, storeDir: String,
+      keys: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(storeDir)
+    raw.filter(col("op") =!= "D")
+      .select((keys ++ payloadCols(raw, keys)).map(col): _*)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pipeline.CdcMerge
+import org.apache.spark.sql.functions._
+
+/** streaming/CdcMaintenance — the incrementally-maintained latest-state
+  * store must equal the batch [[CdcMerge]] of the same log, stay
+  * convergent under replayed AND out-of-order batches (the monotone
+  * sequence guard), keep deletes as tombstones a stale replay cannot
+  * resurrect, and rewrite only the bucket partitions a batch touches.
+  */
+class CdcMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val B = 4
+
+  private def baseDf = Seq(
+    (1L, "b1"), (2L, "b2"), (3L, "b3"), (4L, "b4"), (6L, "b6")
+  ).toDF("k", "payload")
+
+  private def log1 = Seq(
+    (2L, "u2", "U", 1L),
+    (3L, "u3", "U", 1L),
+    (4L, "", "D", 1L)
+  ).toDF("k", "payload", "op", "seq")
+
+  private def log2 = Seq(
+    (3L, "", "D", 2L),
+    (4L, "u4", "U", 2L), // resurrects 4 after its seq-1 delete
+    (5L, "u5", "U", 2L), // brand-new key
+    (6L, "u6b", "U", 3L)
+  ).toDF("k", "payload", "op", "seq")
+
+  private def state(store: String) =
+    CdcMaintenance.read(spark, store, keys)
+      .as[(Long, String)].collect().toSet
+
+  test("streamed folds == batch CdcMerge; replay and out-of-order converge") {
+    val store = s"${Files.createTempDirectory("cdc_store")}/store"
+    CdcMaintenance.buildStore(baseDf, keys, store, B)
+    CdcMaintenance.mergeBatch(spark, store, log1, keys, B)
+    CdcMaintenance.mergeBatch(spark, store, log2, keys, B)
+
+    val want = CdcMerge(baseDf, log1.unionByName(log2), keys)
+      .as[(Long, String)].collect().toSet
+    assert(state(store) === want)
+    assert(want === Set((1L, "b1"), (2L, "u2"), (4L, "u4"), (5L, "u5"),
+      (6L, "u6b")))
+
+    // replayed batch: a no-op (monotone guard, ties → store wins)
+    CdcMaintenance.mergeBatch(spark, store, log2, keys, B)
+    assert(state(store) === want)
+    // OUT-OF-ORDER replay of the older batch: every sequence is
+    // already absorbed — in particular the seq-1 delete of key 4 must
+    // NOT resurrect over its seq-2 upsert, and the seq-1 upsert of
+    // key 3 must NOT revive its seq-2 tombstone
+    CdcMaintenance.mergeBatch(spark, store, log1, keys, B)
+    assert(state(store) === want)
+  }
+
+  test("a batch rewrites only the bucket partitions it touches") {
+    val store = s"${Files.createTempDirectory("cdc_bucket")}/store"
+    CdcMaintenance.buildStore(baseDf, keys, store, B)
+    def files(b: Int) =
+      new java.io.File(s"$store/bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val single = Seq((2L, "u2", "U", 1L)).toDF("k", "payload", "op", "seq")
+    val touched = single.select(
+      pmod(hash(col("k")), lit(B)).cast("int")).head().getInt(0)
+    val untouched = (0 until B).filter(_ != touched)
+      .filter(b => new java.io.File(s"$store/bucket=$b").exists())
+    require(untouched.nonEmpty, "fixture must span several buckets")
+    val before = untouched.map(b => b -> files(b)).toMap
+    CdcMaintenance.mergeBatch(spark, store, single, keys, B)
+    untouched.foreach(b => assert(files(b) === before(b),
+      s"bucket $b was rewritten by a batch that never touched it"))
+    assert(state(store).contains((2L, "u2")))
+  }
+
+  test("the streaming entry point drains a changelog directory") {
+    val dir = Files.createTempDirectory("cdc_stream").toString
+    val src = s"$dir/log"
+    val store = s"$dir/store"
+    CdcMaintenance.buildStore(baseDf, keys, store, B)
+    log1.write.parquet(src)
+    log2.write.mode("append").parquet(src)
+    val q = CdcMaintenance.start(spark, src, store, keys, B)
+    q.awaitTermination()
+    val want = CdcMerge(baseDf, log1.unionByName(log2), keys)
+      .as[(Long, String)].collect().toSet
+    assert(state(store) === want)
+  }
+}
