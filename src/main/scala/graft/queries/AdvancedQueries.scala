@@ -1230,6 +1230,66 @@ object AdvancedQueries extends QueryModule {
         |             (n-1)*75//100 + 1, (n-1)*99//100 + 1)
         |ORDER BY pct""".stripMargin)),
 
+    // ---- Trimmed mean (robust location): the mean of the prices
+    // between the exact P05 and P95 order-statistic VALUES — the
+    // outlier-insensitive average every metrics pipeline wants once
+    // heavy tails appear. Both trim bounds come from ONE
+    // ExactRank.selectRanks pass (rank selection, not interpolation,
+    // so the bounds are stored data and the trim is value-based —
+    // every row tied with a bound stays, which keeps the definition
+    // deterministic under ties). The trimmed aggregate is exact:
+    // 2-dp currency → integer cents, DECIMAL(38,0) sum, one integral
+    // div for the scaled mean — all-BIGINT output, hash-exact. Scale
+    // shape: the rank selection is the parallel range-sort pipeline;
+    // the trim itself is a broadcast of one 2-value row + a
+    // codegen'd filter + a map-side-partial aggregate.
+    "q_trimmed_mean" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+          .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
+            col("l_orderkey"), col("l_linenumber"))
+        def k(n: Column, q: Int): Column =
+          ((n - 1) * q / 100).cast("long") + 1
+        val bounds = graft.ops.ExactRank.selectRanks(li,
+            Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+            n => Seq(k(n, 5), k(n, 95)))
+          .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .filter(col("cents") >= col("lo") && col("cents") <= col("hi"))
+          .agg(
+            max(col("lo")).as("lo_cents"),
+            max(col("hi")).as("hi_cents"),
+            count(lit(1)).as("kept"),
+            sum(col("cents")).cast("decimal(38,0)").as("sc"))
+          .select(col("lo_cents"), col("hi_cents"), col("kept"),
+            col("sc").cast("long").as("sum_cents"),
+            expr("sc * 100 div kept").cast("long").as("mean_cents_x100"))
+      },
+      oracle = Some("""
+        |WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           AS cents,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, l_orderkey,
+        |                       l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM li),
+        |b AS (
+        |  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM r
+        |  WHERE rn IN ((n-1)*5//100 + 1, (n-1)*95//100 + 1)),
+        |t AS (
+        |  SELECT li.cents, b.lo, b.hi FROM li CROSS JOIN b
+        |  WHERE li.cents >= b.lo AND li.cents <= b.hi)
+        |SELECT MAX(lo) AS lo_cents, MAX(hi) AS hi_cents,
+        |  COUNT(*) AS kept,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(CAST(cents AS HUGEINT)) * 100 // COUNT(*) AS BIGINT)
+        |    AS mean_cents_x100
+        |FROM t""".stripMargin)),
+
     // ---- Pairwise Pearson correlation MATRIX over the lineitem
     // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
     // cross-products) accumulate in a single aggregation — no
@@ -1451,6 +1511,62 @@ object AdvancedQueries extends QueryModule {
         |        - (CAST(max(n) AS HUGEINT) + 1) * SUM(cents)) * 10000
         |       // (CAST(max(n) AS HUGEINT) * SUM(cents)) AS BIGINT)
         |    AS gini_bp
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // ---- Lorenz curve (the distribution q_gini_spend summarizes in
+    // one number): cumulative spend share at each customer-count
+    // decile — "the bottom 50% of customers carry share_bp/100 % of
+    // revenue", the corpus-contribution curve a data-mix planner reads
+    // before rebalancing sources. ONE ExactRank.prefixSum pass
+    // produces BOTH the rank (a running count of 1s) and the
+    // cumulative cents under the same total order — rank selection
+    // and prefix aggregation fused into the same two-job pipeline, no
+    // second sort. Everything integer: cents are exact, share_bp is
+    // one integral division per emitted row; the decile ranks
+    // (n·k div 10) are membership-tested against the running count,
+    // and the single-row totals broadcast.
+    "q_lorenz_share" -> QueryDef(
+      fn = (spark, dir) => {
+        val s = Tables(spark, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(col("o_totalprice")) * 100)
+            .cast("decimal(38,0)").cast("long").as("cents"))
+        val cum = graft.ops.ExactRank.prefixSum(s,
+          Seq(col("cents"), col("o_custkey")),
+          Seq("i" -> lit(1L), "cum_cents" -> col("cents")))
+        val tot = s.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"))
+        cum.crossJoin(broadcast(tot))
+          .filter(expr(
+            "array_contains(transform(sequence(1, 10)," +
+              " k -> n * k div 10), i)"))
+          .select(col("i").as("rank"), col("n").as("n_customers"),
+            col("cum_cents"), col("total_cents"),
+            expr("cum_cents * 10000 div total_cents").as("share_bp"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        |WITH s AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(SUM(o_totalprice) * 100 AS HUGEINT) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+        |    SUM(cents) OVER (ORDER BY cents, o_custkey
+        |                     ROWS UNBOUNDED PRECEDING) AS cum_cents,
+        |    COUNT(*) OVER () AS n,
+        |    SUM(cents) OVER () AS total
+        |  FROM s)
+        |SELECT i AS rank, CAST(n AS BIGINT) AS n_customers,
+        |  CAST(cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(total AS BIGINT) AS total_cents,
+        |  CAST(CAST(cum_cents AS HUGEINT) * 10000 // total AS BIGINT)
+        |    AS share_bp
+        |FROM r
+        |WHERE i IN (n*1//10, n*2//10, n*3//10, n*4//10, n*5//10,
+        |            n*6//10, n*7//10, n*8//10, n*9//10, n*10//10)
+        |ORDER BY rank""".stripMargin))
   )
 }
