@@ -80,4 +80,96 @@ class OpsPropsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(ema), s"user $u ema")
     }
   }
+
+  test("ExactRank.prefixSum == the sequential running totals for " +
+    "arbitrary multisets with heavy ties") {
+    // narrow key domain → ties; unique id tiebreak keeps rows stable
+    val gen = Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(-9L, 9L))
+    val rows = Gen.listOfN(800, gen).sample.get.zipWithIndex
+      .map { case ((v, x), i) => (v, i.toLong, x) }
+    val df = rows.toDF("v", "id", "x")
+    val got = ExactRank.prefixSum(df, Seq(col("v"), col("id")),
+        Seq("cum" -> col("x"), "cnt" -> lit(1L)))
+      .select("v", "id", "cum", "cnt")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // single-threaded model: same (v, id) total order
+    var run = 0L
+    var cnt = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (v, id, x) =>
+      run += x; cnt += 1
+      (v, id) -> (run, cnt)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("CdcMerge == the sequential latest-wins replay for arbitrary " +
+    "base/log mixes of upserts and deletes") {
+    val keyGen = Gen.chooseNum(1L, 30L) // hot keys: many ops per key
+    val base = (1L to 20L).map(k => (k, s"b$k"))
+    val opsGen = Gen.zip(keyGen, Gen.oneOf("U", "D"))
+    val log = Gen.listOfN(300, opsGen).sample.get.zipWithIndex.map {
+      case ((k, op), i) => (k, if (op == "U") s"u$i" else "", op,
+        (i + 1).toLong)
+    }
+    val got = graft.pipeline.CdcMerge(
+        base.toDF("k", "payload"),
+        log.toDF("k", "payload", "op", "seq"), keys = Seq("k"))
+      .as[(Long, String)].collect().toMap
+    // model: base seeds, replay in seq order, delete removes
+    val state = scala.collection.mutable.Map(base.map {
+      case (k, p) => k -> p
+    }: _*)
+    log.sortBy(_._4).foreach { case (k, p, op, _) =>
+      if (op == "D") state.remove(k) else state(k) = p
+    }
+    assert(got === state.toMap)
+  }
+
+  test("PipelineOps.dbscanRoles == the sequential DBSCAN for random " +
+    "sparse graphs at several minPts") {
+    val n = 40L
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, n), Gen.chooseNum(1L, n))
+    val rawEdges = Gen.listOfN(70, edgeGen).sample.get
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val nodes = (1L to n).toDF("id")
+    val und = rawEdges.toDF("a", "b")
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val adj = rawEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    for (minPts <- Seq(1, 2, 3)) {
+      val got = graft.ext.PipelineOps
+        .dbscanRoles(nodes, edges, minPts)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // model: core by degree, clusters = BFS over core subgraph
+      // labeled by min core id, border = min core-neighbor cluster
+      val core = (1L to n).filter(adj(_).size >= minPts).toSet
+      val cluster = scala.collection.mutable.Map[Long, Long]()
+      core.toSeq.sorted.foreach { s =>
+        if (!cluster.contains(s)) {
+          var frontier = Set(s)
+          while (frontier.nonEmpty) {
+            frontier.foreach(cluster(_) = s)
+            frontier = frontier.flatMap(adj(_))
+              .filter(core).filterNot(cluster.contains)
+          }
+        }
+      }
+      val want = (1L to n).map { v =>
+        if (core(v)) v -> ("core", cluster(v))
+        else {
+          val coreNbr = adj(v).filter(core)
+          if (coreNbr.nonEmpty)
+            v -> ("border", coreNbr.map(cluster).min)
+          else v -> ("noise", -1L)
+        }
+      }.toMap
+      assert(got === want, s"minPts=$minPts")
+    }
+  }
 }

@@ -82,6 +82,29 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(state(store).contains((2L, "u2")))
   }
 
+  test("crash mid-write converges on retry (partial buckets then full)") {
+    // simulate a crash after SOME bucket partitions of a batch landed:
+    // apply the batch restricted to one bucket (the partitions the
+    // first attempt managed to overwrite), then retry the FULL batch —
+    // the monotone guard must pass through the already-merged bucket
+    // and merge the missed ones, landing exactly where a clean single
+    // apply would
+    val a = s"${Files.createTempDirectory("cdc_crash_a")}/store"
+    val b = s"${Files.createTempDirectory("cdc_crash_b")}/store"
+    CdcMaintenance.buildStore(baseDf, keys, a, B)
+    CdcMaintenance.buildStore(baseDf, keys, b, B)
+    val firstBucket = log1.select(
+      pmod(hash(col("k")), lit(B)).cast("int")).head().getInt(0)
+    val partial = log1.filter(
+      pmod(hash(col("k")), lit(B)) === firstBucket)
+    require(partial.count() < log1.count(),
+      "fixture must span several buckets for the crash simulation")
+    CdcMaintenance.mergeBatch(spark, a, partial, keys, B) // the "crash"
+    CdcMaintenance.mergeBatch(spark, a, log1, keys, B)    // the retry
+    CdcMaintenance.mergeBatch(spark, b, log1, keys, B)    // clean apply
+    assert(state(a) === state(b))
+  }
+
   test("the streaming entry point drains a changelog directory") {
     val dir = Files.createTempDirectory("cdc_stream").toString
     val src = s"$dir/log"
