@@ -1290,6 +1290,54 @@ object AdvancedQueries extends QueryModule {
         |    AS mean_cents_x100
         |FROM t""".stripMargin)),
 
+    // ---- WEIGHTED median (lower): the smallest price whose
+    // cumulative quantity reaches half the total quantity — the order
+    // statistic importance-weighted corpora need (q_exact_median
+    // treats every row equally; a token-weighted quality cut must not).
+    // [[graft.ops.ExactRank.selectRanks]] selects by ROW rank, which
+    // cannot express a weight; the cumulative-weight formulation rides
+    // [[graft.ops.ExactRank.prefixSum]] instead: per-value weight
+    // totals (one shuffle, map-side partial), the distributed prefix
+    // sum over the value order, a broadcast single-row total, and the
+    // threshold test cum_w·2 ≥ W kept in CROSS-MULTIPLIED integers —
+    // no division anywhere, all-BIGINT, hash-exact. l_quantity is
+    // integral by data contract, so weights are exact longs.
+    "q_weighted_median" -> QueryDef(
+      fn = (spark, dir) => {
+        val li = Tables(spark, dir, "lineitem")
+          .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
+            col("l_quantity").cast("long").as("w"))
+        val perVal = li.groupBy("cents").agg(sum("w").as("w"))
+        val cum = graft.ops.ExactRank.prefixSum(perVal,
+          Seq(col("cents")), Seq("cum_w" -> col("w")))
+        val tot = li.agg(sum("w").as("tw"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("cum_w") * 2 >= col("tw"))
+          .agg(
+            min(col("cents")).as("median_cents"),
+            min_by(col("cum_w"), col("cents")).as("cum_weight"),
+            max(col("tw")).as("total_weight"))
+      },
+      oracle = Some("""
+        |WITH li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           AS cents,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |pv AS (
+        |  SELECT cents, CAST(SUM(w) AS BIGINT) AS w
+        |  FROM li GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(SUM(w) OVER (ORDER BY cents) AS BIGINT) AS cum_w
+        |  FROM pv),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM li)
+        |SELECT c.cents AS median_cents, c.cum_w AS cum_weight,
+        |  t.tw AS total_weight
+        |FROM cum c CROSS JOIN tot t
+        |WHERE c.cum_w * 2 >= t.tw
+        |ORDER BY c.cents LIMIT 1""".stripMargin)),
+
     // ---- Pairwise Pearson correlation MATRIX over the lineitem
     // measures in ONE scan: all 15 moments (4 sums, 4 squares, 6
     // cross-products) accumulate in a single aggregation — no
