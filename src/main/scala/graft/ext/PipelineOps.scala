@@ -141,7 +141,10 @@ object PipelineOps {
     * no per-node iteration. `nodes` must carry `id`. */
   def dbscanRoles(nodes: DataFrame, edges: DataFrame,
       minPts: Int): DataFrame = {
-    val core = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree = DISTINCT neighbors, not raw edge rows: a caller passing
+    // a multi-edge frame (duplicate (src,dst) pairs) must not inflate
+    // density past minPts
+    val core = edges.groupBy("src").agg(countDistinct(col("dst")).as("deg"))
       .filter(col("deg") >= minPts).select(col("src").as("id"))
     val coreEdges = edges
       .join(core.select(col("id").as("src")), Seq("src"), "left_semi")

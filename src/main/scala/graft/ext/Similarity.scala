@@ -1284,7 +1284,7 @@ object SimilarityQueries extends QueryModule {
         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
         |core AS MATERIALIZED (
         |  SELECT src AS id FROM edges GROUP BY src
-        |  HAVING COUNT(*) >= 2),
+        |  HAVING COUNT(DISTINCT dst) >= 2),
         |core_edges AS MATERIALIZED (
         |  SELECT e.src, e.dst FROM edges e
         |  JOIN core c1 ON e.src = c1.id

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed exact k-th order statistic — global rank selection
@@ -11,32 +10,32 @@ import org.apache.spark.sql.functions._
   * funnels the whole frame through ONE task: Exchange(SinglePartition)
   * + serial sort + window buffer. Correct, but serial in the frame
   * size — the one shape that does NOT survive a 100× scale-up. This
-  * operator computes the same element in parallel:
+  * operator computes the same element in parallel, on ONE construction
+  * shared by the whole order-statistics family (rank, selection,
+  * prefix sums):
   *
   *  1. `repartitionByRange(parts, sortCols)` + `sortWithinPartitions`
   *     — the distributed total sort (equal keys land in one
   *     partition, so ranks are well-defined);
-  *  2. `monotonically_increasing_id()` over the sorted partitions:
-  *     id = pid·2^33 + rowOffset, so LOCAL rank = low 33 bits + 1 and
-  *     the partition id = high bits — no window, no second exchange,
-  *     fully parallel;
-  *  3. per-partition row counts → prefix-sum offsets (a ≤`parts`-row
-  *     frame; its windows are bounded by the partition count, never
-  *     the data);
-  *  4. global rank = offset + local rank; broadcast the offsets back
-  *     and filter to `kOf(n)` — a codegen'd filter on the sorted
-  *     stream.
+  *  2. `sorted.rdd` PINS the physical plan: one shuffle, one fixed
+  *     partitioning. Job 1 (`sparkContext.runJob`) collects the
+  *     per-partition row counts / value totals to the driver —
+  *     ≤ `parts`×k scalars, bounded sketch-class state;
+  *  3. the driver folds those totals to exclusive per-partition
+  *     offsets (a loop over ≤ `parts` entries);
+  *  4. job 2 (`mapPartitionsWithIndex` over the SAME RDD object)
+  *     seeds each partition with its offset from the closure and
+  *     folds rows in the partition-local sorted order — global rank
+  *     (or running sum) is offset + local fold, fully parallel.
   *
-  * Consistency: steps 3 and 4 branch from the SAME range exchange;
-  * Catalyst's exchange reuse (`spark.sql.exchange.reuse`, on by
-  * default — AQE's stage cache likewise) materializes the shuffle
-  * once, so both branches observe identical partition boundaries.
-  * `ExactRankSpec` asserts the reuse in the physical plan AND pins
-  * bit-equality against the single-partition window formulation.
-  * The sort-elimination optimizer rule cannot drop the sort under the
-  * counting aggregate because the projection above it carries the
-  * nondeterministic `monotonically_increasing_id` (EliminateSorts
-  * guards on deterministic projections).
+  * Consistency is BY CONSTRUCTION: both jobs run on one RDD object,
+  * so partition indexes and boundaries agree no matter what the
+  * session's `spark.sql.exchange.reuse` or AQE settings are (the
+  * superseded formulation — two Catalyst branches over one range
+  * exchange — was only correct while Catalyst chose to materialize
+  * the exchange once; `ExactRankSpec` now pins bit-equality with
+  * exchange reuse DISABLED). The shuffle map stage is shared: job 2
+  * skips the map side and reads the shuffle files job 1 wrote.
   *
   * The selected row is an ELEMENT of the data under the total order —
   * never an interpolation — which is what makes rank-selected
@@ -77,73 +76,31 @@ object ExactRank {
         array(ksOf(col(nCol)): _*), col(rankCol)))
 
   /** EVERY row of `df` annotated with its exact 1-based global rank
-    * under `sortCols` plus the total count — the same parallel
-    * pipeline as [[selectRanks]] without the membership filter. This
-    * is the TRANSFORM use of distributed ranking (ECDF/percentile
-    * normalization, rank-weighted statistics like Gini) where the
-    * single-partition window formulation is at its worst: the whole
-    * frame, not just m selected rows, flows through the rank step,
-    * so it MUST stay parallel end-to-end.
+    * under `sortCols` plus the total count — [[prefixSum]] of the
+    * constant 1 (the running row count IS the rank in sorted order),
+    * with the grand total — known on the driver after the totals job —
+    * appended as a literal. This is the TRANSFORM use of distributed
+    * ranking (ECDF/percentile normalization, rank-weighted statistics
+    * like Gini) where the single-partition window formulation is at
+    * its worst: the whole frame, not just m selected rows, flows
+    * through the rank step, so it MUST stay parallel end-to-end.
     */
   def rankAll(
       df: DataFrame,
       sortCols: Seq[Column],
       rankCol: String = "rank",
       nCol: String = "n_total"): DataFrame = {
-    // the offs branch and the join branch MUST observe one shared range
-    // exchange (identical sampled partition boundaries) — that is what
-    // Catalyst exchange reuse provides. ExactRankSpec asserts it in the
-    // physical plan; this require catches a session that disabled it
-    // (results would be silently wrong, not slow).
-    require(df.sparkSession.sessionState.conf.exchangeReuseEnabled,
-      "ExactRank requires spark.sql.exchange.reuse=true: local ranks and " +
-        "prefix-sum offsets must branch from one shared range exchange")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__id", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__id"), 33))
-      .withColumn("__lrn", col("__id").bitwiseAND(lit((1L << 33) - 1)) + 1)
-    val offs = sorted
-      .groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off",
-        coalesce(
-          sum(col("__cnt")).over(
-            Window.orderBy("__pid")
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .withColumn(nCol,
-        sum(col("__cnt")).over(Window.partitionBy()))
-      .select(col("__pid"), col("__off"), col(nCol))
-    sorted
-      .join(broadcast(offs), "__pid")
-      .withColumn(rankCol, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__id", "__off")
+    val (out, totL, _) =
+      prefixSumCore(df, sortCols, Seq(rankCol -> lit(1L)))
+    out.withColumn(nCol, lit(totL(0)))
   }
 
   /** Every row of `df` annotated with the INCLUSIVE running total of
     * each `values` expression under the global `sortCols` order — the
     * distributed prefix sum (ECDF numerators, cumulative mass, KS
     * statistics), generalizing [[rankAll]] from counting rows to
-    * summing arbitrary columns.
-    *
-    * Shape: the same ONE range exchange as [[rankAll]], then the
-    * classic two-job RDD prefix-sum recipe over the FIXED physical
-    * plan — `sorted.rdd` pins the plan once, job 1 collects the
-    * per-partition totals to the driver (≤ `parts`×k scalars, the
-    * bounded sketch-class state the module rules allow), job 2 folds
-    * each partition with its exclusive offset seeded from the closure
-    * (mapPartitionsWithIndex — the secondary-sort escape hatch
-    * [[graft.ops.OrderedFold]] documents; a window PARTITIONED BY a
-    * partition-id column would express the same fold but forces
-    * Catalyst to re-exchange the whole frame on that id). Both jobs
-    * run on the SAME RDD object, so partition indexes agree by
-    * construction — no exchange-reuse assumption, immune to AQE
-    * re-planning a second read of the exchange differently — and the
-    * shuffle map stage is reused (job 2 skips it and reads the
-    * existing shuffle files).
+    * summing arbitrary columns. Shape: the pinned-RDD two-job fold
+    * documented on the object.
     *
     * Value expressions must be integral (summed as LONG — exact and
     * partition-count-invariant, the hash-checkable path) or
@@ -159,7 +116,19 @@ object ExactRank {
   def prefixSum(
       df: DataFrame,
       sortCols: Seq[Column],
-      values: Seq[(String, Column)]): DataFrame = {
+      values: Seq[(String, Column)]): DataFrame =
+    prefixSumCore(df, sortCols, values)._1
+
+  /** The shared construction: the prefix-summed frame PLUS the grand
+    * totals (per value column, long and double lanes), which the
+    * driver holds for free after the totals job — [[rankAll]] turns
+    * them into its total-count column without a third pass.
+    */
+  private def prefixSumCore(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      values: Seq[(String, Column)])
+      : (DataFrame, Array[Long], Array[Double]) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -220,6 +189,18 @@ object ExactRank {
       }
       p += 1
     }
+    // grand totals: last offset + last partition's contribution
+    val totL = new Array[Long](k)
+    val totD = new Array[Double](k)
+    if (partTotals.nonEmpty) {
+      val last = partTotals.length - 1
+      var i = 0
+      while (i < k) {
+        totL(i) = offL(last)(i) + partTotals(last)._1(i)
+        totD(i) = offD(last)(i) + partTotals(last)._2(i)
+        i += 1
+      }
+    }
     // job 2: fold each partition seeded with its offset — the shuffle
     // map stage is shared with job 1 (same RDD), so this reads the
     // already-written shuffle files
@@ -245,6 +226,6 @@ object ExactRank {
       values.zip(isLong).map { case ((n, _), l) =>
         StructField(n, if (l) LongType else DoubleType, nullable = false)
       })
-    spark.createDataFrame(out, outSchema)
+    (spark.createDataFrame(out, outSchema), totL, totD)
   }
 }

@@ -1590,7 +1590,13 @@ object AdvancedQueries extends QueryModule {
               " k -> n * k div 10), i)"))
           .select(col("i").as("rank"), col("n").as("n_customers"),
             col("cum_cents"), col("total_cents"),
-            expr("cum_cents * 10000 div total_cents").as("share_bp"))
+            // widen to decimal(38,0) BEFORE the ×10000: total cents
+            // crosses Long.Max/10000 around a 40-100× scale-up and
+            // non-ANSI Spark would silently wrap (q_gini_spend's
+            // exact-decimal pattern); result fits long again after
+            // the division (share_bp ≤ 10000)
+            expr("cast(cast(cum_cents as decimal(38,0)) * 10000" +
+              " div total_cents as long)").as("share_bp"))
           .orderBy("rank")
       },
       oracle = Some("""

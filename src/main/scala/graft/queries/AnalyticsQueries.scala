@@ -144,8 +144,14 @@ object AnalyticsQueries extends QueryModule {
           col("o_orderkey"), lit("X"), col("o_totalprice") * 1.05, "U", 1L)
         val del = arm(o.filter(col("o_orderkey") % 11 === 0),
           col("o_orderkey"), lit(""), lit(0.0), "D", 2L)
+        // brand-new keys are NEGATED organic keys: organic and ScaleUp
+        // replica keys are all positive (replicas shift by k·10^7), so
+        // a negative insert key can never collide with an existing key
+        // at ANY replication factor — a fixed positive offset would
+        // land inside replica ≥10's key space and silently stop
+        // exercising the insert path at scaled data
         val ins = arm(o.filter(col("o_orderkey") % 13 === 0),
-          col("o_orderkey") + 100000000L, lit("N"), col("o_totalprice"),
+          -col("o_orderkey"), lit("N"), col("o_totalprice"),
           "U", 3L)
         val upd2 = arm(o.filter(col("o_orderkey") % 21 === 0),
           col("o_orderkey"), lit("Y"), col("o_totalprice") * 1.1, "U", 4L)
@@ -167,7 +173,7 @@ object AnalyticsQueries extends QueryModule {
         |  SELECT o_orderkey, '', CAST(0.0 AS DOUBLE), 'D', 2
         |  FROM o WHERE o_orderkey % 11 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'U', 3
+        |  SELECT -o_orderkey, 'N', o_totalprice, 'U', 3
         |  FROM o WHERE o_orderkey % 13 = 0
         |  UNION ALL
         |  SELECT o_orderkey, 'Y',

@@ -305,7 +305,13 @@ object TimeSeriesQueries extends QueryModule {
     "q_ks_drift" -> QueryDef(
       fn = (spark, dir) => {
         val ab = Tables(spark, dir, "events")
-          .filter(col("event_type").isin("click", "view"))
+          .filter(col("event_type").isin("click", "view") &&
+            // explicit NULL contract: Spark's range sort puts NULLs
+            // first, DuckDB's SUM OVER (ORDER BY value) last — a NULL
+            // value would shift the two engines' ECDFs differently,
+            // so exclude it on BOTH sides rather than rely on the
+            // seed data having none
+            col("value").isNotNull)
           .select(col("value"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
             when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
@@ -337,7 +343,9 @@ object TimeSeriesQueries extends QueryModule {
         |         ELSE CAST(0 AS BIGINT) END AS ia,
         |    CASE WHEN event_type = 'view' THEN CAST(1 AS BIGINT)
         |         ELSE CAST(0 AS BIGINT) END AS ib
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL),
         |pv AS (
         |  SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
         |    CAST(SUM(ib) AS BIGINT) AS cb

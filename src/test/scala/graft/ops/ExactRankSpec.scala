@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,31 +77,56 @@ class ExactRankSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("plan: one range exchange, reused by the offsets branch") {
+  test("correct with spark.sql.exchange.reuse=false (no reuse assumption)") {
+    // the superseded two-Catalyst-branch formulation was only correct
+    // while Catalyst materialized one shared range exchange; the
+    // pinned-RDD construction must not care. A DEDICATED session
+    // (isolated SQLConf) disables exchange reuse AND AQE's stage
+    // cache, then rank selection and rankAll must still be
+    // bit-identical to the single-partition window formulation.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.exchange.reuse", "false")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    import s2.implicits._
+    val df = (1 to 10007)
+      .map(i => ((i * 2654435761L) % 97 / 10.0, i.toLong))
+      .toDF("v", "id")
+    assert(!s2.sessionState.conf.exchangeReuseEnabled, "conf applied")
+    val got = ExactRank
+      .selectRank(df, Seq(col("v"), col("id")), ExactRank.lowerMedian)
+      .select("v", "n_total").head()
+    val want = windowedLowerMedian(df)
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(want._1), "median value")
+    assert(got.getLong(1) === want._2, "total count")
+    // rankAll transform: every rank matches the window formulation
+    val ranks = ExactRank.rankAll(df, Seq(col("v"), col("id")))
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantRanks = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("id"))))
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(ranks.size === 10007)
+    assert(ranks === wantRanks)
+  }
+
+  test("plan: no single-partition exchange of the full frame") {
+    // the pinned-RDD construction's only wide step is the range
+    // exchange inside the RDD lineage; the final Catalyst plan over
+    // the LogicalRDD must not re-exchange everything to one partition
     val df = (1 to 5000).map(i => (i * 37 % 1009, i.toLong)).toDF("v", "id")
     val sel = ExactRank.selectRank(df, Seq(col("v"), col("id")),
       ExactRank.lowerMedian)
     sel.collect()
-    val nodes = execNodes(sel)
-    val range = nodes.collect {
-      case s: ShuffleExchangeExec
-        if s.outputPartitioning.toString.contains("range") => s
-    }
-    val reused = nodes.collect { case r: ReusedExchangeExec => r }
-    assert(range.size == 1,
-      s"exactly one materialized range exchange, got ${range.size}")
-    assert(reused.nonEmpty, "offsets branch must reuse the exchange")
-    // the only SinglePartition exchange allowed is the ≤parts-row
-    // offsets frame (its input is the per-partition count aggregate)
-    val single = nodes.collect {
+    val single = execNodes(sel).collect {
       case s: ShuffleExchangeExec
         if s.outputPartitioning.toString.contains("SinglePartition") => s
     }
-    single.foreach { s =>
-      assert(s.child.toString.contains("count") ||
-        s.child.collectLeaves().toString.contains("count"),
-        "single-partition exchange must carry only the bounded count frame")
-    }
+    assert(single.isEmpty,
+      s"no SinglePartition exchange expected, got ${single.size}")
   }
 
   test("distributed prefix sum == single-partition window, multi-column") {

@@ -306,15 +306,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p) // cached edge frame
   }
 
-  test("q_exact_median: one range exchange reused, ranks without row_number") {
+  test("q_exact_median: pinned-RDD ranks, no row_number, no global funnel") {
     val df = SparkEntry.queries("q_exact_median")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString()
-    assert(p.toLowerCase.contains("rangepartitioning"), p) // distributed sort
-    assert(p.contains("ReusedExchange"), p) // offsets branch shares it
-    // ranks come from mono-ids; the only windows are the prefix sums
-    // over the ≤parts-row count frame (ExactRankSpec pins the rest)
+    // ranks ride ExactRank's pinned-RDD two-job fold: the range sort
+    // lives inside the RDD lineage, the Catalyst plan above it is a
+    // codegen'd filter over the ExistingRDD scan — never a
+    // single-partition re-exchange of the frame, never a window
+    assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("row_number"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q_rolling_wau: 2 corpus exchanges + keyed lead, day frame broadcasts") {
