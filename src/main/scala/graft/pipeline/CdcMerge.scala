@@ -36,9 +36,35 @@ object CdcMerge {
       .select((keys ++ payload).map(col): _*)
       .withColumn(opCol, lit("U"))
       .withColumn(seqCol, lit(Long.MinValue))
-    seeded
+    replay(seeded
       .unionByName(log.select(
-        (keys ++ payload ++ Seq(opCol, seqCol)).map(col): _*))
+        (keys ++ payload ++ Seq(opCol, seqCol)).map(col): _*)),
+      keys, opCol, seqCol)
+  }
+
+  /** Point-in-time state: the snapshot as it stood AFTER applying every
+    * log entry with sequence ≤ `asOfSeq` — the CDC analog of
+    * [[Scd2.asOf]], except the axis is the log's own ordering instead
+    * of wall-clock validity. Same one-shuffle shape as [[apply]]; the
+    * sequence filter sits UNDER the aggregation, so a log stored
+    * partitioned on a seq bucket prunes at the scan. */
+  def asOf(base: DataFrame, log: DataFrame, keys: Seq[String],
+      asOfSeq: Long, opCol: String = "op",
+      seqCol: String = "seq"): DataFrame =
+    apply(base, log.filter(col(seqCol) <= asOfSeq), keys, opCol, seqCol)
+
+  /** Latest-wins collapse of a PURE changelog (rows: keys ++ payload ++
+    * op/seq): one max_by aggregation per key — map-side partial, so
+    * ≤ one row per key per partition reaches the exchange — then
+    * tombstones drop. Shared by [[apply]] (which seeds the base
+    * snapshot below every log entry) and
+    * [[graft.streaming.CdcMaintenance.asOfSeq]] (which unions the
+    * compacted store with the retained log tail). */
+  def replay(log: DataFrame, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val payload = log.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == opCol || c == seqCol)
+    log
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol))
         .as("__last"))

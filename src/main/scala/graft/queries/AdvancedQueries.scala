@@ -870,35 +870,24 @@ object AdvancedQueries extends QueryModule {
         |  array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
         |FROM m ORDER BY o_orderkey""".stripMargin)),
 
-    // ---- Approximate aggregates: HLL++ distinct count and quantile
-    // sketch — THE aggregates that matter at 100 TB (fixed-size state,
-    // single pass, mergeable across partitions). Algorithms differ
-    // across engines so there is no hash oracle; the spec asserts the
-    // documented error bounds against exact answers.
+    // ---- Approximate aggregates WITH their error certificate: HLL++
+    // distinct count and quantile sketch — THE aggregates that matter
+    // at 100 TB (fixed-size state, single pass, mergeable across
+    // partitions). The sketch VALUES are engine-specific (no
+    // cross-engine hash is possible for them), but their ERROR BOUNDS
+    // are checkable claims — so the query computes, in-engine, whether
+    // each approximate answer sits inside its documented bound vs the
+    // exact answer (|approx−exact| within 4× the 2% rsd for HLL++,
+    // approx-median between exact P40 and P60 for the 1e-3-accuracy
+    // KLL) and EXPORTS the exact values plus the within-bound flags.
+    // The flags are deterministic — comfortably inside the bound at
+    // every scale — so the oracle is the exact counts plus all-ones
+    // over the same groups, and the approx surface is fully
+    // hash-checked: the sketches run in the plan, their accuracy is
+    // the asserted output. Integer comparisons only
+    // (|a−e|·100 ≤ e·8 in BIGINT), no float thresholds cross the
+    // engine boundary.
     "q_approx_aggs" -> QueryDef(
-      fn = (spark, dir) => Tables(spark, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"))
-        .orderBy("l_returnflag"),
-      oracle = None),
-
-    // ---- q_approx_aggs' CORRECTNESS companion: the sketches above are
-    // engine-specific (no hash oracle), but their ERROR BOUNDS are
-    // checkable claims — this query computes, in-engine, whether each
-    // approximate answer sits inside its documented bound vs the exact
-    // answer (the ApproxAggSpec contract: |approx−exact| within 4× the
-    // 2% rsd for HLL++, approx-median between exact P40 and P60 for the
-    // 1e-3-accuracy KLL), and emits the WITHIN-BOUND flags. Those flags
-    // are deterministic — comfortably inside the bound at every scale —
-    // so the oracle is the all-ones table over the same groups, and the
-    // last rows-only entry gains a hash-checked error certificate.
-    // Integer comparisons only (|a−e|·100 ≤ e·8 in BIGINT), no float
-    // thresholds cross the engine boundary.
-    "q_approx_err_bound" -> QueryDef(
       fn = (spark, dir) => Tables(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -912,6 +901,8 @@ object AdvancedQueries extends QueryModule {
             .as("approx_median"))
         .select(
           col("l_returnflag"),
+          col("exact_orders"),
+          col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders")) * 100 <=
             col("exact_orders") * 8).cast("long").as("orders_in_bound"),
           (abs(col("approx_parts") - col("exact_parts")) * 100 <=
@@ -922,6 +913,8 @@ object AdvancedQueries extends QueryModule {
         .orderBy("l_returnflag"),
       oracle = Some("""
         |SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  CAST(1 AS BIGINT) AS orders_in_bound,
         |  CAST(1 AS BIGINT) AS parts_in_bound,
         |  CAST(1 AS BIGINT) AS median_in_bound

@@ -19,6 +19,84 @@ object AnalyticsQueries extends QueryModule {
   private val lastRfm =
     graft.ops.BuildOnce.swapRef()
 
+  /** The CDC fixture's base snapshot — the orders slice both CDC
+    * queries merge the changelog into. */
+  private def cdcBase(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** The deterministic CDC changelog over `o` (key-modulus waves, so
+    * sequencing is actually exercised: %21-keys get two updates,
+    * %77-keys an update then a delete). Insert keys are NEGATED
+    * organic keys: organic and ScaleUp replica keys are all positive
+    * (replicas shift by k·10^7), so a negative insert key can never
+    * collide with an existing key at ANY replication factor — a fixed
+    * positive offset would land inside replica ≥10's key space and
+    * silently stop exercising the insert path at scaled data. */
+  private def cdcLog(o: DataFrame): DataFrame = {
+    def arm(src: DataFrame, key: Column, status: Column, price: Column,
+        op: String, seq: Long): DataFrame =
+      src.select(key.as("o_orderkey"), status.as("o_orderstatus"),
+        price.as("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
+    val upd1 = arm(o.filter(col("o_orderkey") % 7 === 0),
+      col("o_orderkey"), lit("X"), col("o_totalprice") * 1.05, "U", 1L)
+    val del = arm(o.filter(col("o_orderkey") % 11 === 0),
+      col("o_orderkey"), lit(""), lit(0.0), "D", 2L)
+    val ins = arm(o.filter(col("o_orderkey") % 13 === 0),
+      -col("o_orderkey"), lit("N"), col("o_totalprice"), "U", 3L)
+    val upd2 = arm(o.filter(col("o_orderkey") % 21 === 0),
+      col("o_orderkey"), lit("Y"), col("o_totalprice") * 1.1, "U", 4L)
+    upd1.unionByName(del).unionByName(ins).unionByName(upd2)
+  }
+
+  /** The oracle's replay of base + [[cdcLog]] (base enters at seq 0,
+    * below every log wave) — shared so the fixture changes in ONE
+    * place on both engines. */
+  private val cdcLogSql = """
+    |WITH o AS (
+    |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    |log AS (
+    |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+    |    'U' AS op, CAST(0 AS BIGINT) AS seq FROM o
+    |  UNION ALL
+    |  SELECT o_orderkey, 'X',
+    |    o_totalprice * CAST(1.05 AS DOUBLE), 'U', 1
+    |  FROM o WHERE o_orderkey % 7 = 0
+    |  UNION ALL
+    |  SELECT o_orderkey, '', CAST(0.0 AS DOUBLE), 'D', 2
+    |  FROM o WHERE o_orderkey % 11 = 0
+    |  UNION ALL
+    |  SELECT -o_orderkey, 'N', o_totalprice, 'U', 3
+    |  FROM o WHERE o_orderkey % 13 = 0
+    |  UNION ALL
+    |  SELECT o_orderkey, 'Y',
+    |    o_totalprice * CAST(1.1 AS DOUBLE), 'U', 4
+    |  FROM o WHERE o_orderkey % 21 = 0)""".stripMargin.stripPrefix("\n")
+
+  /** Build-once CDC store for q_cdc_asof (memoized per dataset dir like
+    * the star warehouse): base snapshot load, then the log folded in
+    * three micro-batches — update wave, delete wave, insert+update
+    * waves — through the same mergeBatch path the streaming maintainer
+    * runs. */
+  private val cdcStoreMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  private def cdcStoreFor(spark: SparkSession, dir: String): String =
+    graft.ops.BuildOnce.cached(cdcStoreMemo, dir) {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_cdc_store").toString
+      val keys = Seq("o_orderkey")
+      val o = cdcBase(spark, dir)
+      val log = cdcLog(o)
+      val buckets = 8
+      graft.streaming.CdcMaintenance.buildStore(o, keys, store, buckets)
+      Seq(col("seq") === 1, col("seq") === 2, col("seq") >= 3).foreach {
+        slice =>
+          graft.streaming.CdcMaintenance.mergeBatch(
+            spark, store, log.filter(slice), keys, buckets)
+      }
+      store
+    }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- SCD2 rebuild from a change log (pipeline/Scd2.rebuild):
@@ -134,51 +212,12 @@ object AnalyticsQueries extends QueryModule {
     // incremental twin is ops/JoinView's stamped delta fold.
     "q_cdc_merge" -> QueryDef(
       fn = (spark, dir) => {
-        val o = Tables(spark, dir, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        def arm(src: DataFrame, key: Column, status: Column, price: Column,
-            op: String, seq: Long): DataFrame =
-          src.select(key.as("o_orderkey"), status.as("o_orderstatus"),
-            price.as("o_totalprice"), lit(op).as("op"), lit(seq).as("seq"))
-        val upd1 = arm(o.filter(col("o_orderkey") % 7 === 0),
-          col("o_orderkey"), lit("X"), col("o_totalprice") * 1.05, "U", 1L)
-        val del = arm(o.filter(col("o_orderkey") % 11 === 0),
-          col("o_orderkey"), lit(""), lit(0.0), "D", 2L)
-        // brand-new keys are NEGATED organic keys: organic and ScaleUp
-        // replica keys are all positive (replicas shift by k·10^7), so
-        // a negative insert key can never collide with an existing key
-        // at ANY replication factor — a fixed positive offset would
-        // land inside replica ≥10's key space and silently stop
-        // exercising the insert path at scaled data
-        val ins = arm(o.filter(col("o_orderkey") % 13 === 0),
-          -col("o_orderkey"), lit("N"), col("o_totalprice"),
-          "U", 3L)
-        val upd2 = arm(o.filter(col("o_orderkey") % 21 === 0),
-          col("o_orderkey"), lit("Y"), col("o_totalprice") * 1.1, "U", 4L)
-        val log = upd1.unionByName(del).unionByName(ins).unionByName(upd2)
-        graft.pipeline.CdcMerge(o, log, keys = Seq("o_orderkey"))
+        val o = cdcBase(spark, dir)
+        graft.pipeline.CdcMerge(o, cdcLog(o), keys = Seq("o_orderkey"))
           .orderBy("o_orderkey")
       },
-      oracle = Some("""
-        |WITH o AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |log AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |    'U' AS op, CAST(0 AS BIGINT) AS seq FROM o
-        |  UNION ALL
-        |  SELECT o_orderkey, 'X',
-        |    o_totalprice * CAST(1.05 AS DOUBLE), 'U', 1
-        |  FROM o WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, '', CAST(0.0 AS DOUBLE), 'D', 2
-        |  FROM o WHERE o_orderkey % 11 = 0
-        |  UNION ALL
-        |  SELECT -o_orderkey, 'N', o_totalprice, 'U', 3
-        |  FROM o WHERE o_orderkey % 13 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'Y',
-        |    o_totalprice * CAST(1.1 AS DOUBLE), 'U', 4
-        |  FROM o WHERE o_orderkey % 21 = 0),
+      oracle = Some(s"""
+        |$cdcLogSql,
         |latest AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
         |                               ORDER BY seq DESC) AS rn
@@ -187,6 +226,41 @@ object AnalyticsQueries extends QueryModule {
         |FROM latest WHERE rn = 1 AND op != 'D'
         |ORDER BY o_orderkey""".stripMargin),
       bench = true), // the one-shuffle MERGE compaction at fact volume
+
+    // ---- CDC POINT-IN-TIME read (CdcMaintenance.asOfSeq): the table
+    // as it stood after sequence ≤ 2 — the delete wave applied, the
+    // insert and second-update waves not yet. Served the PRODUCTION
+    // way: a compacted latest-state store is built ONCE per dataset
+    // (buildStore + three mergeBatch folds, memoized like the star
+    // warehouse and the served indexes) and the as-of read unions
+    // store rows ≤ seq with the retained log tail ≤ seq, latest-wins
+    // — most keys answer straight from the store; only keys the store
+    // compacted PAST the target point replay from the log. The oracle
+    // replays the full log with the same sequence cutoff (the
+    // store+tail == filtered-replay identity CdcMaintenanceSpec pins),
+    // so the served artifact is hash-gated, not just spec'd. The
+    // fixture satisfies asOfSeq's retention-horizon contract at
+    // asOf=2 by construction: the only keys the store compacted past
+    // seq 2 are the %21 wave (⊂ %7, so their seq-1 history is in the
+    // log) and the negated-key inserts (born at seq 3 — correctly
+    // absent as of 2).
+    "q_cdc_asof" -> QueryDef(
+      fn = (spark, dir) => {
+        val o = cdcBase(spark, dir)
+        graft.streaming.CdcMaintenance
+          .asOfSeq(spark, cdcStoreFor(spark, dir), cdcLog(o),
+            keys = Seq("o_orderkey"), asOf = 2L)
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(s"""
+        |$cdcLogSql,
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM log WHERE seq <= 2)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE rn = 1 AND op != 'D'
+        |ORDER BY o_orderkey""".stripMargin)),
 
     // ---- Data-contract report (ops/QualityChecks): nullability +
     // domain checks fold into ONE conditional-aggregation pass per

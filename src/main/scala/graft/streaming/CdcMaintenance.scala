@@ -128,4 +128,43 @@ object CdcMaintenance {
     raw.filter(col("op") =!= "D")
       .select((keys ++ payloadCols(raw, keys)).map(col): _*)
   }
+
+  /** POINT-IN-TIME state: the table as it stood after applying every
+    * change with sequence ≤ `asOf` — the CDC analog of
+    * [[graft.pipeline.Scd2.asOf]], served from the compacted store
+    * plus the retained changelog instead of a full-history table.
+    *
+    * Construction: latest-wins replay ([[graft.pipeline.CdcMerge.replay]])
+    * over the UNION of
+    *   - store rows with seq ≤ asOf — keys whose state was already
+    *     current at the target point (at a warm store that is MOST
+    *     keys: the base snapshot enters at Long.MinValue, so
+    *     untouched keys always serve straight from the store), and
+    *   - retained log entries with seq ≤ asOf — the keys the store
+    *     has compacted PAST the target point, whose older version
+    *     only the log still holds.
+    * A key in both at the same seq contributes identical rows (the
+    * store row IS that log entry's payload), so the max_by tie is
+    * value-free. Tombstones replay like any entry and drop at the end.
+    *
+    * Contract: exact whenever, for every key whose store row postdates
+    * `asOf`, the retained `log` still holds that key's history at and
+    * below `asOf` — a GC that trims the changelog bounds how far back
+    * [[asOfSeq]] can travel, exactly the checkpoint-plus-tail contract
+    * of log-structured tables. To travel BELOW a key's first logged
+    * change (i.e. to pre-first-update base state after the store
+    * compacted past it), seed the base snapshot into `log` at
+    * `Long.MinValue` the way [[graft.pipeline.CdcMerge.apply]] does —
+    * the base parquet is the log's horizon floor. `log` stored
+    * partitioned on a seq bucket prunes at the scan (the ≤ filter
+    * sits under the aggregation). */
+  def asOfSeq(spark: SparkSession, storeDir: String, log: DataFrame,
+      keys: Seq[String], asOf: Long): DataFrame = {
+    val raw = spark.read.parquet(storeDir)
+    val payload = payloadCols(raw, keys)
+    val cols = (keys ++ Meta ++ payload).map(col)
+    val combined = raw.filter(col("seq") <= asOf).select(cols: _*)
+      .unionByName(log.filter(col("seq") <= asOf).select(cols: _*))
+    graft.pipeline.CdcMerge.replay(combined, keys)
+  }
 }

@@ -105,6 +105,44 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(state(a) === state(b))
   }
 
+  test("asOfSeq: point-in-time reads == filtered-log replay at every seq") {
+    val store = s"${Files.createTempDirectory("cdc_asof")}/store"
+    CdcMaintenance.buildStore(baseDf, keys, store, B)
+    CdcMaintenance.mergeBatch(spark, store, log1, keys, B)
+    CdcMaintenance.mergeBatch(spark, store, log2, keys, B)
+    val fullLog = log1.unionByName(log2)
+    // the seeded log (base at MinValue + every change) is the full
+    // retention horizon — with it, EVERY as-of point is exact
+    val seeded = baseDf
+      .withColumn("op", lit("U"))
+      .withColumn("seq", lit(Long.MinValue))
+      .unionByName(fullLog)
+    def asOf(log: org.apache.spark.sql.DataFrame, s: Long) =
+      CdcMaintenance.asOfSeq(spark, store, log, keys, s)
+        .as[(Long, String)].collect().toSet
+    def want(s: Long) =
+      CdcMerge.asOf(baseDf, fullLog, keys, s)
+        .as[(Long, String)].collect().toSet
+    // at the max sequence the as-of read IS the current state
+    assert(asOf(seeded, 3L) === state(store))
+    // every historical point matches the batch filtered replay —
+    // including seq 1 (key 4 deleted, not yet resurrected) and the
+    // store having compacted PAST both points — and seq 0 = base
+    (0L to 3L).foreach(s => assert(asOf(seeded, s) === want(s), s"asOf($s)"))
+    assert(asOf(seeded, 1L) ===
+      Set((1L, "b1"), (2L, "u2"), (3L, "u3"), (6L, "b6")))
+    // the horizon contract, exercised from the other side: with the
+    // UNSEEDED log, a key whose FIRST logged change postdates the
+    // as-of point (key 6, first logged at seq 3, store compacted to
+    // seq 3) cannot be answered from store ≤ 1 ∪ log ≤ 1 — it falls
+    // out, while every key with in-horizon history is still exact
+    assert(asOf(fullLog, 1L) === want(1L) - ((6L, "b6")))
+    // keys the store did NOT compact past asOf always serve from the
+    // store, even with an EMPTY retained log: at asOf=3 only key 6's
+    // row postdates nothing — all state is current
+    assert(asOf(fullLog.filter(lit(false)), 3L) === state(store))
+  }
+
   test("the streaming entry point drains a changelog directory") {
     val dir = Files.createTempDirectory("cdc_stream").toString
     val src = s"$dir/log"
