@@ -367,6 +367,66 @@ object TimeSeriesQueries extends QueryModule {
         |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
         |FROM d ORDER BY d_num DESC, value ASC LIMIT 1""".stripMargin)),
 
+    // ---- BUCKETED KS drift from histogram sketches — the exact code
+    // path streaming/DriftMonitor serves per micro-batch (two
+    // equi-width count sketches → dense spine → cross-multiplied
+    // integer KS over the B-row frame), run here batch-built and
+    // hash-gated: where q_ks_drift pays a per-distinct-value shuffle
+    // for the RAW statistic, the monitor reads 2·B sketch rows
+    // regardless of history — the production trade a drift dashboard
+    // makes. Values ride the floor(x·100+0.5) cents convention; the
+    // grid (5-unit buckets, clamped edges) never drops mass, so n1/n2
+    // match the raw query's exactly. DriftMonitorSpec pins streamed
+    // == batch-built == raw-KS-at-resolving-grid.
+    "q_drift_monitor" -> QueryDef(
+      fn = (spark, dir) => {
+        import graft.streaming.{DriftMonitor, HistogramMaintenance}
+        val ev = Tables(spark, dir, "events")
+          .filter(col("event_type").isin("click", "view") &&
+            col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        def side(t: String) = HistogramMaintenance.sparseCounts(
+          ev.filter(col("event_type") === t), col("cents"),
+          lo = 0L, width = 500L, buckets = 80)
+        DriftMonitor.ksFromCounts(spark, side("click"), side("view"), 80)
+      },
+      oracle = Some("""
+        |WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |bk AS (
+        |  SELECT event_type,
+        |    LEAST(GREATEST(cents, 0) // 500, 79) AS bucket
+        |  FROM ev),
+        |sp AS (SELECT unnest(range(0, 80)) AS bucket),
+        |c AS (
+        |  SELECT bucket,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM bk GROUP BY bucket),
+        |d AS (
+        |  SELECT sp.bucket,
+        |    CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+        |    CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+        |  FROM sp LEFT JOIN c ON sp.bucket = c.bucket),
+        |cum AS (
+        |  SELECT bucket,
+        |    SUM(ca) OVER (ORDER BY bucket) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY bucket) AS cum_b,
+        |    SUM(ca) OVER () AS n1, SUM(cb) OVER () AS n2
+        |  FROM d),
+        |k AS (
+        |  SELECT bucket, n1, n2,
+        |    ABS(cum_a * n2 - cum_b * n1) AS d_num
+        |  FROM cum)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(d_num AS BIGINT) AS d_num, bucket AS ks_at_bucket,
+        |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+        |FROM k ORDER BY d_num DESC, bucket ASC LIMIT 1""".stripMargin)),
+
     // ---- HOLT LINEAR-TREND FORECAST (double exponential smoothing)
     // over each nation's daily order counts — the forecasting member
     // of the family: where q_ema_decay tracks a LEVEL, Holt tracks
