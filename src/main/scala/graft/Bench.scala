@@ -136,8 +136,11 @@ object Bench {
       // joins), and even min-of-3 left sub-second queries swinging
       // past the ±20% run-to-run agreement the driver gates on; the
       // min measures the plan. A FAILING query reports -1, never a
-      // near-zero "fast success".
-      val runs = (1 to 5).map { _ =>
+      // near-zero "fast success". SPARK_GRAFT_BENCH_RUNS overrides
+      // for scale sweeps (sf10 ratio runs don't need min-of-5
+      // precision; they need the decade covered in bounded wall).
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { queries(name)(spark, sfDir).count(); true }

@@ -167,4 +167,44 @@ object CdcMaintenance {
       .unionByName(log.filter(col("seq") <= asOf).select(cols: _*))
     graft.pipeline.CdcMerge.replay(combined, keys)
   }
+
+  /** Tombstone GC — the retention compaction the class doc promises:
+    * physically drop deleted keys whose delete sequence is ≤ `horizon`
+    * (the oldest sequence any future replay or [[asOfSeq]] travel can
+    * still reference; the caller owns that promise — it is the same
+    * horizon that licenses trimming the changelog itself). Tombstones
+    * ABOVE the horizon stay: a replayed pre-delete batch inside the
+    * replay window must still find the ordering evidence that stops it
+    * resurrecting the key. Rewrites only the buckets that actually
+    * hold expired tombstones (partition-pruned, dynamic overwrite) —
+    * a GC pass over a mostly-live store writes almost nothing. */
+  def gcTombstones(spark: SparkSession, storeDir: String,
+      horizon: Long): Unit = {
+    val raw = spark.read.parquet(storeDir)
+    val expired = col("op") === "D" && col("seq") <= horizon
+    // bounded driver state: bucket ids, never rows (partition-column
+    // type is inference-dependent — int from a hive dir read — so go
+    // through the string form)
+    val affected = raw.filter(expired).select("bucket").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    if (affected.isEmpty) return
+    val rewritten = raw
+      .filter(col("bucket").isin(affected.toSeq: _*) && !expired)
+      .localCheckpoint(true) // reads the files it overwrites
+    rewritten.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+    // dynamic overwrite only rewrites partitions PRESENT in the data:
+    // a bucket whose every row expired writes nothing, so its stale
+    // dir is dropped explicitly (bucket ids from the checkpointed
+    // frame — the post-write store would still show the stale rows)
+    val survived = rewritten.select("bucket").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    graft.ops.BuildOnce.releaseFrame(rewritten, blocking = false)
+    (affected -- survived).foreach { b =>
+      graft.ops.Fs.deleteRecursively(
+        new java.io.File(s"$storeDir/bucket=$b"))
+    }
+  }
 }

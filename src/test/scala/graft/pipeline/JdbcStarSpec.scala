@@ -93,6 +93,39 @@ class JdbcStarSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, "delhi", "in"), (2L, "mumbai", "in")))
   }
 
+  test("star DDL resolves under BOTH the Derby and MySQL dialects") {
+    // the deployment the sandbox can't run (a live MySQL) is still
+    // smoke-checked at the dialect seam: Spark's own JdbcDialects
+    // registry must produce a complete CREATE TABLE column list for
+    // every star table under the MySQL dialect (the reference's
+    // warehouse, dags/utils/database.py:13-14) exactly as it does for
+    // the round-trip-proven Derby one — a schema change introducing a
+    // type either dialect can't express fails HERE, before any
+    // deployment sees it.
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val star = StarSchema.splitKeyed(StarSchema.withKeys(enriched))
+    val tables = Seq(
+      "D_TIME" -> star.timeDim,
+      "D_WEATHER_PARAMETERS" -> star.paramDim,
+      "D_TEMPERATURE" -> star.tempDim,
+      "D_HEAT_INDEX" -> star.heatIndexDim,
+      "F_WEATHER" -> star.fact,
+      JdbcStar.manifestTable ->
+        Seq((1L, 1L, 5)).toDF("batch_id", "rows", "tables"))
+    for (u <- Seq(url, "jdbc:mysql://warehouse.invalid/weather");
+         (name, df) <- tables) {
+      val dialect = JdbcDialects.get(u)
+      val ddl = JdbcUtils.schemaString(
+        dialect, df.schema, caseSensitive = false)
+      df.schema.fields.foreach { f =>
+        assert(ddl.toLowerCase.contains(f.name.toLowerCase),
+          s"dialect ${dialect.getClass.getSimpleName} table $name: " +
+            s"column ${f.name} (${f.dataType}) missing from DDL: $ddl")
+      }
+    }
+  }
+
   test("partitioned JDBC read fans out across predicates") {
     // Spark's JDBC writer creates quoted (case-exact) columns; Derby
     // uppercases unquoted identifiers, so the predicate must quote

@@ -143,6 +143,29 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(asOf(fullLog.filter(lit(false)), 3L) === state(store))
   }
 
+  test("gcTombstones drops only expired tombstones; reads unchanged") {
+    val store = s"${Files.createTempDirectory("cdc_gc")}/store"
+    CdcMaintenance.buildStore(baseDf, keys, store, B)
+    CdcMaintenance.mergeBatch(spark, store, log1, keys, B)
+    CdcMaintenance.mergeBatch(spark, store, log2, keys, B)
+    val before = state(store)
+    def tombs() = spark.read.parquet(store)
+      .filter(col("op") === "D").select("k").as[Long].collect().toSet
+    assert(tombs() === Set(3L), "key 3 deleted at seq 2 is the tombstone")
+
+    // horizon below the delete: nothing may be dropped
+    CdcMaintenance.gcTombstones(spark, store, horizon = 1L)
+    assert(tombs() === Set(3L), "in-window tombstone must survive")
+    // horizon at the delete sequence: the tombstone goes, reads agree
+    CdcMaintenance.gcTombstones(spark, store, horizon = 2L)
+    assert(tombs() === Set.empty, "expired tombstone must be dropped")
+    assert(state(store) === before, "GC changed the visible state")
+    // the store stays mergeable after GC
+    CdcMaintenance.mergeBatch(spark, store,
+      Seq((7L, "u7", "U", 4L)).toDF("k", "payload", "op", "seq"), keys, B)
+    assert(state(store) === before + ((7L, "u7")))
+  }
+
   test("the streaming entry point drains a changelog directory") {
     val dir = Files.createTempDirectory("cdc_stream").toString
     val src = s"$dir/log"
