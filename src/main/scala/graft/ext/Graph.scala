@@ -147,6 +147,78 @@ object GraphOps {
       .select(col("node"), expr(prSql).as("pr"))
   }
 
+  /** Personalized PageRank — the same exact fixed-point power
+    * iteration as [[pageRank]], but the 15% teleport mass restarts at
+    * a SEED SET instead of uniformly: the standard "relevance to this
+    * segment" ranking (rank suppliers for one market, pages for one
+    * topic, documents near a trusted seed corpus). Semantics per
+    * iteration, all BIGINT ops:
+    *   pr'(v) = t(v) + 85 · Σ_{(u,v,w)} (pr(u)·w div out_w(u)) div 100
+    *   t(v)   = (15·scale·n_nodes) div (100·|S|)  if v ∈ S, else 0
+    * seeded pr_0 = t — so total mass matches pageRank's n·scale and
+    * the two rankings are directly comparable. Seeds outside the
+    * graph's node set are dropped (semi-join), keeping the teleport
+    * mass conserved.
+    *
+    * Scale shape: identical to [[pageRank]]'s broadcast regime (the
+    * curation case — seed-segment graphs are node-bounded); the seed
+    * FLAG rides the edge cache, attached once. For node-heavy graphs
+    * the co-partitioned regime applies unchanged — the flag is one
+    * more narrow column. Overflow bound: t ≤ 15·scale·n div 100, and
+    * rank mass can CONCENTRATE near seeds, so the per-edge product is
+    * bounded by n·scale·w_max — the same 2^63 budget as pageRank,
+    * documented there.
+    */
+  def personalizedPageRank(edges: DataFrame, seedNodes: DataFrame,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters")
+    val e = graft.ops.BuildOnce.swapPersist(lastPprEdges,
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    val outw = graft.ops.BuildOnce.swapPersist(lastPprOutw,
+      e.groupBy("src").agg(sum(col("w")).as("ow")))
+    val nNodes = outw.count()
+    val seeds = graft.ops.BuildOnce.swapPersist(lastPprSeeds,
+      seedNodes.select(col("node")).distinct()
+        .join(outw.select(col("src").as("node")), Seq("node"), "semi"))
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val tBig = (BigInt(15) * scale * nNodes) / (BigInt(100) * nSeeds)
+    require(tBig * nSeeds < BigInt(Long.MaxValue) / 16,
+      s"teleport mass overflows the BIGINT budget: $tBig x $nSeeds")
+    val t = tBig.toLong
+    val flag = broadcast(seeds.select(col("node").as("__sn")))
+    // per-edge teleport of the SOURCE (drives contributions) — the
+    // edge cache never moves; outw and the seed flag broadcast
+    val iterFrame = e.join(broadcast(outw), "src")
+      .join(flag, col("src") === col("__sn"), "left")
+      .withColumn("t",
+        when(col("__sn").isNotNull, lit(t)).otherwise(lit(0L)))
+    val prSql =
+      s"(t + 85 * coalesce(s, CAST(0 AS BIGINT)) div 100)"
+    var contrib: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val joined = contrib match {
+        // iteration 1: pr_0 = t, so only seed sources contribute
+        case None => iterFrame.filter(col("__sn").isNotNull)
+          .select(col("dst"), expr(s"CAST($t AS BIGINT) * w div ow").as("c"))
+        case Some(prev) =>
+          iterFrame.join(broadcast(prev),
+              iterFrame("src") === prev("node"), "left")
+            .select(col("dst"), expr(s"$prSql * w div ow").as("c"))
+      }
+      contrib = Some(joined.groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s")))
+    }
+    // final ranks over the full node list (zero-in-degree nodes keep
+    // their teleport-only rank; non-seed sinks' in-sums decide theirs)
+    outw.select(col("src").as("node"))
+      .join(flag, col("node") === col("__sn"), "left")
+      .withColumn("t",
+        when(col("__sn").isNotNull, lit(t)).otherwise(lit(0L)))
+      .join(broadcast(contrib.get), Seq("node"), "left")
+      .select(col("node"), expr(prSql).as("pr"))
+  }
+
   /** Bounded caches for the iteration-invariant frames (one live copy
     * each across invocations; superseded copies released on swap).
     * `lastAttached` is occupied only in the co-partitioned regime
@@ -156,6 +228,12 @@ object GraphOps {
   private val lastNodes =
     graft.ops.BuildOnce.swapRef()
   private val lastAttached =
+    graft.ops.BuildOnce.swapRef()
+  private val lastPprEdges =
+    graft.ops.BuildOnce.swapRef()
+  private val lastPprOutw =
+    graft.ops.BuildOnce.swapRef()
+  private val lastPprSeeds =
     graft.ops.BuildOnce.swapRef()
 
   /** BFS hop distances from `source` over directed edges (src, dst),
@@ -325,6 +403,18 @@ object GraphQueries extends QueryModule {
     |    FROM $prev r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = e.src
     |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
+  /** One personalized-PageRank iteration as a CTE: like [[iterCte]]
+    * but the teleport is the node's own seed-dependent `t` from the
+    * `nodes` CTE instead of the uniform constant. */
+  private def pprCte(prev: String, cur: String): String = s"""
+    |$cur AS (
+    |  SELECT n.node,
+    |    CAST(n.t + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+    |  FROM nodes n LEFT JOIN (
+    |    SELECT e.dst AS node, CAST(SUM((r.pr * e.w) // o.ow) AS BIGINT) AS s
+    |    FROM $prev r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = e.src
+    |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
   /** The shared weighted bipartite order graph — integer node ids
     * (cust → 2k, supp → 2k+1), both directions via one generator pass
     * (a union of the join+agg subtree would execute it twice; Spark
@@ -406,6 +496,68 @@ object GraphQueries extends QueryModule {
         |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
         |ORDER BY pr DESC, node LIMIT 25""".stripMargin),
       bench = true),
+
+    // ---- PERSONALIZED PageRank from one market segment: teleport
+    // restarts at NATION_7's customers, so the ranking answers "which
+    // suppliers matter TO THIS SEGMENT" — the seed-relative relevance
+    // question behind domain-targeted curation (rank documents near a
+    // trusted seed corpus) that global PageRank structurally cannot
+    // (it has no notion of 'near'). Same exact fixed-point integer
+    // iteration; 4 rounds reach customer→supplier→customer→supplier.
+    // Contrast with q_pagerank's global top-25 is the point of the
+    // fixture: segment-heavy suppliers displace globally-popular ones.
+    "q_ppr" -> QueryDef(
+      fn = (spark, dir) => {
+        val nation = Tables(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))
+        val seeds = Tables(spark, dir, "customer")
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .select((col("c_custkey").cast("long") * 2).as("node"))
+        GraphOps.personalizedPageRank(
+            orderGraphEdges(spark, dir), seeds, iters = 4)
+          .filter(col("node") % 2 === 1)
+          .select(
+            concat(lit("S"), shiftright(col("node"), 1).cast("string"))
+              .as("node"),
+            col("pr"))
+          .orderBy(col("pr").desc, col("node"))
+          .limit(25)
+      },
+      oracle = Some(s"""
+        |WITH cs AS (
+        |  SELECT CAST(o.o_custkey AS BIGINT) * 2 AS c,
+        |         CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c AS src, s AS dst, w FROM cs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst, w FROM cs),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        |nodes0 AS (SELECT DISTINCT src AS node FROM edges),
+        |seeds AS (
+        |  SELECT n.node FROM nodes0 n
+        |  WHERE n.node IN (
+        |    SELECT CAST(c_custkey AS BIGINT) * 2
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')),
+        |consts AS (
+        |  SELECT (CAST(15 AS BIGINT) * 1000000000
+        |          * (SELECT COUNT(*) FROM nodes0))
+        |         // (100 * (SELECT COUNT(*) FROM seeds)) AS t),
+        |nodes AS (
+        |  SELECT n.node,
+        |    CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM consts)
+        |         ELSE CAST(0 AS BIGINT) END AS t
+        |  FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node),
+        |it0 AS (SELECT node, t AS pr FROM nodes),
+        |${(0 until 4).map(i => pprCte(s"it$i", s"it${i + 1}").trim).mkString(",\n")}
+        |SELECT 'S' || CAST(node // 2 AS VARCHAR) AS node, pr
+        |FROM it4 WHERE node % 2 = 1
+        |ORDER BY pr DESC, node LIMIT 25""".stripMargin)),
 
     // ---- Label propagation communities over the same weighted
     // bipartite order graph: 3 synchronous majority-vote rounds, then

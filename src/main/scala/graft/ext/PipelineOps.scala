@@ -279,6 +279,83 @@ object PipelineQueries extends QueryModule {
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
         |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ---- Importance weighting for domain-targeted sampling (the
+    // DSIR idea — Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling" — re-expressed in exact
+    // integer arithmetic): score every document by how much its
+    // hashed-feature distribution looks like a TARGET domain (here
+    // lang='en') relative to the raw corpus, then take the top 50 as
+    // the sampling shortlist. Features are word unigrams hashed to
+    // 1024 buckets (the hashed-LM trick that makes the model size
+    // INDEPENDENT of vocabulary); per-bucket weight is the smoothed
+    // target/raw frequency ratio in millionths,
+    //   w(f) = (n_target(f)+1)·10^6 div (n_raw(f)+1),
+    // and a document's score is the sum of its token occurrences'
+    // weights, length-normalized by integer division. Integer sums
+    // commute, so the oracle replays the exact ranking (a log-space
+    // float formulation would be order-sensitive and engine-divergent).
+    // Scale shape — the DSIR architecture: the hashed LM is TWO
+    // 1024-row tables built by one partial-aggregated pass, collected
+    // as bounded driver state (sketch-class, like IVF centroids) and
+    // re-broadcast as a LITERAL array; scoring is then a fully NARROW
+    // per-row fold over each doc's tokens — no explode, no shuffle,
+    // no join. At 100 TB: one cheap stats pass + one map pass; only
+    // the 50-row shortlist moves. The oracle replays the same
+    // arithmetic via its join formulation (same integers either way).
+    "q_importance_weights" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        val B = 1024
+        val toks = filter(wsTokens(col("text")), x => x =!= "")
+        val bkt = (c: org.apache.spark.sql.Column) =>
+          pmod(conv(md5(c).substr(1, 15), 16, 10).cast("long"), lit(B.toLong))
+        val stats = docs
+          .select(col("lang"), explode(toks).as("w"))
+          .select(col("lang"), bkt(col("w")).as("bkt"))
+          .groupBy("bkt")
+          .agg(count(lit(1)).as("nr"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+          .select(col("bkt"),
+            expr("((nt + 1) * 1000000) div (nr + 1)").as("w"))
+          .collect()
+        val warr = Array.fill(B)(1000000L) // untouched buckets: ratio 1
+        stats.foreach(r => warr(r.getLong(0).toInt) = r.getLong(1))
+        val wlit = typedlit(warr.toSeq)
+        docs
+          .withColumn("toks", toks)
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            aggregate(col("toks"), lit(0L), (acc, x) =>
+              acc + element_at(wlit, bkt(x).cast("int") + 1)).as("score"))
+          .withColumn("norm_score", expr("score div n_tokens"))
+          .orderBy(col("norm_score").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> x <> '')) AS w
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS bkt
+        |  FROM tok),
+        |raw AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS nr,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS nt
+        |        FROM feat GROUP BY bkt),
+        |wt AS (SELECT bkt, ((nt + 1) * 1000000) // (nr + 1) AS w FROM raw),
+        |doc AS (
+        |  SELECT f.doc_id, any_value(f.lang) AS lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w.w) AS BIGINT) AS score
+        |  FROM feat f JOIN wt w USING (bkt) GROUP BY f.doc_id)
+        |SELECT doc_id, lang, n_tokens, score,
+        |  score // n_tokens AS norm_score
+        |FROM doc ORDER BY norm_score DESC, doc_id LIMIT 50""".stripMargin)),
+
     // ---- Duplicate clusters: exact-Jaccard near-dup pairs as edges,
     // connected components, one keeper (min doc_id) per cluster.
     // Oracle: DuckDB recursive CTE computing min reachable label over

@@ -429,6 +429,47 @@ object SimilarityQueries extends QueryModule {
   private[ext] def embCorpus(spark: SparkSession, dir: String): DataFrame =
     embFrame(spark, dir)
 
+  private val countMemo = graft.ops.BuildOnce.memo[String, Long]()
+
+  /** Memoized corpus row count — the regime gate for [[pairJoin]]
+    * (the pageRank broadcast-vs-copartition idea applied to the pair
+    * generators). One cheap count job per dataset dir, ever. */
+  private def corpusRows(spark: SparkSession, dir: String): Long =
+    graft.ops.BuildOnce.cached(countMemo, dir)(
+      embFrame(spark, dir).count())
+
+  /** Corpora at or below this row count ride the broadcast pair
+    * regime (~0.5 GB of 64-dim doubles — inside executor memory with
+    * headroom); larger corpora fall back to the plain equi-join,
+    * where bucket cardinality (∝ corpus under the documented
+    * nlist-grows-with-corpus contract) already exceeds the partition
+    * count and width comes from the keys themselves. */
+  private val BroadcastCorpusRows = 500000L
+
+  /** Fan-out guard for the PAIR-EXPLODING bucket equi-joins (kNN
+    * edges, SemDeDup/DBSCAN candidates): their OUTPUT is quadratic in
+    * bucket occupancy while their INPUT is corpus-sized, so AQE's
+    * advisory coalescing — which sees only input bytes — rolls the
+    * post-shuffle side into ONE partition and the Σ bucket² cosine
+    * work runs single-threaded (hit at the sf10 scale probe: 88k
+    * vectors / 16 buckets = one ~400M-pair task; 32 idle cores).
+    * Fix, stats-gated like [[graft.ext.GraphOps.pageRank]]'s regimes:
+    *   - bounded corpus (the oracle-checkable fixture class): the
+    *     probe side repartitions to an EXPLICIT partition count (a
+    *     user-specified number is exempt from AQE coalescing) and the
+    *     build side broadcasts — the explosion runs at full width and
+    *     nothing corpus-sized shuffles at all;
+    *   - large corpus: the plain equi-join (bucket count ≫ partitions
+    *     by the nlist contract, so the shuffle itself is wide).
+    */
+  private def pairJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftId: String, rows: Long): DataFrame = {
+    val p = left.sparkSession.sessionState.conf.numShufflePartitions
+    if (rows <= BroadcastCorpusRows)
+      left.repartition(p, col(leftId)).join(broadcast(right), keys)
+    else left.join(right, keys)
+  }
+
   private def codebooksFor(spark: SparkSession, dir: String, m: Int,
       subDim: Int, iters: Int): Seq[(Int, Long, Seq[Double])] =
     graft.ops.BuildOnce.cached(bookMemo, (dir, m, subDim, iters))(
@@ -521,7 +562,7 @@ object SimilarityQueries extends QueryModule {
     * join is an EQUI-JOIN on bucket — the SemDeDup-style blocking
     * shared by q_knn_graph, q_semantic_dedup and q_triangle_count. */
   private def knnEdges(corpus: DataFrame, centroids: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, rows: Long): DataFrame = {
     val assigned = assignBuckets(corpus, centroids)
     val left = assigned.select(col("n_id").as("vec_id"),
       col("n_v").as("v"), col("bucket"))
@@ -532,7 +573,8 @@ object SimilarityQueries extends QueryModule {
     // O(n log k) updates and no sorted runs (see topKBySim doc). Ranks
     // reconstitute on the pruned ≤k-per-vec frame under the same
     // total order (sim desc, n_id asc), so output is bit-identical.
-    val scored = left.join(assigned, "bucket")
+    // pairJoin keeps the quadratic pair stream at full task width.
+    val scored = pairJoin(left, assigned, Seq("bucket"), "vec_id", rows)
       .filter(col("n_id") =!= col("vec_id"))
       .withColumn("sim", cosine(col("v"), col("n_v")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
@@ -931,9 +973,9 @@ object SimilarityQueries extends QueryModule {
       .withColumn("__d", explode(probeDeltas))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("__d")))
       .drop("__d")
-    val cand = exploded
-      .join(signed.select(col("vec_id").as("id_b"), col("label"), col("bucket")),
-        Seq("label", "bucket"))
+    val cand = pairJoin(exploded,
+        signed.select(col("vec_id").as("id_b"), col("label"), col("bucket")),
+        Seq("label", "bucket"), "id_a", corpusRows(spark, dir))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "label")
     (all, cand)
@@ -1090,9 +1132,16 @@ object SimilarityQueries extends QueryModule {
     "q_embedding_neardup" -> QueryDef(
       fn = (spark, dir) => {
         val (all, cand) = neardupCandidates(spark, dir)
+        // vector re-fetch rides the same regime gate as the candidate
+        // join: broadcast lookups keep cand's explicit width (a plain
+        // id equi-join would re-shuffle it, and AQE would coalesce the
+        // small-bytes exchange back into a handful of tasks)
+        val va = all.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+        val vb = all.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+        val wide = corpusRows(spark, dir) <= 500000L
         cand
-          .join(all.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
-          .join(all.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+          .join(if (wide) broadcast(va) else va, "id_a")
+          .join(if (wide) broadcast(vb) else vb, "id_b")
           .withColumn("sim", cosine(col("v_a"), col("v_b")))
           .filter(col("sim") >= 0.99)
           .select(col("id_a"), col("id_b"), col("label"), col("sim"))
@@ -1162,7 +1211,8 @@ object SimilarityQueries extends QueryModule {
     // recall-gated.
     "q_knn_graph" -> QueryDef(
       fn = (spark, dir) =>
-        knnEdges(embFrame(spark, dir), centroidsFor(spark, dir, iters = 2), 3)
+        knnEdges(embFrame(spark, dir), centroidsFor(spark, dir, iters = 2), 3,
+            corpusRows(spark, dir))
           .select("vec_id", "bucket", "rank", "n_id", "sim")
           .orderBy("vec_id", "rank"),
       oracle = Some(embCte + s""",
@@ -1198,7 +1248,8 @@ object SimilarityQueries extends QueryModule {
           col("n_v").as("v_a"), col("bucket"))
         val b = assigned.select(col("n_id").as("id_b"),
           col("n_v").as("v_b"), col("bucket"))
-        val edges = a.join(b, "bucket")
+        val edges = pairJoin(a, b, Seq("bucket"), "id_a",
+            corpusRows(spark, dir))
           .filter(col("id_a") < col("id_b"))
           .filter(cosine(col("v_a"), col("v_b")) >= 0.99)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1257,7 +1308,8 @@ object SimilarityQueries extends QueryModule {
           col("n_v").as("v_a"), col("bucket"))
         val b = assigned.select(col("n_id").as("id_b"),
           col("n_v").as("v_b"), col("bucket"))
-        val prs = a.join(b, "bucket")
+        val prs = pairJoin(a, b, Seq("bucket"), "id_a",
+            corpusRows(spark, dir))
           .filter(col("id_a") < col("id_b"))
           .filter(cosine(col("v_a"), col("v_b")) >= 0.95)
           .select("id_a", "id_b")
@@ -1325,7 +1377,7 @@ object SimilarityQueries extends QueryModule {
     "q_triangle_count" -> QueryDef(
       fn = (spark, dir) => {
         val edges = knnEdges(plantedEmb(spark, dir),
-          centroidsFor(spark, dir, iters = 2), 3)
+          centroidsFor(spark, dir, iters = 2), 3, corpusRows(spark, dir))
         val und = edges.select(least(col("vec_id"), col("n_id")).as("a"),
             greatest(col("vec_id"), col("n_id")).as("b"))
           .distinct()
@@ -1857,7 +1909,7 @@ object SimilarityQueries extends QueryModule {
       fn = (spark, dir) => {
         val e = graft.ops.BuildOnce.swapPersist(lastMutualEdges,
           knnEdges(embFrame(spark, dir),
-            centroidsFor(spark, dir, iters = 2), 3)
+            centroidsFor(spark, dir, iters = 2), 3, corpusRows(spark, dir))
             .select("vec_id", "n_id", "rank", "sim"))
         val rev = e.select(col("n_id").as("vec_id"),
           col("vec_id").as("n_id"), col("rank").as("rank_ba"))
@@ -1909,7 +1961,7 @@ object SimilarityQueries extends QueryModule {
         // build sides of that semi-join, so persist it (swap-release)
         val ek = graft.ops.BuildOnce.swapPersist(lastKcoreEdges,
           knnEdges(embFrame(spark, dir),
-            centroidsFor(spark, dir, iters = 2), 3)
+            centroidsFor(spark, dir, iters = 2), 3, corpusRows(spark, dir))
             .select(col("vec_id").as("src"), col("n_id").as("dst")))
         val mutual = ek.join(
           ek.select(col("dst").as("src"), col("src").as("dst")),

@@ -548,6 +548,142 @@ object AdvancedQueries extends QueryModule {
         |  1.0462993238608057e20 / CAST(scaled_sum AS DOUBLE) AS est_raw
         |FROM sk JOIN ex USING (status) ORDER BY status""".stripMargin)),
 
+    // ---- KMV set OPERATIONS — the sketch-algebra member of the
+    // distinct-count family (q_kmv_distinct estimates one set,
+    // q_hll_distinct merges registers; this one answers |A∪B|, |A∩B|
+    // and Jaccard BETWEEN two corpus snapshots from two k-row
+    // sketches — Beyer et al. 2007's KMV estimator). The fixture is
+    // the real 100 TB question: how much shingle mass do two halves
+    // of a corpus (sources src0-9 vs src10-19) share, without ever
+    // joining their full shingle sets. Estimators:
+    //   union sketch U = k smallest of sketch(A) ∪ sketch(B)
+    //   est|A∪B| = (k−1)·2^60 / kth(U)   (n<k ⇒ exact n)
+    //   est J    = |U ∩ sk(A) ∩ sk(B)| / |U|
+    //   est|A∩B| = est J · est|A∪B|
+    // Everything is hash-checkable: the sketches are k smallest
+    // values of the shared 60-bit md5 hash, the estimates are fixed
+    // IEEE op chains over exact integers, and the ERROR CERTIFICATE
+    // is exact integer arithmetic (est union within ±15% relative ≈
+    // 4.8σ; est Jaccard within ±0.06 absolute via cross-multiplication
+    // ≈ 4.4σ at the fixture's J ≈ 0.26 — the two bounds the KMV
+    // literature states, with σ_J = sqrt(J(1−J)/k) for k=1024).
+    // Scale shape: ONE distinct-shingle shuffle (the same exchange an
+    // exact count-distinct would pay) bounded to ≤k rows per
+    // partition by the TopKPerKey heap operator; every downstream
+    // frame is ≤k rows. Sketches of disjoint shards merge by
+    // re-minimizing — the mergeable-summary property that lets 1000
+    // executors each ship 1024 longs to answer corpus overlap.
+    "q_kmv_setops" -> QueryDef(
+      fn = (spark, dir) => {
+        val k = 1024
+        val docs = Tables(spark, dir, "documents")
+        // b = which snapshot: sources src10..src19 (numeric suffix,
+        // so 'src2' < 'src10' string-compare traps are avoided)
+        val hashed = docs
+          .select(
+            (expr("CAST(substring(source, 4) AS INT)") >= 10).as("b"),
+            explode(graft.ext.DedupFunctions.distinctShingles(col("text")))
+              .as("shingle"))
+          .select(col("b"),
+            conv(md5(col("shingle")).substr(1, 15), 16, 10)
+              .cast("long").as("h"))
+          .distinct()
+        val sk = graft.plans.TopK.perKey(hashed, k, Seq("b"),
+          Seq("h" -> true))
+        val skA = sk.filter(!col("b")).select("h")
+        val skB = sk.filter(col("b")).select("h")
+        val u = skA.union(skB).distinct()
+          .orderBy("h").limit(k)
+        val us = u.agg(count(lit(1)).as("n_union"),
+          max(col("h")).as("kth_union"))
+        val nb = u.join(skA, "h").join(skB, "h")
+          .agg(count(lit(1)).as("n_both"))
+        val sa = skA.agg(count(lit(1)).as("n_sketch_a"))
+        val sb = skB.agg(count(lit(1)).as("n_sketch_b"))
+        val ex = hashed.agg(
+          countDistinct(when(!col("b"), col("h"))).as("exact_a"),
+          countDistinct(when(col("b"), col("h"))).as("exact_b"),
+          countDistinct(col("h")).as("exact_union"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(us))
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(ex))
+          .withColumn("exact_inter",
+            col("exact_a") + col("exact_b") - col("exact_union"))
+          .withColumn("est_union",
+            when(col("n_union") < k, col("n_union").cast("double"))
+              .otherwise(lit(1023.0) * lit(1152921504606846976.0)
+                / col("kth_union").cast("double")))
+          .withColumn("est_inter",
+            col("n_both").cast("double") * col("est_union")
+              / col("n_union").cast("double"))
+          .withColumn("union_ok",
+            (abs(floor(col("est_union")).cast("long") - col("exact_union"))
+              * 100 <= col("exact_union") * 15).cast("long"))
+          .withColumn("jacc_ok",
+            (abs(col("n_both") * col("exact_union")
+              - col("exact_inter") * col("n_union")) * 100
+              <= col("n_union") * col("exact_union") * 6).cast("long"))
+          .select("n_sketch_a", "n_sketch_b", "n_union", "kth_union",
+            "n_both", "exact_a", "exact_b", "exact_union", "exact_inter",
+            "est_union", "est_inter", "union_ok", "jacc_ok")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT CAST(substr(source, 4) AS INT) >= 10 AS b,
+        |         string_split_regex(text, '\s+') AS tokens
+        |  FROM documents),
+        |shl AS (
+        |  SELECT b,
+        |    list_distinct(list_transform(
+        |      generate_series(0, greatest(len(tokens) - 3, 0)),
+        |      i -> array_to_string(tokens[i+1:i+3], ' '))) AS sh
+        |  FROM tok),
+        |hashed AS (
+        |  SELECT DISTINCT b,
+        |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT b, unnest(sh) AS s FROM shl)),
+        |ska AS (SELECT h FROM (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        |  FROM hashed WHERE NOT b) WHERE rn <= 1024),
+        |skb AS (SELECT h FROM (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        |  FROM hashed WHERE b) WHERE rn <= 1024),
+        |u AS (SELECT h FROM (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ska UNION ALL SELECT h FROM skb)))
+        |  WHERE rn <= 1024),
+        |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+        |              MAX(h) AS kth_union FROM u),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM u JOIN ska USING (h) JOIN skb USING (h)),
+        |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch_a FROM ska),
+        |sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch_b FROM skb),
+        |ex AS (SELECT
+        |  CAST(COUNT(DISTINCT CASE WHEN NOT b THEN h END) AS BIGINT)
+        |    AS exact_a,
+        |  CAST(COUNT(DISTINCT CASE WHEN b THEN h END) AS BIGINT)
+        |    AS exact_b,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union FROM hashed),
+        |fin AS (
+        |  SELECT *, exact_a + exact_b - exact_union AS exact_inter,
+        |    CASE WHEN n_union < 1024 THEN CAST(n_union AS DOUBLE)
+        |         ELSE 1023.0 * 1152921504606846976.0
+        |              / CAST(kth_union AS DOUBLE) END AS est_union
+        |  FROM sa, sb, us, nb, ex)
+        |SELECT n_sketch_a, n_sketch_b, n_union, kth_union, n_both,
+        |  exact_a, exact_b, exact_union, exact_inter, est_union,
+        |  (CAST(n_both AS DOUBLE) * est_union)
+        |    / CAST(n_union AS DOUBLE) AS est_inter,
+        |  CAST(CASE WHEN abs(CAST(floor(est_union) AS BIGINT)
+        |                     - exact_union) * 100
+        |            <= exact_union * 15 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS union_ok,
+        |  CAST(CASE WHEN abs(n_both * exact_union
+        |                     - exact_inter * n_union) * 100
+        |            <= n_union * exact_union * 6 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS jacc_ok
+        |FROM fin""".stripMargin)),
+
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds
     // heavy hitters, CMS answers "how often?" for ANY key from d×w

@@ -773,6 +773,96 @@ object TimeSeriesQueries extends QueryModule {
         |         COUNT(*) OVER () AS nd FROM resid)
         |SELECT n_pairs, CAST(nd AS BIGINT) AS n_days, m AS slope,
         |  resid AS intercept
-        |FROM r2 WHERE rn = (nd-1)//2 + 1""".stripMargin))
+        |FROM r2 WHERE rn = (nd-1)//2 + 1""".stripMargin)),
+
+    // ---- Seasonal-trend decomposition outliers (the STL idea with
+    // exact order statistics): split the daily revenue series into
+    //   trend    = centered 7-day moving mean,
+    //   seasonal = per-weekday mean of the detrended series,
+    //   residual = series − trend − seasonal,
+    // and flag days whose |residual| exceeds 3·1.4826·MAD — the
+    // robust-z rule from q_mad_outliers applied to the DESEASONALIZED
+    // series, which catches anomalies a raw z-score hides inside
+    // weekly rhythm. EXACT integer arithmetic throughout: values ride
+    // the floor(x·100+0.5) cents convention, every mean is an integer
+    // division (Spark `div` and DuckDB `//` both truncate toward
+    // zero, including negatives — probed, not assumed), the MAD is
+    // the lower median picked by row number, and the flag is the
+    // cross-multiplied comparison |resid|·10000 > mad·44478 — so both
+    // engines replay every decision bit-for-bit, no float thresholds.
+    // Scale shape: one partial-agg'd shuffle to daily cells, then all
+    // windows ride the BOUNDED day spine (|days| rows — time, not
+    // corpus, sized: ~36.5k rows per century), the two-level trick
+    // the sweep-line and Holt queries use. At 100 TB the daily-cells
+    // pass dominates and it is one map-side-combined exchange.
+    "q_stl_outliers" -> QueryDef(
+      fn = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(spark, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))
+            .as("cents"))
+        val detr = daily
+          .withColumn("trend",
+            expr("sum(cents) over (order by day rows between 3 preceding" +
+              " and 3 following) div count(*) over (order by day rows" +
+              " between 3 preceding and 3 following)"))
+          .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+          .withColumn("detr", col("cents") - col("trend"))
+        // seasonal = per-dow integer mean, truncating like DuckDB //
+        val seas = detr
+          .withColumn("seasonal",
+            expr("sum(detr) over (partition by dow) div" +
+              " count(*) over (partition by dow)"))
+          .withColumn("resid", col("detr") - col("seasonal"))
+        val n = Window.orderBy(abs(col("resid")), col("day"))
+        val mad = seas
+          .withColumn("rn", row_number().over(n).cast("long"))
+          .withColumn("nd", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .filter(col("rn") === expr("(nd - 1) div 2 + 1"))
+          .select(abs(col("resid")).as("mad"))
+        seas.crossJoin(broadcast(mad))
+          .withColumn("is_outlier",
+            (abs(col("resid")) * 10000 > col("mad") * 44478).cast("long"))
+          .select("day", "cents", "trend", "seasonal", "resid", "mad",
+            "is_outlier")
+          .orderBy("day")
+      },
+      oracle = Some("""
+        |WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tr AS (
+        |  SELECT day, cents,
+        |    SUM(cents) OVER w7 // COUNT(*) OVER w7 AS trend,
+        |    dayofweek(day) AS dow
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (
+        |  SELECT *, cents - trend AS detr FROM tr),
+        |se AS (
+        |  SELECT *,
+        |    SUM(detr) OVER (PARTITION BY dow)
+        |      // COUNT(*) OVER (PARTITION BY dow) AS seasonal
+        |  FROM de),
+        |re AS (
+        |  SELECT day, cents, trend, seasonal, detr - seasonal AS resid
+        |  FROM se),
+        |md AS (
+        |  SELECT abs(resid) AS mad FROM (
+        |    SELECT resid,
+        |      ROW_NUMBER() OVER (ORDER BY abs(resid), day) AS rn,
+        |      COUNT(*) OVER () AS nd
+        |    FROM re) WHERE rn = (nd - 1) // 2 + 1)
+        |SELECT day, cents, trend, seasonal, resid, mad,
+        |  CAST(CASE WHEN abs(resid) * 10000 > mad * 44478
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM re CROSS JOIN md ORDER BY day""".stripMargin))
   )
 }

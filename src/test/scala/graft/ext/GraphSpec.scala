@@ -231,4 +231,50 @@ class GraphSpec extends SparkSpec {
     assert(early("B") === 10L && early("E") === 12L,
       s"2 rounds must still carry the tentative direct route: $early")
   }
+
+  test("personalized pagerank gives zero mass to nodes the seeds can't reach") {
+    // two disconnected 2-cycles; seeds = {a}. The c–d component gets
+    // neither teleport nor flow, so its ranks must be EXACTLY zero —
+    // the defining difference from global pagerank, which floors
+    // every node at 15% of scale.
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L),
+      ("c", "d", 1L), ("d", "c", 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.personalizedPageRank(edges, Seq("a").toDF("node"),
+      iters = 5).as[(String, Long)].collect().toMap
+    assert(got("c") === 0L && got("d") === 0L, s"unreachable mass: $got")
+    assert(got("a") > 0L && got("b") > 0L, s"seed component empty: $got")
+  }
+
+  test("personalized ranks replay bit-for-bit against a reference") {
+    val raw = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "d", 5L), ("d", "a", 2L), ("d", "b", 1L), ("b", "d", 1L))
+    val scale = 1000000000L
+    val iters = 6
+    // seed set includes one node NOT in the graph — it must be
+    // dropped before the teleport split (mass conservation)
+    val seedIn = Seq("a", "d", "zz")
+
+    def reference(): Map[String, Long] = {
+      val outw = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = raw.map(_._1).distinct
+      val seeds = seedIn.toSet.intersect(nodes.toSet)
+      val t = 15L * scale * nodes.size / (100L * seeds.size)
+      def tele(n: String) = if (seeds(n)) t else 0L
+      var pr = nodes.map(n => n -> tele(n)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = raw
+          .map { case (s, d, w) => d -> (pr(s) * w / outw(s)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        pr = nodes.map(n =>
+          n -> (tele(n) + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+      }
+      pr
+    }
+
+    val got = GraphOps.personalizedPageRank(raw.toDF("src", "dst", "w"),
+      seedIn.toDF("node"), iters, scale)
+      .as[(String, Long)].collect().toMap
+    assert(got === reference())
+  }
 }

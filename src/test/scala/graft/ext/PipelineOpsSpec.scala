@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 
 /** Behavioral invariants of the round-4 pipeline operators: sequence
   * packing (token-budget slicing of the shard token stream) and
@@ -163,5 +163,29 @@ class PipelineOpsSpec extends SparkSpec {
       .distinct().count()
     assert(nExact === distinctHashes,
       s"exact-keeper count $nExact vs $distinctHashes distinct hashes")
+  }
+
+  test("q_importance_weights: shortlist enriches the target domain") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_importance_weights")(spark, sf)
+      .collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val (nTok, score, norm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTok > 0L && score > 0L)
+      assert(norm === score / nTok, s"norm identity broken: $r")
+    }
+    // the point of importance weighting: the top-50 must hold a higher
+    // share of lang='en' (the target domain) than the corpus baseline
+    val docs = graft.Tables(spark, sf, "documents")
+    val corpusShare = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    val topShare = out.count(_.getString(1) == "en").toDouble / out.length
+    assert(topShare > corpusShare,
+      s"no enrichment: top-50 en share $topShare vs corpus $corpusShare")
+    // deterministic: the collected-weights literal must not wobble
+    val again = SparkEntry.queries("q_importance_weights")(spark, sf)
+      .collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 }

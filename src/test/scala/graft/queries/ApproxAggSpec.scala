@@ -69,4 +69,27 @@ class ApproxAggSpec extends SparkSpec {
         s"exact=$exact est=$est")
     }
   }
+
+  test("kmv set operations: certificates hold and the algebra is consistent") {
+    val r = graft.SparkEntry.queries("q_kmv_setops")(spark, dir).head()
+    def l(n: String) = r.getLong(r.fieldIndex(n))
+    def d(n: String) = r.getDouble(r.fieldIndex(n))
+    // sketch well-formedness
+    assert(l("n_sketch_a") <= 1024L && l("n_sketch_b") <= 1024L)
+    assert(l("n_union") <= 1024L && l("n_both") <= l("n_union"))
+    // inclusion–exclusion identity the query derives its exact
+    // intersection from
+    assert(l("exact_inter") ===
+      l("exact_a") + l("exact_b") - l("exact_union"))
+    assert(l("exact_inter") >= 0L && l("exact_union") >= l("exact_a"))
+    // the hash-gated certificates must actually certify on the fixture
+    assert(l("union_ok") === 1L, s"union bound failed: $r")
+    assert(l("jacc_ok") === 1L, s"jaccard bound failed: $r")
+    // estimator sanity: union estimate positive and the intersection
+    // estimate is exactly n_both/n_union of it (the published KMV
+    // estimator shape)
+    assert(d("est_union") > 0.0)
+    val expInter = l("n_both").toDouble * d("est_union") / l("n_union")
+    assert(d("est_inter") === expInter)
+  }
 }

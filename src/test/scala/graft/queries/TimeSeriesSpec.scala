@@ -188,4 +188,53 @@ class TimeSeriesSpec extends SparkSpec {
       assert(contrib >= 0, s"$tpe contrib")
     }
   }
+
+  test("q_stl_outliers decomposition identity holds on every day") {
+    val rows = SparkEntry.queries("q_stl_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cents, trend, seasonal, resid, mad, flag) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(resid === cents - trend - seasonal, s"identity broken: $r")
+      assert(mad >= 0L)
+      assert(flag === (if (math.abs(resid) * 10000L > mad * 44478L) 1L
+                       else 0L), s"flag rule broken: $r")
+    }
+    // mad is the lower median of |resid| — at most half the days
+    // sit strictly below it
+    val mad = rows.head.getLong(5)
+    val below = rows.count(r => math.abs(r.getLong(4)) < mad)
+    assert(below <= rows.length / 2, s"$below of ${rows.length} below mad")
+  }
+
+  test("q_stl_outliers flags a planted spike as its largest residual") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stl").toString
+    // 35 flat days (one 10.00-value event each) with one 50x spike —
+    // a weekly-seasonal-free series where the spike is the only
+    // structure the decomposition should surface
+    val rows = (0 until 35).map { d =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d.toLong)
+      val ts = java.sql.Timestamp.valueOf(day.atTime(12, 0))
+      (ts, if (d == 17) 500.0 else 10.0)
+    }
+    rows.toDF("ts", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_stl_outliers")(spark, dir).collect()
+    assert(out.length === 35)
+    val spike = out.maxBy(r => math.abs(r.getLong(4)))
+    assert(spike.getDate(0).toString === "2024-03-18",
+      s"largest residual not at the spike: $spike")
+    assert(spike.getLong(6) === 1L, s"spike not flagged: $spike")
+    // hand-derived exact decomposition: the spike (cents 50000) pulls
+    // days 14..20 to trend 8000 (detr −7000, spike +42000); those 7
+    // consecutive days contaminate each weekday pool exactly once, so
+    // seasonal = 8400 on the spike's weekday and −1400 elsewhere;
+    // |resid| is then 1400×24, 5600×6, 8400×4, 33600×1 and the lower
+    // median (rank 18 of 35) is 1400
+    assert(out.head.getLong(5) === 1400L,
+      s"mad should be exactly 1400, got ${out.head.getLong(5)}")
+  }
 }
