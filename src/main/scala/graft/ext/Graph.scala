@@ -46,6 +46,11 @@ object GraphOps {
     *
     * Two join regimes, gated on the measured node count (the same
     * stats-gated idea as [[graft.ops.TableStats.broadcastIfSmall]]):
+    *   The default threshold is measurement-backed: at the sf10 probe
+    *   (1.6M nodes, 110M edges) the co-partitioned regime's steady
+    *   state ran 23.6 s vs 35–47 s for per-iteration 1.6M-row
+    *   broadcasts, while at sf1 (160k nodes) broadcast wins — so the
+    *   crossover sits below 1.6M and the default is 1M.
     *   - node set ≤ `broadcastNodes` (the common curation case —
     *     ranks is one row per ENTITY, edges are the big side): ranks
     *     and contributions broadcast, so an iteration never moves the
@@ -67,7 +72,7 @@ object GraphOps {
     * @return (node, pr) fixed-point ranks, pr ≈ rank × scale
     */
   def pageRank(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L, broadcastNodes: Long = 2000000L): DataFrame = {
+      scale: Long = 1000000000L, broadcastNodes: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters $iters")
     // Cache the raw edge frame: the caller's edge-building subtree
     // (typically a fact join + pair aggregation) is the expensive

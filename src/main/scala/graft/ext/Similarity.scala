@@ -462,11 +462,27 @@ object SimilarityQueries extends QueryModule {
     *   - large corpus: the plain equi-join (bucket count ≫ partitions
     *     by the nlist contract, so the shuffle itself is wide).
     */
+  /** Below this row count the whole pair explosion fits one task's
+    * second anyway (measured 0.33 s at the 2k-vector bench scale), and
+    * the wide path's fixed costs — an extra exchange plus a broadcast
+    * build — roughly double that. The guard exists for the decade
+    * scales in between, where the same plan silently became one
+    * 274-second task. */
+  private val WidePairRows = 16384L
+
   private def pairJoin(left: DataFrame, right: DataFrame,
-      keys: Seq[String], leftId: String, rows: Long): DataFrame = {
+      keys: Seq[String], rows: Long): DataFrame = {
     val p = left.sparkSession.sessionState.conf.numShufflePartitions
-    if (rows <= BroadcastCorpusRows)
-      left.repartition(p, col(leftId)).join(broadcast(right), keys)
+    if (rows >= WidePairRows && rows <= BroadcastCorpusRows)
+      // ROUND-ROBIN with an explicit count: a hash repartition on the
+      // probe's own key is removed as redundant (the aggregate below
+      // already hash-partitions on it) and the surviving aggregate
+      // exchange is advisory-coalesced — measured at sf10: the
+      // "fixed" plan still ran the explosion at width 1. Round-robin
+      // never matches a child's partitioning, and a user-specified
+      // partition count is exempt from AQE coalescing, so the width
+      // is guaranteed.
+      left.repartition(p).join(broadcast(right), keys)
     else left.join(right, keys)
   }
 
@@ -563,9 +579,15 @@ object SimilarityQueries extends QueryModule {
     * shared by q_knn_graph, q_semantic_dedup and q_triangle_count. */
   private def knnEdges(corpus: DataFrame, centroids: DataFrame,
       k: Int, rows: Long): DataFrame = {
+    // squared norms precompute per ROW (narrow), not per PAIR: cosine
+    // recomputes dot(a,a) and dot(b,b) for every pair — 3× the flops of
+    // the explosion's one necessary dot product. sim below is the
+    // IDENTICAL IEEE chain (dot / sqrt(nn_a · nn_b)), so results are
+    // bit-for-bit unchanged and the oracle needs no edit.
     val assigned = assignBuckets(corpus, centroids)
+      .withColumn("nn", VectorFunctions.dot(col("n_v"), col("n_v")))
     val left = assigned.select(col("n_id").as("vec_id"),
-      col("n_v").as("v"), col("bucket"))
+      col("n_v").as("v"), col("nn").as("nn_l"), col("bucket"))
     // top-k through the bounded-heap TopKPerKey operator: the pair
     // stream is Σ bucket² rows, and the window path fully SORTS each
     // partition's share of it (twice — both sides of the exchange)
@@ -574,9 +596,10 @@ object SimilarityQueries extends QueryModule {
     // reconstitute on the pruned ≤k-per-vec frame under the same
     // total order (sim desc, n_id asc), so output is bit-identical.
     // pairJoin keeps the quadratic pair stream at full task width.
-    val scored = pairJoin(left, assigned, Seq("bucket"), "vec_id", rows)
+    val scored = pairJoin(left, assigned, Seq("bucket"), rows)
       .filter(col("n_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("v"), col("n_v")))
+      .withColumn("sim", VectorFunctions.dot(col("v"), col("n_v"))
+        / sqrt(col("nn_l") * col("nn")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("n_id"))
     graft.plans.TopK.perKey(scored, k, Seq("vec_id"),
         Seq("sim" -> false, "n_id" -> true))
@@ -706,6 +729,25 @@ object SimilarityQueries extends QueryModule {
   // contract and the cosine SQL fragment live in exactly ONE place
   private[ext] def cosSqlOf(a: String, b: String): String =
     s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a) * list_inner_product($b, $b))"
+
+  /** One MMR greedy round as a CTE pair: sel$t picks, per query, the
+    * unselected candidate maximizing 7·rel − 3·max(pairsim to the
+    * all${t−1} selection); all$t accumulates. Mirrors the
+    * flatMapGroups greedy in q_mmr_rerank round for round. */
+  private def mmrCte(t: Int): String = s"""
+    |sel$t AS MATERIALIZED (
+    |  SELECT q_id, $t AS pos, n_id, rel, mmr FROM (
+    |    SELECT c.q_id, c.n_id, c.rel, 7 * c.rel - 3 * m.maxsim AS mmr,
+    |      ROW_NUMBER() OVER (PARTITION BY c.q_id
+    |        ORDER BY 7 * c.rel - 3 * m.maxsim DESC, c.n_id) AS rn
+    |    FROM cand c
+    |    JOIN (SELECT p.q_id, p.i, MAX(p.ps) AS maxsim
+    |          FROM psim p JOIN all${t - 1} s
+    |            ON p.q_id = s.q_id AND p.j = s.n_id
+    |          GROUP BY 1, 2) m ON m.q_id = c.q_id AND m.i = c.n_id
+    |    LEFT JOIN all${t - 1} e ON e.q_id = c.q_id AND e.n_id = c.n_id
+    |    WHERE e.n_id IS NULL) WHERE rn = 1),
+    |all$t AS MATERIALIZED (SELECT * FROM all${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin.trim
 
   /** [[embCte]] without the leading `WITH ` — for composition into a
     * caller's own WITH list. */
@@ -975,7 +1017,7 @@ object SimilarityQueries extends QueryModule {
       .drop("__d")
     val cand = pairJoin(exploded,
         signed.select(col("vec_id").as("id_b"), col("label"), col("bucket")),
-        Seq("label", "bucket"), "id_a", corpusRows(spark, dir))
+        Seq("label", "bucket"), corpusRows(spark, dir))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "label")
     (all, cand)
@@ -1011,6 +1053,100 @@ object SimilarityQueries extends QueryModule {
         |  FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
       bench = true),
+
+    // ---- MMR diversified re-ranking (Carbonell & Goldstein 1998):
+    // greedily pick K=8 of each query's top-C=20 cosine candidates,
+    // each round taking the candidate maximizing
+    //   mmr = λ·relevance − (1−λ)·max sim to the already-picked set
+    // (λ=0.7) — the standard redundancy-vs-relevance dial for RAG
+    // context assembly (top-k alone returns near-duplicates; MMR
+    // trades a little relevance for coverage). All decisions ride
+    // quantized BIGINT micro-units (rel/pairsim = floor(cos·10⁶+0.5),
+    // mmr = 7·rel − 3·maxsim, ties → smallest n_id), so the greedy
+    // argmax chain replays exactly on both engines.
+    // Scale shape: one broadcast-queries×corpus stream heap-pruned to
+    // ≤C rows per query (TopKPerKey), ONE shuffle to (q_id) groups,
+    // then a typed flatMapGroups runs the O(K·C) greedy per group —
+    // state is C bounded structs, groups are embarrassingly parallel,
+    // so a million-query rerank costs one partial-pruned exchange.
+    // The iterative exclusion-set argmax is genuinely sequential in K
+    // (each pick changes the next round's scores), which is why this
+    // is a mapGroups kernel and not K join rounds: the relational
+    // unrolling shuffles the same tiny frame 8 times — the oracle
+    // does exactly that (8 unrolled CTE rounds), proving equivalence.
+    "q_mmr_rerank" -> QueryDef(
+      fn = (spark, dir) => {
+        import spark.implicits._
+        val emb = embFrame(spark, dir)
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val scored = broadcast(queries)
+          .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")),
+            col("n_id") =!= col("q_id"))
+          .withColumn("sim", cosine(col("q_v"), col("n_v")))
+        val cand = topKBySim(scored, 20)
+          .withColumn("rel",
+            floor(col("sim") * 1000000 + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("n_id"), col("rel"), col("n_v"))
+        cand.as[(Long, Long, Long, Seq[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
+            // strict left-to-right multiply-add — the DotProduct
+            // kernel's fold order, so pair sims match the oracle's
+            // list_inner_product bit-for-bit
+            def dotd(a: Seq[Double], b: Seq[Double]): Double = {
+              val n = math.min(a.length, b.length)
+              var acc = 0.0; var i = 0
+              while (i < n) { acc += a(i) * b(i); i += 1 }
+              acc
+            }
+            val cs = it.toArray.sortBy(t => (-t._3, t._2))
+            val nn = cs.map(c => dotd(c._4, c._4))
+            def ps(i: Int, j: Int): Long =
+              math.floor(dotd(cs(i)._4, cs(j)._4)
+                / math.sqrt(nn(i) * nn(j)) * 1000000 + 0.5).toLong
+            val selected = scala.collection.mutable.ArrayBuffer[Int]()
+            val rows = scala.collection.mutable
+              .ArrayBuffer[(Long, Long, Long, Long, Long)]()
+            for (pos <- 1 to math.min(8, cs.length)) {
+              def mmrOf(i: Int): Long =
+                if (selected.isEmpty) 7L * cs(i)._3
+                else 7L * cs(i)._3 - 3L * selected.map(j => ps(i, j)).max
+              val pick = cs.indices.filterNot(selected.contains)
+                .maxBy(i => (mmrOf(i), -cs(i)._2))
+              rows += ((q, pos.toLong, cs(pick)._2, cs(pick)._3,
+                mmrOf(pick)))
+              selected += pick
+            }
+            rows.iterator
+          }
+          .toDF("q_id", "pos", "n_id", "rel", "mmr")
+          .orderBy("q_id", "pos")
+      },
+      oracle = Some(embCte + s""",
+        |cand AS MATERIALIZED (
+        |  SELECT q_id, n_id, rel FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      CAST(FLOOR(($cosSql) * 1000000 + 0.5) AS BIGINT) AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                         ORDER BY $cosSql DESC, n.vec_id) AS rnk
+        |    FROM emb q JOIN emb n ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE rnk <= 20),
+        |psim AS MATERIALIZED (
+        |  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+        |    CAST(FLOOR((${cosSqlOf("va.v", "vb.v")}) * 1000000 + 0.5)
+        |      AS BIGINT) AS ps
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id != b.n_id
+        |  JOIN emb va ON va.vec_id = a.n_id
+        |  JOIN emb vb ON vb.vec_id = b.n_id),
+        |all1 AS MATERIALIZED (
+        |  SELECT q_id, 1 AS pos, n_id, rel, 7 * rel AS mmr FROM (
+        |    SELECT q_id, n_id, rel, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |${(2 to 8).map(mmrCte).mkString(",\n")}
+        |SELECT q_id, CAST(pos AS BIGINT) AS pos, n_id, rel, mmr
+        |FROM all8 ORDER BY q_id, pos""".stripMargin)),
 
     // ---- Matryoshka (prefix-dimension) retrieval agreement: rank by
     // cosine over only the FIRST 16 of 64 dims and measure top-5
@@ -1244,14 +1380,17 @@ object SimilarityQueries extends QueryModule {
         val all = plantedEmb(spark, dir)
         val centroids = centroidsFor(spark, dir, iters = 2)
         val assigned = assignBuckets(all, centroids)
+          .withColumn("nn", VectorFunctions.dot(col("n_v"), col("n_v")))
         val a = assigned.select(col("n_id").as("id_a"),
-          col("n_v").as("v_a"), col("bucket"))
+          col("n_v").as("v_a"), col("nn").as("nn_a"), col("bucket"))
         val b = assigned.select(col("n_id").as("id_b"),
-          col("n_v").as("v_b"), col("bucket"))
-        val edges = pairJoin(a, b, Seq("bucket"), "id_a",
-            corpusRows(spark, dir))
+          col("n_v").as("v_b"), col("nn").as("nn_b"), col("bucket"))
+        // per-row norms, per-pair single dot — the knnEdges flop cut,
+        // identical IEEE chain (see knnEdges)
+        val edges = pairJoin(a, b, Seq("bucket"), corpusRows(spark, dir))
           .filter(col("id_a") < col("id_b"))
-          .filter(cosine(col("v_a"), col("v_b")) >= 0.99)
+          .filter(VectorFunctions.dot(col("v_a"), col("v_b"))
+            / sqrt(col("nn_a") * col("nn_b")) >= 0.99)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         PipelineOps.connectedComponents(
             all.select(col("vec_id").as("id")), edges)
@@ -1304,14 +1443,15 @@ object SimilarityQueries extends QueryModule {
         val all = plantedEmb(spark, dir)
         val centroids = centroidsFor(spark, dir, iters = 2)
         val assigned = assignBuckets(all, centroids)
+          .withColumn("nn", VectorFunctions.dot(col("n_v"), col("n_v")))
         val a = assigned.select(col("n_id").as("id_a"),
-          col("n_v").as("v_a"), col("bucket"))
+          col("n_v").as("v_a"), col("nn").as("nn_a"), col("bucket"))
         val b = assigned.select(col("n_id").as("id_b"),
-          col("n_v").as("v_b"), col("bucket"))
-        val prs = pairJoin(a, b, Seq("bucket"), "id_a",
-            corpusRows(spark, dir))
+          col("n_v").as("v_b"), col("nn").as("nn_b"), col("bucket"))
+        val prs = pairJoin(a, b, Seq("bucket"), corpusRows(spark, dir))
           .filter(col("id_a") < col("id_b"))
-          .filter(cosine(col("v_a"), col("v_b")) >= 0.95)
+          .filter(VectorFunctions.dot(col("v_a"), col("v_b"))
+            / sqrt(col("nn_a") * col("nn_b")) >= 0.95)
           .select("id_a", "id_b")
         val edges = graft.ops.BuildOnce.swapPersist(lastDbscanEdges,
           prs.select(col("id_a").as("src"), col("id_b").as("dst"))

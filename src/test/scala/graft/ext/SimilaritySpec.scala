@@ -98,4 +98,40 @@ class SimilaritySpec extends SparkSpec {
     // the all-pairs-within-a-label shape is gone
     labelJoins.foreach(c => assert(c.contains("bucket"), c))
   }
+
+  test("q_mmr_rerank: greedy invariants — anchored start, no repeats, non-increasing mmr") {
+    val rows = graft.SparkEntry.queries("q_mmr_rerank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 20)
+    // position 1 is the pure-relevance top-1 (MMR with an empty
+    // selection degenerates to relevance), and it must agree with the
+    // brute-force cosine ranking's rank-1
+    val top1 = graft.SparkEntry.queries("q_ann_cosine_topk")(spark, sf)
+      .filter(col("rank") === 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (q, sel) =>
+      val ordered = sel.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to 8L), s"q=$q positions")
+      assert(ordered.map(_._3).distinct.length === 8, s"q=$q repeats")
+      assert(ordered.head._3 === top1(q), s"q=$q anchor pick")
+      assert(ordered.head._5 === 7L * ordered.head._4, s"q=$q mmr1")
+      // each round maximizes a score that can only shrink as the
+      // exclusion set grows, so picked mmr is non-increasing
+      ordered.map(_._5).sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"q=$q mmr not non-increasing: $a -> $b")
+      }
+    }
+    // diversity must actually fire somewhere: if every query's pick
+    // ORDER equalled its pure-relevance order, the redundancy penalty
+    // never moved a decision and the operator would be a no-op here
+    val differs = byQ.exists { case (_, sel) =>
+      val mmrIds = sel.sortBy(_._2).map(_._3).toSeq
+      val relIds = sel.sortBy(t => (-t._4, t._3)).map(_._3).toSeq
+      mmrIds != relIds
+    }
+    assert(differs, "MMR never diverged from relevance order")
+  }
 }
