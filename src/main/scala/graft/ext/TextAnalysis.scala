@@ -1372,9 +1372,128 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, score, CAST(srank AS BIGINT) AS srank,
         |  CAST((srank * 10000) // n AS BIGINT) AS ecdf_bp
         |FROM r ORDER BY doc_id""".stripMargin),
-      bench = true) // the rank-TRANSFORM scale path: every doc flows
-                    // through the range-partitioned sort (vs
-                    // q_exact_median's rank SELECTION of one element)
+      bench = true), // the rank-TRANSFORM scale path: every doc flows
+                     // through the range-partitioned sort (vs
+                     // q_exact_median's rank SELECTION of one element)
+
+    // ---- FEATURE HASHING (the hashing trick) — the fixed-width
+    // sparse featurization a linear text model trains on when the
+    // vocabulary is unbounded: token → bucket via a hash (no
+    // vocabulary dictionary to build, ship, or keep consistent across
+    // 1000 executors — the whole point at corpus scale), with a
+    // second hash bit choosing ±1 so colliding tokens cancel in
+    // expectation instead of biasing the bucket upward (Weinberger et
+    // al.'s signed hashing). Reuses the classifier's portable
+    // MD5-3-hex-digit hash so both engines derive identical buckets;
+    // the sign is the 4th hex digit's parity (independent bits of the
+    // same digest). Exactness: every emitted value is an integer
+    // count. Scale shape: ONE corpus scan explodes tokens into a
+    // (doc_id, bucket)-keyed aggregate — map-side combine collapses
+    // each doc's token stream to ≤ 64 rows before the shuffle, so the
+    // exchange carries O(docs · 64), not O(corpus tokens).
+    "q_feature_hashing" -> QueryDef(
+      fn = (spark, dir) => {
+        val dim = 64
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val h = conv(substring(md5(col("t").cast("binary")), 1, 3),
+          16, 10).cast("long")
+        val sign = when(conv(substring(md5(col("t").cast("binary")),
+          4, 1), 16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("t"))
+          .select(col("doc_id"), (h % dim).as("bucket"), sign.as("s"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("feat"))
+          .orderBy("doc_id", "bucket")
+      },
+      oracle = Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1))
+        |      AS hv,
+        |    (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) % 2
+        |      AS sp
+        |  FROM tok)
+        |SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN sp = 0 THEN 1 ELSE -1 END) AS BIGINT)
+        |    AS feat
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)),
+
+    // ---- EXACT ROC AUC of the model filter against the heuristic
+    // rule — the eval that decides whether the classifier can REPLACE
+    // the heuristics (q_quality_calibration asks "do they agree per
+    // confidence band"; AUC asks "does the score RANK heuristic-keeps
+    // above heuristic-drops overall"). Computed by the rank-sum
+    // identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with midrank tie
+    // handling, all in exact integers: group by score (ties collapse
+    // to one row), one [[graft.ops.ExactRank.prefixSum]] gives each
+    // group its cumulative count, and a tied group's summed midranks
+    // are pos·(2·cum_before + cnt + 1)/2 — kept doubled (×2) so every
+    // intermediate is integral, widened to DECIMAL(38,0) before the
+    // rank×count products (n² territory — Long wraps past ~3e9 rows).
+    // Emitted as exact basis points (the `div` convention) plus the
+    // one-IEEE-division double; degenerate single-class corpora yield
+    // NULL via nullif on both engines rather than an engine-dependent
+    // zero-division. Scale shape: corpus scan → score-keyed map-side
+    // combined rollup → two-job prefix-sum fold → 1-row aggregate; no
+    // per-doc data ever crosses a single-partition boundary.
+    "q_roc_auc" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), classifierScore.as("score"),
+            (qualityScore(col("text"), wsTokens(col("text"))) >= 0.5)
+              .cast("long").as("label"))
+        val g = docs.groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+        val cum = graft.ops.ExactRank.prefixSum(g,
+          Seq(col("score")), Seq("cum" -> col("cnt")))
+        cum.agg(
+            sum(expr("cast(pos as decimal(38,0))" +
+              " * (2 * (cum - cnt) + cnt + 1)")).as("r2"),
+            sum(col("pos")).cast("decimal(38,0)").as("n_pos"),
+            sum(col("cnt")).cast("decimal(38,0)").as("n"))
+          .select(
+            col("n_pos").cast("long").as("n_pos"),
+            (col("n") - col("n_pos")).cast("long").as("n_neg"),
+            expr("((r2 - n_pos * (n_pos + 1)) * 10000)" +
+              " div nullif(2 * n_pos * (n - n_pos), 0)").as("auc_bp"),
+            (expr("r2 - n_pos * (n_pos + 1)").cast("double") /
+              expr("nullif(2 * n_pos * (n - n_pos), 0)").cast("double"))
+              .as("auc"))
+      },
+      oracle = Some(s"""
+        |WITH scored AS (
+        |  SELECT doc_id, CAST($classifierScoreSql AS BIGINT) AS score,
+        |    CASE WHEN
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.3
+        |    + least(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($stopList))) AS DOUBLE) / len(string_split_regex(text, '\\s+')) * 5.0, 1.0) * 0.3
+        |    >= 0.5 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+        |      FROM scored GROUP BY score),
+        |c AS (SELECT score, cnt, pos,
+        |        SUM(cnt) OVER (ORDER BY score) AS cum FROM g),
+        |t AS (SELECT
+        |        SUM(CAST(pos AS HUGEINT)
+        |          * (2 * (cum - cnt) + cnt + 1)) AS r2,
+        |        CAST(SUM(pos) AS HUGEINT) AS n_pos,
+        |        CAST(SUM(cnt) AS HUGEINT) AS n FROM c)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n - n_pos AS BIGINT) AS n_neg,
+        |  CAST(((r2 - n_pos * (n_pos + 1)) * 10000)
+        |    // nullif(2 * n_pos * (n - n_pos), 0) AS BIGINT) AS auc_bp,
+        |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / CAST(nullif(2 * n_pos * (n - n_pos), 0) AS DOUBLE) AS auc
+        |FROM t""".stripMargin))
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —

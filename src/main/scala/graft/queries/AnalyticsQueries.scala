@@ -721,6 +721,70 @@ object AnalyticsQueries extends QueryModule {
         |  r_bucket, f_bucket, m_bucket,
         |  r_bucket * 100 + f_bucket * 10 + m_bucket AS rfm
         |FROM bucketed
-        |ORDER BY custkey""".stripMargin))
+        |ORDER BY custkey""".stripMargin)),
+
+    // ---- LEAVE-ONE-OUT TARGET ENCODING — the categorical-feature
+    // prep an ML pipeline runs before training on tabular data:
+    // replace a category with the mean of the target over OTHER rows
+    // of the same category (LOO kills the self-leakage that plain
+    // mean encoding injects — the row's own target never contributes
+    // to its own feature, the same leakage discipline q_leakage_split
+    // enforces at the split level), plus the m-estimate smoothed
+    // variant ((g_sum + m·prior) / (g_cnt + m), m=20) that shrinks
+    // rare categories toward the global prior instead of memorizing
+    // them. Exactness: target in integer cents (the floor(x·100+0.5)
+    // row convention), group sums in DECIMAL(38,0) (wrap-proof past
+    // Long at ~40× scale — the q_gini_spend discipline), encodings
+    // emitted under the `div` integer-division convention; the
+    // singleton-category LOO (undefined: no other rows) falls back to
+    // the global prior, stated here and mirrored in the oracle.
+    // Scale shape: ONE scan feeds the category rollup (map-side
+    // combined, |categories| rows) and the single-row global total;
+    // both broadcast back onto the unshuffled fact stream — no
+    // fact-sized shuffle at any cardinality. A high-cardinality
+    // category would swap the broadcast for a shuffled equi-join on
+    // the category key; the arithmetic is unchanged.
+    "q_target_encoding" -> QueryDef(
+      fn = (spark, dir) => {
+        val o = Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+        val g = o.groupBy("o_orderpriority")
+          .agg(sum(col("cents")).cast("decimal(38,0)").as("g_sum"),
+            count(lit(1)).as("g_cnt"))
+        val tot = o.agg(sum(col("cents")).cast("decimal(38,0)")
+            .as("t_sum"), count(lit(1)).as("t_cnt"))
+        o.join(broadcast(g), Seq("o_orderpriority"))
+          .crossJoin(broadcast(tot))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("cents"),
+            expr("case when g_cnt = 1 then t_sum div t_cnt" +
+              " else (g_sum - cents) div (g_cnt - 1) end")
+              .as("loo_mean_cents"),
+            expr("(g_sum + 20 * (t_sum div t_cnt)) div (g_cnt + 20)")
+              .as("smooth_mean_cents"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        |WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, SUM(CAST(cents AS HUGEINT)) AS g_sum,
+        |    COUNT(*) AS g_cnt
+        |  FROM o GROUP BY 1),
+        |t AS (
+        |  SELECT SUM(CAST(cents AS HUGEINT)) AS t_sum, COUNT(*) AS t_cnt
+        |  FROM o)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+        |  CAST(CASE WHEN g_cnt = 1 THEN t_sum // t_cnt
+        |    ELSE (g_sum - cents) // (g_cnt - 1) END AS BIGINT)
+        |    AS loo_mean_cents,
+        |  CAST((g_sum + 20 * (t_sum // t_cnt)) // (g_cnt + 20) AS BIGINT)
+        |    AS smooth_mean_cents
+        |FROM o JOIN g USING (o_orderpriority) CROSS JOIN t
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

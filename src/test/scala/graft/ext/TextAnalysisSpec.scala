@@ -269,4 +269,78 @@ class TextAnalysisSpec extends SparkSpec {
     assert(avgs.max > avgs.min, "surprisal is constant across docs")
     info(s"avg_centibits span: ${avgs.min}..${avgs.max}")
   }
+
+  test("q_feature_hashing replays bit-for-bit in plain Scala") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_feature_hashing")(spark, sf)
+      .select("doc_id", "bucket", "n_tokens", "feat")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // independent replication: JDK md5, bucket = first-3-hex-digits
+    // mod 64, sign = 4th hex digit parity
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash4(tok: String): (Long, Long) = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val hv = java.lang.Long.parseLong(hex.substring(0, 3), 16)
+      val sp = java.lang.Long.parseLong(hex.substring(3, 4), 16) % 2
+      (hv % 64, if (sp == 0) 1L else -1L)
+    }
+    val want = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .flatMap { case (id, text) =>
+        text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          .map(hash4).map { case (b, s) => ((id, b), s) }
+      }
+      .groupBy(_._1).toSeq
+      .map { case ((id, b), xs) =>
+        (id, b, xs.length.toLong, xs.map(_._2).sum) }
+      .sortBy(t => (t._1, t._2))
+    assert(got === want)
+    // signed hashing actually cancels somewhere (collisions of
+    // opposite sign exist) — otherwise feat === n_tokens everywhere
+    // and the sign bit is dead code
+    assert(got.exists(r => r._4.abs != r._3), "no signed cancellation")
+  }
+
+  test("q_roc_auc matches an imperative midrank rank-sum AUC") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_roc_auc")(spark, sf)
+      .select("n_pos", "n_neg", "auc_bp", "auc")
+      .as[(Long, Long, Long, Double)].collect()(0)
+
+    // labels exactly as the query derives them: heuristic quality
+    // >= 0.5 (both published queries are oracle-hash-matched, so
+    // composing them pins the same bits the query sees)
+    val scores = graft.SparkEntry.queries("q_quality_classifier")(spark, sf)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val labels = graft.SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> (if (q >= 0.5) 1L else 0L) }.toMap
+
+    // midrank rank-sum: sorted by score, a tie group occupying ranks
+    // i+1..i+cnt contributes pos·(2i+cnt+1) to 2·R⁺
+    val byScore = scores.toSeq.map { case (id, s) => (s, labels(id)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, xs) => (xs.length.toLong, xs.map(_._2).sum) }
+    var before = 0L
+    var r2 = BigInt(0)
+    byScore.foreach { case (cnt, pos) =>
+      r2 += BigInt(pos) * (2 * before + cnt + 1)
+      before += cnt
+    }
+    val nPos = BigInt(byScore.map(_._2).sum)
+    val nNeg = BigInt(before) - nPos
+    val num = (r2 - nPos * (nPos + 1)) * 10000
+    val den = 2 * nPos * nNeg
+    assert(got._1 === nPos.toLong)
+    assert(got._2 === nNeg.toLong)
+    assert(got._3 === (num / den).toLong)
+    assert(got._4 === (r2 - nPos * (nPos + 1)).toDouble / den.toDouble)
+    // non-degenerate: both classes present and the model is better
+    // than coin-flip on this corpus (AUC strictly above 0.5 means the
+    // rank-sum machinery isn't collapsing to the trivial value)
+    assert(nPos > 0 && nNeg > 0, s"degenerate corpus: $nPos/$nNeg")
+    info(s"auc_bp = ${got._3}")
+  }
 }

@@ -46,7 +46,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // rolling distinct: the lead-window interval construction + the
     // endpoint rollup both shuffle; coverage counts are integers but
     // the interval DERIVATION must not see partition order
-    "q_rolling_wau")
+    "q_rolling_wau",
+    // round-7 wave: AUC's prefix-sum fold is parameterized by the
+    // partition count (the rank math must select identical midranks
+    // at any slicing); the two encodings are decimal-exact broadcast
+    // rollups; hashing-trick counts are commutative integer sums
+    "q_roc_auc", "q_target_encoding", "q_feature_hashing")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
