@@ -298,6 +298,107 @@ object GraphOps {
   private val lastLpEdges =
     graft.ops.BuildOnce.swapRef()
 
+  /** HITS hubs/authorities in EXACT fixed-point integers —
+    * Kleinberg's mutual-reinforcement power iteration (a(v) =
+    * Σ_{(u,v,w)} h(u)·w, then h(u) = Σ_{(u,v,w)} a(v)·w) with L∞
+    * (max) normalization replacing the classical L2: `x·scale div
+    * max(x)` is pure integer arithmetic, so every engine replays
+    * identical scores, where an L2 sqrt would be engine-dependent
+    * doubles. Any positive per-iteration rescale preserves the
+    * ranking; L∞ additionally pins each side's leader at exactly
+    * `scale`, which makes the scores directly readable as "share of
+    * the leader".
+    *
+    * On a directed purchase graph (customer → supplier), hubs score
+    * customers whose spend concentrates on authoritative suppliers
+    * and authorities score suppliers endorsed by strong hubs — the
+    * same mutual-endorsement structure a curation pipeline uses to
+    * rank sources against documents (a source is trustworthy if it
+    * yields quality documents, and vice versa). Contrast with
+    * [[pageRank]]: HITS is bipartite-natural (two distinct score
+    * spaces) and normalization-relative, PageRank is a single
+    * stationary distribution.
+    *
+    * Overflow bound: after each rescale h,a ≤ scale, so a raw sum is
+    * bounded by scale · (max per-node incident WEIGHT); the rescale
+    * product itself is widened to DECIMAL(38,0) before the ×scale, so
+    * the only 64-bit budget is scale·W ≤ 2^63 — at scale=1e6 that
+    * admits ~9·10^12 incident weight per node (raise/lower the dial
+    * per graph; the [[pageRank]] bound discussion applies).
+    *
+    * Scale shape: two regimes, gated like [[pageRank]] on the node
+    * count. Small (entity-bounded node sets — the curation case): the
+    * score frames broadcast, the cached edge list never moves; each
+    * half-round is one broadcast probe, one partial-agg'd rollup, and
+    * one 1-row global max crossed back in. Large: the edge list pins
+    * TWO hash layouts (by src and by dst — the iteration alternates
+    * join keys, so a single layout would re-shuffle the edges every
+    * half-round) and only the node-sized score frames move per join.
+    *
+    * @param edges (src, dst, w) directed weighted edges
+    * @return (hubs (node, h), authorities (node, a)) fixed-point
+    *         scores after `rounds` full a-then-h rounds
+    */
+  def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L,
+      broadcastNodes: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds $rounds")
+    val e = graft.ops.BuildOnce.swapPersist(lastHitsEdges,
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    // the ONE eager action of the build: materializes the edge cache
+    // and measures the hub-side node count for the regime gate
+    val small =
+      e.select(col("src")).distinct().count() <= broadcastNodes
+    val (eSrc, eDst) =
+      if (small) (e, e)
+      else {
+        val bySrc = graft.ops.BuildOnce.swapPersist(lastHitsBySrc,
+          e.repartition(col("src")))
+        val byDst = graft.ops.BuildOnce.swapPersist(lastHitsByDst,
+          e.repartition(col("dst")))
+        bySrc.count(); byDst.count()
+        // both pinned layouts exist now — release the raw copy (at
+        // this regime's scale, triple-caching the edge list is real
+        // memory; the pageRank attach does the same swap)
+        Option(lastHitsEdges.getAndSet(null)).foreach(_.unpersist())
+        (bySrc, byDst)
+      }
+    // x·scale div max(x), max crossed in as a broadcast 1-row frame;
+    // DECIMAL(38,0) widening makes the product wrap-proof (see bound)
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c)).as("mx"))
+      df.crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
+    }
+    var h = eSrc.select(col("src").as("hn")).distinct()
+      .withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val hSide = if (small) broadcast(h) else h
+      a = rescale(
+        eSrc.join(hSide, col("src") === col("hn"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("h * w")).as("a")), "a")
+        .withColumnRenamed("node", "an")
+        .withColumnRenamed("a", "a_")
+      val aSide = if (small) broadcast(a) else a
+      h = rescale(
+        eDst.join(aSide, col("dst") === col("an"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(expr("a_ * w")).as("h")), "h")
+        .withColumnRenamed("node", "hn")
+    }
+    (h.select(col("hn").as("node"), col("h")),
+      a.select(col("an").as("node"), col("a_").as("a")))
+  }
+
+  private val lastHitsEdges =
+    graft.ops.BuildOnce.swapRef()
+  private val lastHitsBySrc =
+    graft.ops.BuildOnce.swapRef()
+  private val lastHitsByDst =
+    graft.ops.BuildOnce.swapRef()
+
   def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops")
     val e = edges.select(col("src"), col("dst"))
@@ -408,6 +509,28 @@ object GraphQueries extends QueryModule {
     |    FROM $prev r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = e.src
     |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
+  /** One full HITS round (authorities then hubs) as unrolled oracle
+    * CTEs — raw sums then the L∞ rescale, the ×scale widened to
+    * HUGEINT exactly as the engine widens to DECIMAL(38,0). Every CTE
+    * is MATERIALIZED: the max() scalar subquery references its own
+    * round's raw frame a second time, and DuckDB re-evaluates plain
+    * CTEs per reference (the documented exponential-chain lesson). */
+  private def hitsCte(prev: Int, cur: Int): String = s"""
+    |a${cur}r AS MATERIALIZED (
+    |  SELECT e.dst AS node, CAST(SUM(h.h * e.w) AS BIGINT) AS ar
+    |  FROM h$prev h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+    |a$cur AS MATERIALIZED (
+    |  SELECT node, CAST(CAST(ar AS HUGEINT) * 1000000
+    |    // (SELECT MAX(ar) FROM a${cur}r) AS BIGINT) AS a
+    |  FROM a${cur}r),
+    |h${cur}r AS MATERIALIZED (
+    |  SELECT e.src AS node, CAST(SUM(a.a * e.w) AS BIGINT) AS hr
+    |  FROM a$cur a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+    |h$cur AS MATERIALIZED (
+    |  SELECT node, CAST(CAST(hr AS HUGEINT) * 1000000
+    |    // (SELECT MAX(hr) FROM h${cur}r) AS BIGINT) AS h
+    |  FROM h${cur}r)""".stripMargin
+
   /** One personalized-PageRank iteration as a CTE: like [[iterCte]]
     * but the teleport is the node's own seed-dependent `t` from the
     * `nodes` CTE instead of the uniform constant. */
@@ -437,7 +560,7 @@ object GraphQueries extends QueryModule {
     * shuffle anyway, but runs the hash at full width (measured
     * 1.47 → 0.72 s at sf0.1). The explicit partition count keeps AQE
     * from advisory-coalescing the user shuffle back to one task. */
-  private def orderGraphEdges(spark: org.apache.spark.sql.SparkSession,
+  private def orderGraphPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val orders = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -451,10 +574,14 @@ object GraphQueries extends QueryModule {
       .select((col("o_custkey").cast("long") * 2).as("c"),
         (col("l_suppkey").cast("long") * 2 + 1).as("s"),
         col("w"))
+  }
+
+  private def orderGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    orderGraphPairs(spark, dir)
       .select(expr(
         "inline(array(struct(c AS src, s AS dst, w)," +
           " struct(s AS src, c AS dst, w)))"))
-  }
 
   override def defs: Seq[(String, QueryDef)] = Seq(
 
@@ -501,6 +628,58 @@ object GraphQueries extends QueryModule {
         |SELECT node, pr FROM it5 WHERE node LIKE 'S%'
         |ORDER BY pr DESC, node LIMIT 25""".stripMargin),
       bench = true),
+
+    // ---- HITS hubs & authorities over the DIRECTED purchase graph
+    // (customer → supplier, single direction — the bipartite setup
+    // HITS was built for, where q_pagerank's symmetrized random walk
+    // deliberately erases the two-role structure): 3 exact
+    // fixed-point rounds, each side's leader pinned at scale=1e6 by
+    // the L∞ rescale, top-25 per role. A supplier is authoritative
+    // for attracting spend from strong hubs; a customer is a strong
+    // hub for concentrating spend on authoritative suppliers —
+    // mutually, which is what separates HITS from a plain degree
+    // rank. Ties in the top-k boundary break on the integer node id
+    // (both engines order the same numbers); the emitted frame orders
+    // by (kind, score desc, label) — unique since labels are unique
+    // per kind.
+    "q_hits" -> QueryDef(
+      fn = (spark, dir) => {
+        val (h, a) = GraphOps.hits(
+          orderGraphPairs(spark, dir)
+            .select(col("c").as("src"), col("s").as("dst"), col("w")),
+          rounds = 3)
+        val topA = a.orderBy(col("a").desc, col("node")).limit(25)
+          .select(lit("auth").as("kind"),
+            concat(lit("S"), shiftright(col("node"), 1).cast("string"))
+              .as("label"),
+            col("a").as("score"))
+        val topH = h.orderBy(col("h").desc, col("node")).limit(25)
+          .select(lit("hub").as("kind"),
+            concat(lit("C"), shiftright(col("node"), 1).cast("string"))
+              .as("label"),
+            col("h").as("score"))
+        topA.unionByName(topH)
+          .orderBy(col("kind"), col("score").desc, col("label"))
+      },
+      oracle = Some(s"""
+        |WITH cs AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM cs),
+        |h0 AS (SELECT DISTINCT src AS node,
+        |         CAST(1000000 AS BIGINT) AS h FROM edges),
+        |${(0 until 3).map(i => hitsCte(i, i + 1).trim).mkString(",\n")},
+        |ta AS (SELECT 'auth' AS kind,
+        |         'S' || CAST(node // 2 AS VARCHAR) AS label, a AS score
+        |       FROM a3 ORDER BY a DESC, node LIMIT 25),
+        |th AS (SELECT 'hub' AS kind,
+        |         'C' || CAST(node // 2 AS VARCHAR) AS label, h AS score
+        |       FROM h3 ORDER BY h DESC, node LIMIT 25)
+        |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY kind, score DESC, label""".stripMargin)),
 
     // ---- PERSONALIZED PageRank from one market segment: teleport
     // restarts at NATION_7's customers, so the ranking answers "which

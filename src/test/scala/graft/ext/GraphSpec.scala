@@ -245,6 +245,57 @@ class GraphSpec extends SparkSpec {
     assert(got("a") > 0L && got("b") > 0L, s"seed component empty: $got")
   }
 
+  test("hits replays bit-for-bit against a single-threaded reference") {
+    // a small bipartite purchase graph with one dominant supplier and
+    // one concentrated customer — scores must equal the plain-Scala
+    // replication of the max-normalized recurrence (exact integers)
+    val raw = Seq(
+      (0L, 1L, 3L), (0L, 3L, 1L), (2L, 1L, 2L), (2L, 5L, 1L),
+      (4L, 1L, 1L), (4L, 3L, 2L), (6L, 5L, 4L))
+    val scale = 1000000L
+    val rounds = 3
+
+    def reference(): (Map[Long, Long], Map[Long, Long]) = {
+      var h = raw.map(_._1).distinct.map(_ -> BigInt(scale)).toMap
+      var a = Map.empty[Long, BigInt]
+      for (_ <- 1 to rounds) {
+        val ar = raw.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _, w) => h(u) * w }.sum }
+        val amax = ar.values.max
+        a = ar.map { case (v, x) => v -> x * scale / amax }
+        val hr = raw.groupBy(_._1).map { case (u, es) =>
+          u -> es.map { case (_, v, w) => a(v) * w }.sum }
+        val hmax = hr.values.max
+        h = hr.map { case (u, x) => u -> x * scale / hmax }
+      }
+      (h.map { case (k, v) => k -> v.toLong },
+        a.map { case (k, v) => k -> v.toLong })
+    }
+
+    val (hDf, aDf) = GraphOps.hits(raw.toDF("src", "dst", "w"), rounds)
+    val (wantH, wantA) = reference()
+    assert(hDf.as[(Long, Long)].collect().toMap === wantH)
+    assert(aDf.as[(Long, Long)].collect().toMap === wantA)
+    // L∞ pins each side's leader at exactly scale
+    assert(wantH.values.max === scale && wantA.values.max === scale)
+  }
+
+  test("q_hits separates roles: hubs are customers, authorities suppliers") {
+    val rows = SparkEntry.queries("q_hits")(spark, "/root/testdata/sf0.001")
+      .select("kind", "label", "score").as[(String, String, Long)]
+      .collect().toSeq
+    val (auth, hub) = rows.partition(_._1 == "auth")
+    assert(auth.nonEmpty && hub.nonEmpty)
+    assert(auth.forall(_._2.startsWith("S")), auth.take(3))
+    assert(hub.forall(_._2.startsWith("C")), hub.take(3))
+    // each side's leader sits at exactly the fixed-point scale
+    assert(auth.map(_._3).max === 1000000L)
+    assert(hub.map(_._3).max === 1000000L)
+    // and the scores are non-degenerate (not everyone at the max)
+    assert(auth.map(_._3).distinct.size > 1)
+    assert(hub.map(_._3).distinct.size > 1)
+  }
+
   test("personalized ranks replay bit-for-bit against a reference") {
     val raw = Seq(
       ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("c", "a", 1L),
