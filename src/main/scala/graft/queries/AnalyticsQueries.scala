@@ -723,6 +723,64 @@ object AnalyticsQueries extends QueryModule {
         |FROM bucketed
         |ORDER BY custkey""".stripMargin)),
 
+    // ---- BENFORD FIRST-DIGIT AUDIT — the forensic data-quality
+    // check for "does this monetary column look organically
+    // generated": natural multiplicative data follows
+    // P(d) = log10(1+1/d); fabricated, capped, or uniformly-synthetic
+    // data does not. Complements q_dq_report (nulls/ranges/keys) with
+    // a DISTRIBUTIONAL audit. Exactness: the first significant digit
+    // is the first character of the integer cents rendered as a
+    // string (pure integer → identical on both engines; no log10 at
+    // query time — the Benford expectations are fixed integer
+    // literals in 1e5 basis points, summing to exactly 100000), and
+    // shares use the `div` convention. The TPC-H-ish fixture is
+    // uniform-priced, so the audit correctly REPORTS a large
+    // deviation — a failing-audit fixture is the honest one here.
+    // Scale shape: one pruned scan → 9-group map-side-combined
+    // rollup → broadcast total; nothing row-scale crosses the wire.
+    "q_benford" -> QueryDef(
+      fn = (spark, dir) => {
+        val expected = Seq(30103L, 17609L, 12494L, 9691L, 7918L,
+          6695L, 5799L, 5115L, 4576L)
+        val expDf = spark.createDataFrame(
+          expected.zipWithIndex.map { case (e, i) => (i + 1L, e) })
+          .toDF("digit", "expected_bp5")
+        val o = Tables(spark, dir, "orders")
+          .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = o.agg(sum(col("n")).as("total"))
+        // exp side preserved (every digit 1..9 emits a row even at
+        // zero observations); both non-fact frames are 9/1 rows
+        expDf.join(o, Seq("digit"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 100000 div total").as("share_bp5"),
+            col("expected_bp5"),
+            expr("n * 100000 div total - expected_bp5")
+              .as("deviation_bp5"))
+          .orderBy("digit")
+      },
+      oracle = Some("""
+        |WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |e(digit, expected_bp5) AS (VALUES
+        |  (1, 30103), (2, 17609), (3, 12494), (4, 9691), (5, 7918),
+        |  (6, 6695), (7, 5799), (8, 5115), (9, 4576)),
+        |t AS (SELECT SUM(n) AS total FROM g)
+        |SELECT e.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(g.n, 0) * 100000 // total AS BIGINT)
+        |    AS share_bp5,
+        |  CAST(e.expected_bp5 AS BIGINT) AS expected_bp5,
+        |  CAST(COALESCE(g.n, 0) * 100000 // total - e.expected_bp5
+        |    AS BIGINT) AS deviation_bp5
+        |FROM e LEFT JOIN g ON e.digit = g.digit CROSS JOIN t
+        |ORDER BY e.digit""".stripMargin)),
+
     // ---- LEAVE-ONE-OUT TARGET ENCODING — the categorical-feature
     // prep an ML pipeline runs before training on tabular data:
     // replace a category with the mean of the target over OTHER rows
