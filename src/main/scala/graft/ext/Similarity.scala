@@ -508,6 +508,16 @@ object SimilarityQueries extends QueryModule {
 
   /** q_mutual_knn's edge frame (both sides of the mutuality join) —
     * same swap-release bounding. */
+  private val lastNdcgExact =
+    graft.ops.BuildOnce.swapRef()
+
+  /** nDCG rank discounts 1/log2(r+1) for r = 1..5, as 1e6-scaled
+    * integer literals — ONE constant rendered into both the Spark
+    * lookup frame and the oracle's VALUES so no engine computes a
+    * log at query time (libm bits differ engine-to-engine; fixed
+    * literals are the q_benford expectation discipline). */
+  private val ndcgWeights: Seq[Long] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
   private val lastMutualEdges =
     graft.ops.BuildOnce.swapRef()
 
@@ -2032,6 +2042,91 @@ object SimilarityQueries extends QueryModule {
         |FROM truth t LEFT JOIN served s
         |  ON t.q_id = s.q_id AND t.truth_id = s.n_id
         |ORDER BY t.q_id""".stripMargin)),
+
+    // ---- nDCG@5 of the SERVED IVF ranking against the exact top-5 —
+    // completes the ranking-eval triad: recall@5 (is the truth in the
+    // list), MRR (how far down is the top-1), nDCG (is the WHOLE
+    // graded ordering right). Graded relevance rel = 6 − exact_rank;
+    // the 1/log2(r+1) discount weights are FIXED integer literals in
+    // 1e6 scale (rendered from ONE Scala constant into both engines —
+    // no query-time log2, whose libm bits differ across engines), so
+    // dcg/idcg are exact integer sums and ndcg_bp is one integral
+    // division. idcg derives from THIS query's exact list (n_truth <
+    // k queries keep an honest denominator — the q_ann_recall
+    // convention). Same composition discipline as the other two
+    // monitors: both legs are the PUBLISHED queries. Scale: k-row
+    // frames per query; the eval joins touch sample×k rows.
+    "q_ndcg_eval" -> QueryDef(
+      fn = (spark, dir) => {
+        val w = spark.createDataFrame(
+          ndcgWeights.zipWithIndex.map { case (x, i) => (i + 1L, x) })
+          .toDF("rank", "w")
+        val exact = graft.ops.BuildOnce.swapPersist(lastNdcgExact,
+          graft.SparkEntry.queries("q_ann_cosine_topk")(spark, dir)
+            .select("q_id", "n_id", "rank"))
+        val rel = exact.select(col("q_id"), col("n_id"),
+          (lit(6L) - col("rank")).as("rel"), col("rank"))
+        val idcg = rel.join(broadcast(w), "rank")
+          .groupBy("q_id").agg(sum(expr("rel * w")).as("idcg"))
+        val served = graft.SparkEntry.queries("q_ann_ivf")(spark, dir)
+          .select("q_id", "n_id", "rank")
+        val dcg = served.join(broadcast(w), "rank")
+          .join(rel.select("q_id", "n_id", "rel"), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(sum(expr("rel * w")).as("dcg"))
+        idcg.join(dcg, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("dcg"), lit(0L)).as("dcg"), col("idcg"),
+            expr("coalesce(dcg, 0) * 10000 div idcg").as("ndcg_bp"))
+          .orderBy("q_id")
+      },
+      oracle = Some(embCte + s""",
+        |${Similarity.lloydSql(2, cosSqlOf)},
+        |assigned AS (
+        |  SELECT n_id, n_v, c_id AS bucket FROM (
+        |    SELECT e.vec_id AS n_id, e.v AS n_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSqlOf("e.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb e CROSS JOIN cent2 c)
+        |  WHERE c_rank = 1),
+        |probes AS (
+        |  SELECT q_id, q_v, c_id AS bucket FROM (
+        |    SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${cosSqlOf("q.v", "c.c_v")} DESC, c.c_id) AS c_rank
+        |    FROM emb q CROSS JOIN cent2 c WHERE q.vec_id < 20)
+        |  WHERE c_rank <= 2),
+        |served AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT p.q_id, a.n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |        ORDER BY ${cosSqlOf("p.q_v", "a.n_v")} DESC, a.n_id) AS rank
+        |    FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |    WHERE a.n_id != p.q_id)
+        |  WHERE rank <= 5),
+        |exact AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY $cosSql DESC, n.vec_id) AS rank
+        |    FROM emb q JOIN emb n
+        |      ON q.vec_id < 20 AND n.vec_id != q.vec_id)
+        |  WHERE rank <= 5),
+        |w(rank, w) AS (VALUES ${ndcgWeights.zipWithIndex
+          .map { case (x, i) => s"(${i + 1}, $x)" }.mkString(", ")}),
+        |idcg AS (
+        |  SELECT e.q_id, CAST(SUM((6 - e.rank) * w.w) AS BIGINT) AS idcg
+        |  FROM exact e JOIN w ON e.rank = w.rank GROUP BY 1),
+        |dcg AS (
+        |  SELECT s.q_id, CAST(SUM((6 - e.rank) * w.w) AS BIGINT) AS dcg
+        |  FROM served s
+        |  JOIN exact e ON s.q_id = e.q_id AND s.n_id = e.n_id
+        |  JOIN w ON s.rank = w.rank
+        |  GROUP BY 1)
+        |SELECT i.q_id, CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,
+        |  i.idcg,
+        |  CAST(COALESCE(d.dcg, 0) * 10000 // i.idcg AS BIGINT) AS ndcg_bp
+        |FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id
+        |ORDER BY i.q_id""".stripMargin)),
 
     // ---- MUTUAL (reciprocal) kNN pairs — the high-precision slice
     // of the kNN graph: a pair where EACH vector ranks the other in

@@ -1427,6 +1427,54 @@ object TextQueries extends QueryModule {
         |    AS feat
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)),
 
+    // ---- UNICODE NFC NORMALIZATION — the first cleaning pass of a
+    // crawl pipeline: composed vs decomposed code-point sequences are
+    // byte-distinct but logically identical, so exact-hash dedup,
+    // shingles, and tokenizers all disagree about them until the
+    // corpus is pinned to one normal form. The kernel is the new
+    // native [[graft.functions.NfcNormalize]] expression (Spark has
+    // no builtin; the JDK Normalizer and DuckDB's utf8proc implement
+    // the same Unicode NFC — that agreement IS the oracle check
+    // here). The ASCII fixture corpus gets deterministic decomposed
+    // plants (e+U+0301, u+U+0308) derived from doc_id on BOTH
+    // engines; byte lengths before/after prove the composition
+    // happened (3 bytes → 2 per combining pair). Scale shape: narrow
+    // per-row compute, no shuffle before the output ordering —
+    // scan-bound, ASCII rows never leave the fast path.
+    "q_text_normalize" -> QueryDef(
+      fn = (spark, dir) => {
+        // DECOMPOSED sequences (base letter + combining mark), via
+        // escapes so no editor silently re-composes the source file
+        val planted = when(col("doc_id") % 4 === 0,
+            lit(" caf" + "e\u0301")) // e + COMBINING ACUTE
+          .when(col("doc_id") % 4 === 1,
+            lit(" " + "u\u0308ber")) // u + COMBINING DIAERESIS
+          .otherwise(lit(""))
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), planted).as("t2"))
+          .select(col("doc_id"),
+            octet_length(col("t2")).cast("long").as("bytes_raw"),
+            octet_length(
+              graft.functions.NfcNormalize.nfcNormalize(col("t2")))
+              .cast("long").as("bytes_nfc"))
+          .withColumn("normalized",
+            (col("bytes_nfc") < col("bytes_raw")).cast("long"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' caf' || chr(101) || chr(769)
+        |         WHEN doc_id % 4 = 1 THEN ' ' || chr(117) || chr(776) || 'ber'
+        |         ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(strlen(t2) AS BIGINT) AS bytes_raw,
+        |  CAST(strlen(nfc_normalize(t2)) AS BIGINT) AS bytes_nfc,
+        |  CAST(strlen(nfc_normalize(t2)) < strlen(t2) AS BIGINT)
+        |    AS normalized
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- EXACT ROC AUC of the model filter against the heuristic
     // rule — the eval that decides whether the classifier can REPLACE
     // the heuristics (q_quality_calibration asks "do they agree per

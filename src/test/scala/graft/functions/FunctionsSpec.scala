@@ -206,4 +206,38 @@ class FunctionsSpec extends SparkSpec {
           length(col("text")).cast("long"))
     assert(bad.count() === 0L)
   }
+
+  // ---- NfcNormalize expression
+
+  test("nfc: composes decomposed sequences, identity on ASCII and composed") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = "caf" + "é" // e + COMBINING ACUTE (5 code points)
+    val comp = "café"      // precomposed é (4 code points)
+    assert(NfcNormalize.compute(UTF8String.fromString(dec)).toString === comp)
+    // ASCII fast path returns the INPUT OBJECT (allocation-free)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.compute(ascii) eq ascii)
+    // already-composed non-ASCII also returns the input object
+    val composed = UTF8String.fromString(comp)
+    assert(NfcNormalize.compute(composed) eq composed)
+    // multiple marks: u + diaeresis, o + circumflex in one string
+    val multi = "über ôter"
+    assert(NfcNormalize.compute(UTF8String.fromString(multi)).toString
+      === java.text.Normalizer.normalize(multi,
+        java.text.Normalizer.Form.NFC))
+  }
+
+  test("nfc: column path handles nulls and survives codegen") {
+    val df = Seq(Some("a" + "é"), None, Some("plain"))
+      .toDF("t")
+      .select(NfcNormalize.nfcNormalize(col("t")).as("n"))
+    assert(df.as[Option[String]].collect().toSeq ===
+      Seq(Some("aé"), None, Some("plain")))
+    // NFC makes the byte-distinct logical duplicates hash-equal —
+    // the dedup motivation, end to end through the SQL surface
+    val pair = Seq("café", "caf" + "é").toDF("t")
+      .select(sha2(NfcNormalize.nfcNormalize(col("t")), 256).as("h"))
+      .distinct()
+    assert(pair.count() === 1L)
+  }
 }
