@@ -50,8 +50,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-7 wave: AUC's prefix-sum fold is parameterized by the
     // partition count (the rank math must select identical midranks
     // at any slicing); the two encodings are decimal-exact broadcast
-    // rollups; hashing-trick counts are commutative integer sums
-    "q_roc_auc", "q_target_encoding", "q_feature_hashing")
+    // rollups; hashing-trick counts are commutative integer sums;
+    // HITS interleaves per-iteration global maxes (commutative) with
+    // integer contribution sums — no partition order may leak into
+    // either; Benford is a 9-group integer rollup + share divisions
+    "q_roc_auc", "q_target_encoding", "q_feature_hashing",
+    "q_hits", "q_benford")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
