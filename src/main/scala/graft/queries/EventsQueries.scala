@@ -508,6 +508,101 @@ object EventsQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN d.ad > md.mad * 3.0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN md USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
+    // ---- TWO-PROPORTION A/B TEST with SRM guard — the experiment
+    // readout a product warehouse runs constantly: deterministic
+    // variant assignment (user_id parity — what a hash-bucketed
+    // assignment is at steady state), per-USER conversion (≥1
+    // HIGH-VALUE purchase, value ≥ 90 — the fixture corpus is small
+    // enough that every user purchases SOMETHING; user-grain first, so heavy users don't weight the
+    // proportion), then the 2×2 chi-square in EXACT integers — the
+    // cross-multiplied form n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    // widened to DECIMAL(38,0) before the squares (n⁴ territory:
+    // Long wraps past ~55k users; the decimal budget holds to ~2·10⁹
+    // — past that, pre-aggregate strata). Significance is declared
+    // at milli-precision against the fixed χ²₍₀.₀₅,₁₎ = 3.841
+    // literal (integer compare — no p-value libm on either engine),
+    // and the SAMPLE-RATIO-MISMATCH guard applies the same statistic
+    // to the split itself vs 50/50 — the assignment-bug detector an
+    // experiment must pass before its lift is even meaningful.
+    // nullif guards the degenerate tables (all/none converted) to
+    // NULL on both engines. Scale shape: one user-grain rollup
+    // (map-side combined) → a 2-row frame → one-row output; nothing
+    // user-scale crosses the wire after the first aggregate.
+    "q_ab_test" -> QueryDef(
+      fn = (spark, dir) => {
+        val users = Tables(spark, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 90.0, 1L).otherwise(0L)).as("conv"))
+          .withColumn("variant", col("user_id") % 2)
+        users.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+          .agg(
+            sum(when(col("variant") === 0, col("n"))).as("n0"),
+            sum(when(col("variant") === 0, col("k"))).as("k0"),
+            sum(when(col("variant") === 1, col("n"))).as("n1"),
+            sum(when(col("variant") === 1, col("k"))).as("k1"))
+          .withColumn("adbc",
+            expr("cast(k1 as decimal(38,0)) * (n0 - k0)" +
+              " - cast(n1 - k1 as decimal(38,0)) * k0"))
+          .withColumn("chi2_num",
+            expr("cast(n0 + n1 as decimal(38,0)) * adbc * adbc"))
+          .withColumn("chi2_den",
+            expr("cast(n1 as decimal(38,0)) * n0 * (k0 + k1)" +
+              " * (n0 - k0 + n1 - k1)"))
+          .select(col("n0"), col("k0"), col("n1"), col("k1"),
+            expr("k0 * 10000 div n0").as("p0_bp"),
+            expr("k1 * 10000 div n1").as("p1_bp"),
+            expr("k1 * 10000 div n1 - k0 * 10000 div n0").as("lift_bp"),
+            expr("(chi2_num * 1000) div nullif(chi2_den, 0)")
+              .as("chi2_milli"),
+            expr("cast((chi2_num * 1000) div nullif(chi2_den, 0)" +
+              " >= 3841 as long)").as("significant"),
+            expr("(cast(n0 - n1 as decimal(38,0)) * (n0 - n1) * 1000)" +
+              " div (n0 + n1)").as("srm_chi2_milli"),
+            expr("cast((cast(n0 - n1 as decimal(38,0)) * (n0 - n1)" +
+              " * 1000) div (n0 + n1) >= 3841 as long)").as("srm_flag"))
+      },
+      oracle = Some("""
+        |WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |          AND value >= 90.0 THEN 1 ELSE 0 END) AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+        |      FROM u GROUP BY variant),
+        |t AS (SELECT
+        |    SUM(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    SUM(CASE WHEN variant = 0 THEN k END) AS k0,
+        |    SUM(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    SUM(CASE WHEN variant = 1 THEN k END) AS k1
+        |  FROM c),
+        |s AS (SELECT n0, k0, n1, k1,
+        |    CAST(k1 AS HUGEINT) * (n0 - k0)
+        |      - CAST(n1 - k1 AS HUGEINT) * k0 AS adbc
+        |  FROM t),
+        |x AS (SELECT *,
+        |    CAST(n0 + n1 AS HUGEINT) * adbc * adbc AS chi2_num,
+        |    CAST(n1 AS HUGEINT) * n0 * (k0 + k1)
+        |      * (n0 - k0 + n1 - k1) AS chi2_den
+        |  FROM s)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+        |  CAST(k0 * 10000 // n0 AS BIGINT) AS p0_bp,
+        |  CAST(k1 * 10000 // n1 AS BIGINT) AS p1_bp,
+        |  CAST(k1 * 10000 // n1 - k0 * 10000 // n0 AS BIGINT)
+        |    AS lift_bp,
+        |  CAST((chi2_num * 1000) // nullif(chi2_den, 0) AS BIGINT)
+        |    AS chi2_milli,
+        |  CAST((chi2_num * 1000) // nullif(chi2_den, 0) >= 3841
+        |    AS BIGINT) AS significant,
+        |  CAST((CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000)
+        |    // (n0 + n1) AS BIGINT) AS srm_chi2_milli,
+        |  CAST((CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000)
+        |    // (n0 + n1) >= 3841 AS BIGINT) AS srm_flag
+        |FROM x""".stripMargin))
   )
 }

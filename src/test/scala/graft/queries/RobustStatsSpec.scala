@@ -144,4 +144,40 @@ class RobustStatsSpec extends SparkSpec {
       assert(row.getAs[Long]("n") === scaled.length.toLong)
     }
   }
+
+  test("q_ab_test replays bit-for-bit from an imperative 2x2 chi-square") {
+    val rows = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "value").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // .toSeq BEFORE the map: mapping a Map to (variant, conv) tuples
+    // would re-key by variant and silently collapse the users
+    val users = byUser.toSeq.map { case (uid, es) =>
+      (uid % 2, if (es.exists(r => r.getAs[String]("event_type") == "purchase"
+        && r.getAs[Double]("value") >= 90.0)) 1L else 0L)
+    }
+    val (n0, k0) = (users.count(_._1 == 0L).toLong,
+      users.filter(_._1 == 0L).map(_._2).sum)
+    val (n1, k1) = (users.count(_._1 == 1L).toLong,
+      users.filter(_._1 == 1L).map(_._2).sum)
+    val adbc = BigInt(k1) * (n0 - k0) - BigInt(n1 - k1) * k0
+    val num = BigInt(n0 + n1) * adbc * adbc
+    val den = BigInt(n1) * n0 * (k0 + k1) * (n0 - k0 + n1 - k1)
+    val chi2m = (num * 1000 / den).toLong
+    val srmm = (BigInt(n0 - n1) * (n0 - n1) * 1000 / (n0 + n1)).toLong
+
+    val got = graft.SparkEntry.queries("q_ab_test")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n0") === n0)
+    assert(got.getAs[Long]("k0") === k0)
+    assert(got.getAs[Long]("n1") === n1)
+    assert(got.getAs[Long]("k1") === k1)
+    assert(got.getAs[Long]("p0_bp") === k0 * 10000 / n0)
+    assert(got.getAs[Long]("lift_bp") === k1 * 10000 / n1 - k0 * 10000 / n0)
+    assert(got.getAs[Long]("chi2_milli") === chi2m)
+    assert(got.getAs[Long]("significant") === (if (chi2m >= 3841) 1L else 0L))
+    assert(got.getAs[Long]("srm_chi2_milli") === srmm)
+    // parity assignment on sequential user ids can never trip the
+    // SRM guard — a tripped flag here means the statistic is wrong
+    assert(got.getAs[Long]("srm_flag") === 0L)
+    info(s"chi2_milli=$chi2m lift_bp=${got.getAs[Long]("lift_bp")}")
+  }
 }
