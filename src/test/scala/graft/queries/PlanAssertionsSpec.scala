@@ -337,4 +337,55 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(shuffles == 4, s"expected 4 shuffle exchanges, got $shuffles\n$p")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q_target_encoding: the fact stream never shuffles (both rollups broadcast back)") {
+    val p = plan("q_target_encoding")
+    // two broadcast probes (category rollup + 1-row total) onto the
+    // unshuffled orders scan; the only shuffle exchanges are the two
+    // rollups' own partial-agg exchanges and the output ordering
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts >= 2, s"expected >=2 broadcasts\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-row side of every join is the STREAMED side of a
+    // BroadcastHashJoin — a fact-sized shuffle would appear as a
+    // hashpartitioning exchange over o_orderkey
+    assert(!p.contains("hashpartitioning(o_orderkey"), p)
+  }
+
+  test("q_feature_hashing: token stream partially aggregates before the exchange") {
+    val p = plan("q_feature_hashing")
+    // map-side combine: a partial HashAggregate must sit BELOW the
+    // (doc_id, bucket) exchange so the wire carries <=64 rows per doc,
+    // not the exploded token stream
+    val i = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(i > 0, p)
+    // the printed plan is top-down (children below parents): a
+    // HashAggregate BELOW the exchange, itself above the explode
+    // Generate, is the partial step
+    val below = p.substring(i)
+    val agg = below.indexOf("HashAggregate")
+    assert(agg > 0, p)
+    assert(below.indexOf("Generate explode", agg) > agg, p)
+  }
+
+  test("q_hits (small regime): the cached edge list never moves between iterations") {
+    val p = plan("q_hits")
+    // every per-iteration join probes a broadcast score frame against
+    // the in-memory edge relation; the shuffles in the plan are the
+    // contribution rollups, never a re-exchange of the edge frame on
+    // a join key
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ab_test: user rollup partially aggregates; output frames are row-bounded") {
+    val p = plan("q_ab_test")
+    // the only data-sized exchange is the user_id rollup; everything
+    // after is a 2-row then 1-row frame
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles\n$p")
+    assert(!p.contains("Join"), p) // conditional agg, never a join
+  }
 }
