@@ -532,38 +532,17 @@ object EventsQueries extends QueryModule {
     // user-scale crosses the wire after the first aggregate.
     "q_ab_test" -> QueryDef(
       fn = (spark, dir) => {
+        // the user rollup and the 2x2 report are ONE definition shared
+        // with the streaming twin (ExperimentMonitor.conversionFlag /
+        // abReport) — the q_ks_drift/DriftMonitor discipline: the
+        // oracle gate on this batch query covers the monitor's math
         val users = Tables(spark, dir, "events")
           .groupBy(col("user_id"))
-          .agg(max(when(col("event_type") === "purchase" &&
-            col("value") >= 90.0, 1L).otherwise(0L)).as("conv"))
+          .agg(max(graft.streaming.ExperimentMonitor.conversionFlag)
+            .as("conv"))
           .withColumn("variant", col("user_id") % 2)
-        users.groupBy("variant")
-          .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
-          .agg(
-            sum(when(col("variant") === 0, col("n"))).as("n0"),
-            sum(when(col("variant") === 0, col("k"))).as("k0"),
-            sum(when(col("variant") === 1, col("n"))).as("n1"),
-            sum(when(col("variant") === 1, col("k"))).as("k1"))
-          .withColumn("adbc",
-            expr("cast(k1 as decimal(38,0)) * (n0 - k0)" +
-              " - cast(n1 - k1 as decimal(38,0)) * k0"))
-          .withColumn("chi2_num",
-            expr("cast(n0 + n1 as decimal(38,0)) * adbc * adbc"))
-          .withColumn("chi2_den",
-            expr("cast(n1 as decimal(38,0)) * n0 * (k0 + k1)" +
-              " * (n0 - k0 + n1 - k1)"))
-          .select(col("n0"), col("k0"), col("n1"), col("k1"),
-            expr("k0 * 10000 div n0").as("p0_bp"),
-            expr("k1 * 10000 div n1").as("p1_bp"),
-            expr("k1 * 10000 div n1 - k0 * 10000 div n0").as("lift_bp"),
-            expr("(chi2_num * 1000) div nullif(chi2_den, 0)")
-              .as("chi2_milli"),
-            expr("cast((chi2_num * 1000) div nullif(chi2_den, 0)" +
-              " >= 3841 as long)").as("significant"),
-            expr("(cast(n0 - n1 as decimal(38,0)) * (n0 - n1) * 1000)" +
-              " div (n0 + n1)").as("srm_chi2_milli"),
-            expr("cast((cast(n0 - n1 as decimal(38,0)) * (n0 - n1)" +
-              " * 1000) div (n0 + n1) >= 3841 as long)").as("srm_flag"))
+        graft.streaming.ExperimentMonitor.abReport(
+          users.select("variant", "conv"))
       },
       oracle = Some("""
         |WITH u AS (

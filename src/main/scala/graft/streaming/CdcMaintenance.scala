@@ -62,6 +62,23 @@ object CdcMaintenance {
       .partitionBy("bucket")
       .parquet(storeDir)
 
+  /** Initial store load from a CHANGELOG prefix, keeping its op/seq
+    * (unlike [[buildStore]], whose snapshot rows enter at
+    * Long.MinValue): the bootstrap for maintainers whose sequences
+    * carry semantics of their own — e.g. [[ExperimentMonitor]]'s
+    * monotone-OR encoding, where a MinValue bootstrap would let any
+    * later sighting revoke a first-batch conversion. A replayed
+    * bootstrap epoch re-runs as a normal [[mergeBatch]] and ties lose
+    * to the store, so convergence is unchanged. */
+  def seedStore(delta: DataFrame, keys: Seq[String], storeDir: String,
+      buckets: Int): Unit =
+    delta
+      .withColumn("bucket", bucketOf(keys, buckets))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+
   /** Fold one changelog micro-batch (keys ++ payload ++ op/seq) into
     * the store. Replay-idempotent and out-of-order-safe by the
     * monotone sequence guard; touches only the batch's buckets. */
