@@ -341,7 +341,8 @@ object GraphOps {
     */
   def hits(edges: DataFrame, rounds: Int, scale: Long = 1000000L,
       broadcastNodes: Long = 1000000L): (DataFrame, DataFrame) = {
-    require(rounds >= 1, s"rounds $rounds")
+    require(rounds >= 1 && rounds <= HitsMaxRounds,
+      s"rounds $rounds (cache slots sized for <= $HitsMaxRounds)")
     val e = graft.ops.BuildOnce.swapPersist(lastHitsEdges,
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
     // the ONE eager action of the build: materializes the edge cache
@@ -363,10 +364,26 @@ object GraphOps {
         (bySrc, byDst)
       }
     // x·scale div max(x), max crossed in as a broadcast 1-row frame;
-    // DECIMAL(38,0) widening makes the product wrap-proof (see bound)
-    def rescale(df: DataFrame, c: String): DataFrame = {
-      val m = df.agg(max(col(c)).as("mx"))
-      df.crossJoin(broadcast(m))
+    // DECIMAL(38,0) widening makes the product wrap-proof (see bound).
+    // The pre-rescale frame is LINEAGE-CUT (eager localCheckpoint,
+    // one rotating slot per half-round): the max aggregate and the
+    // crossJoin both reference it, so every half-round DOUBLES its
+    // predecessor's appearances in the logical plan — a persist alone
+    // bounds execution but not the plan, and the driver's
+    // optimize/codegen work still grows 2^(2·rounds) (measured: 93 s
+    // uncached, 17 s persisted-only, ~2 s cut, at sf0.1, rounds = 3;
+    // all ~3 s of actual executor work). The checkpoint job per
+    // half-round is node-sized — the BFS/connectedComponents
+    // per-round pattern. Slots release the previous invocation's
+    // blocks via the LogicalRDD reach-through in releaseFrame.
+    var slot = 0
+    def rescale(raw0: DataFrame, c: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
+      Option(hitsSlots(slot).getAndSet(raw))
+        .foreach(graft.ops.BuildOnce.releaseFrame(_))
+      slot += 1
+      val m = raw.agg(max(col(c)).as("mx"))
+      raw.crossJoin(broadcast(m))
         .select(col("node"),
           expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
     }
@@ -398,6 +415,13 @@ object GraphOps {
     graft.ops.BuildOnce.swapRef()
   private val lastHitsByDst =
     graft.ops.BuildOnce.swapRef()
+
+  /** One persisted slot per HITS half-round (see rescale); a fixed
+    * pool because swapRef() registers into the global release hook —
+    * per-call allocation would grow the registry unboundedly. */
+  private val HitsMaxRounds = 8
+  private val hitsSlots =
+    IndexedSeq.fill(2 * HitsMaxRounds)(graft.ops.BuildOnce.swapRef())
 
   def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops $maxHops")
@@ -679,7 +703,10 @@ object GraphQueries extends QueryModule {
         |         'C' || CAST(node // 2 AS VARCHAR) AS label, h AS score
         |       FROM h3 ORDER BY h DESC, node LIMIT 25)
         |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
-        |ORDER BY kind, score DESC, label""".stripMargin)),
+        |ORDER BY kind, score DESC, label""".stripMargin),
+      bench = true), // the second iterative-graph bench entry: HITS
+                     // exercises the alternating-key join regime
+                     // q_pagerank's single-key iteration never hits
 
     // ---- PERSONALIZED PageRank from one market segment: teleport
     // restarts at NATION_7's customers, so the ranking answers "which

@@ -1541,7 +1541,9 @@ object TextQueries extends QueryModule {
         |    // nullif(2 * n_pos * (n - n_pos), 0) AS BIGINT) AS auc_bp,
         |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
         |    / CAST(nullif(2 * n_pos * (n - n_pos), 0) AS DOUBLE) AS auc
-        |FROM t""".stripMargin))
+        |FROM t""".stripMargin),
+      bench = true) // the score-grouped prefix-sum fold + corpus
+                    // token-scoring pass: the eval-family scale shape
   )
 
   /** The fixed BM25 demo query: one genuinely rare term (df ~5% —

@@ -368,15 +368,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(below.indexOf("Generate explode", agg) > agg, p)
   }
 
-  test("q_hits (small regime): the cached edge list never moves between iterations") {
+  test("q_hits: per-half-round lineage cuts keep the final plan constant-size") {
     val p = plan("q_hits")
-    // every per-iteration join probes a broadcast score frame against
-    // the in-memory edge relation; the shuffles in the plan are the
-    // contribution rollups, never a re-exchange of the edge frame on
-    // a join key
-    assert(p.contains("InMemoryTableScan"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the iteration work runs inside the eager per-half-round
+    // checkpoint jobs (the rescale references its input twice, so an
+    // uncut plan doubles per half-round — the driver-side 2^(2·rounds)
+    // planning blowup GraphOps.hits documents); the FINAL plan must
+    // therefore read checkpointed RDDs, and its only joins are the
+    // 1-row broadcast max cross-ins — never a data-sized shuffle join
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    // and the plan is SMALL (a doubling regression is visible as a
+    // plan-string explosion long before it times out)
+    assert(p.length < 20000, s"plan unexpectedly large: ${p.length} chars")
   }
 
   test("q_ab_test: user rollup partially aggregates; output frames are row-bounded") {
