@@ -280,6 +280,24 @@ class GraphSpec extends SparkSpec {
     assert(wantH.values.max === scale && wantA.values.max === scale)
   }
 
+  test("hits regimes (broadcast vs dual-pinned co-partitioned) are bit-identical") {
+    // same fixture as the replay test; broadcastNodes = 0 forces the
+    // large-graph path (two pinned edge layouts, score frames move) —
+    // the arithmetic is regime-independent, so results must be EQUAL,
+    // not approximately so (the pageRank regime-invariance discipline)
+    val raw = Seq(
+      (0L, 1L, 3L), (0L, 3L, 1L), (2L, 1L, 2L), (2L, 5L, 1L),
+      (4L, 1L, 1L), (4L, 3L, 2L), (6L, 5L, 4L))
+    val (hS, aS) = GraphOps.hits(raw.toDF("src", "dst", "w"), rounds = 3)
+    val small = (hS.as[(Long, Long)].collect().toMap,
+      aS.as[(Long, Long)].collect().toMap)
+    val (hL, aL) = GraphOps.hits(raw.toDF("src", "dst", "w"), rounds = 3,
+      broadcastNodes = 0L)
+    val large = (hL.as[(Long, Long)].collect().toMap,
+      aL.as[(Long, Long)].collect().toMap)
+    assert(small === large)
+  }
+
   test("q_hits separates roles: hubs are customers, authorities suppliers") {
     val rows = SparkEntry.queries("q_hits")(spark, "/root/testdata/sf0.001")
       .select("kind", "label", "score").as[(String, String, Long)]
