@@ -169,7 +169,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")),
       (s"""{"shuffle_bytes_per_run":$sj}""" + "\n").getBytes("UTF-8"))
     val calibPost = spinSec()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // COMPACT final line: the driver captures only the last ~2000
+    // chars of combined output and parses the metric JSON out of that
+    // window. Round 7 learned this the hard way — inlining 35
+    // per-query calib probes grew the line past the window and the
+    // driver recorded "parsed": null. So: per-query seconds at 4
+    // decimals (0.1 ms granularity — an order below this VM's
+    // run-to-run noise), calib pre/post at 3, and ALL diagnostics
+    // (per-query quarter probes, shuffle bytes) on a PRECEDING detail
+    // line + the bench_metrics.json sidecar, never on the final line.
+    def d4(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // per-query quarter-length probes (~0.125 s unloaded reference;
@@ -177,13 +187,20 @@ object Bench {
     // probe spiking while the others sit at baseline
     val cq = calibPerQuery.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":{"pre":$calibPre,"post":$calibPost,"per_query_quarter":$cq}}"""
-    // stdout for the driver, plus a file copy so a log-drowned stdout
-    // (warnings interleaved by sbt) can't lose the measurement
+    val detail = s"""{"metric":"bench_detail","per_query_quarter_calib_sec":$cq,"shuffle_bytes_per_run":$sj}"""
+    println(detail)
+    val calib = f"""{"pre":$calibPre%.3f,"post":$calibPost%.3f}"""
+    val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
+    if (json.length > 1800) System.err.println(
+      s"[bench] WARNING final metric line is ${json.length} chars — " +
+        "approaching the driver's 2000-char tail window")
+    // stdout for the driver (LAST line, nothing after it), plus a file
+    // copy so a log-drowned stdout can't lose the measurement
     println(json)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      out, (detail + "\n" + json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -772,7 +772,8 @@ object AnalyticsQueries extends QueryModule {
         |  (1, 30103), (2, 17609), (3, 12494), (4, 9691), (5, 7918),
         |  (6, 6695), (7, 5799), (8, 5115), (9, 4576)),
         |t AS (SELECT SUM(n) AS total FROM g)
-        |SELECT e.digit, CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  CAST(COALESCE(g.n, 0) AS BIGINT) AS n,
         |  CAST(COALESCE(g.n, 0) * 100000 // total AS BIGINT)
         |    AS share_bp5,
         |  CAST(e.expected_bp5 AS BIGINT) AS expected_bp5,

@@ -103,7 +103,8 @@ object RelationalQueries extends QueryModule {
       |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
       |  FROM orders WHERE o_custkey < 150 GROUP BY o_custkey)
       |SELECT COALESCE(c.c_custkey, a.o_custkey) AS cust_key,
-      |  CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
+      |  CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END
+      |    AS BIGINT) AS has_customer,
       |  COALESCE(a.n_orders, 0) AS n_orders,
       |  COALESCE(a.total_price, 0.0) AS total_price
       |FROM (SELECT * FROM customer WHERE c_custkey < 100) c

@@ -860,7 +860,11 @@ object TimeSeriesQueries extends QueryModule {
         |      ROW_NUMBER() OVER (ORDER BY abs(resid), day) AS rn,
         |      COUNT(*) OVER () AS nd
         |    FROM re) WHERE rn = (nd - 1) // 2 + 1)
-        |SELECT day, cents, trend, seasonal, resid, mad,
+        |SELECT day, cents,
+        |  CAST(trend AS BIGINT) AS trend,
+        |  CAST(seasonal AS BIGINT) AS seasonal,
+        |  CAST(resid AS BIGINT) AS resid,
+        |  CAST(mad AS BIGINT) AS mad,
         |  CAST(CASE WHEN abs(resid) * 10000 > mad * 44478
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM re CROSS JOIN md ORDER BY day""".stripMargin))

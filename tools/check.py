@@ -174,11 +174,17 @@ def main():
                 sv = sv.map(lambda x: str(list(x)))
                 dv = dv.map(lambda x: str(list(x)))
             if sv.dtype != dv.dtype:
-                try:
-                    dv = dv.astype(sv.dtype)
-                except Exception:
-                    bad.append((c, "dtype", str(s[c].dtype), str(d[c].dtype)))
-                    continue
+                # The external driver hashes the materialized frames
+                # dtype-sensitively (observed: int64 123 vs float64
+                # 123.0 hash-mismatch on q_stl_outliers in round 7
+                # while this gate silently astype'd them equal). A
+                # dtype mismatch is therefore a FAIL here too — the
+                # oracle SQL must CAST its output columns so DuckDB
+                # materializes the same pandas dtype Spark writes
+                # (HUGEINT -> float64 is the usual culprit: any
+                # un-cast SUM(...) OVER or // result).
+                bad.append((c, "dtype", str(s[c].dtype), str(d[c].dtype)))
+                continue
             neq = ~((sv == dv) | (sv.isna() & dv.isna()))
             if neq.any():
                 i = neq.idxmax()
