@@ -71,6 +71,25 @@ object Bench {
     // machine-attributable to ambient load at THAT moment instead of
     // smearing suspicion over the whole run
     val QuarterIters = 62500000L
+    // MULTI-threaded probe: the single-thread spin is blind to
+    // co-tenant load that only binds when all cores are in use — the
+    // regime that inflated 16 unchanged queries 1.3–1.75× between the
+    // r6 and r7 bench runs while pre/post stayed at ~0.47 s (round-8
+    // same-VM A/B of the two code snapshots showed identical
+    // per-query times, so the drift was the machine, not the code).
+    // All `cpus` threads spin the same kernel at quarter length; the
+    // reported figure is the SLOWEST thread — on an idle host it
+    // matches the single-thread quarter (~0.125 s), under multicore
+    // contention it inflates roughly like the Spark stages do.
+    def spinMtSec(): Double = {
+      val n = cpus.toInt
+      val times = new Array[Double](n)
+      val threads = (0 until n).map { i =>
+        new Thread(() => times(i) = spinN(QuarterIters))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      times.max
+    }
 
     // prime the OS page cache over the whole dataset ONCE before any
     // timed work: the sf0.001 warmup covers JIT but not the target
@@ -99,6 +118,7 @@ object Bench {
 
     spinSec() // JIT warm
     val calibPre = spinSec()
+    val calibMtPre = spinMtSec()
 
     val ml = graft.ops.MetricsListener.attach(spark)
     def drainedSnapshot(): Seq[ml.QueryMetrics] = {
@@ -169,6 +189,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")),
       (s"""{"shuffle_bytes_per_run":$sj}""" + "\n").getBytes("UTF-8"))
     val calibPost = spinSec()
+    val calibMtPost = spinMtSec()
     // COMPACT final line: the driver captures only the last ~2000
     // chars of combined output and parses the metric JSON out of that
     // window. Round 7 learned this the hard way — inlining 35
@@ -189,7 +210,8 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = s"""{"metric":"bench_detail","per_query_quarter_calib_sec":$cq,"shuffle_bytes_per_run":$sj}"""
     println(detail)
-    val calib = f"""{"pre":$calibPre%.3f,"post":$calibPost%.3f}"""
+    val calib = f"""{"pre":$calibPre%.3f,"post":$calibPost%.3f,""" +
+      f""""mt_pre":$calibMtPre%.3f,"mt_post":$calibMtPost%.3f}"""
     val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
     if (json.length > 1800) System.err.println(
       s"[bench] WARNING final metric line is ${json.length} chars — " +
