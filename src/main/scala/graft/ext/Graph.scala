@@ -335,6 +335,14 @@ object GraphOps {
     * join keys, so a single layout would re-shuffle the edges every
     * half-round) and only the node-sized score frames move per join.
     *
+    * Concurrency contract: SINGLE CALLER, like every BuildOnce-backed
+    * operator in this module — the per-half-round lineage cuts rotate
+    * a module-level slot pool (`hitsSlots`), so two concurrent
+    * `hits()` invocations would release each other's checkpointed
+    * frames mid-iteration. One pipeline session drives these
+    * operators sequentially; a multi-tenant service wraps the call in
+    * its own mutual exclusion.
+    *
     * @param edges (src, dst, w) directed weighted edges
     * @return (hubs (node, h), authorities (node, a)) fixed-point
     *         scores after `rounds` full a-then-h rounds

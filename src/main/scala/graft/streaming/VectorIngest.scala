@@ -51,7 +51,17 @@ import graft.ops.{Fs, VectorIndex}
   */
 object VectorIngest {
 
-  /** Ingest one micro-batch; returns rows admitted (new vec_ids). */
+  /** Ingest one micro-batch; returns rows admitted (new vec_ids).
+    *
+    * Ledger semantics: `n_admitted` is PER-ATTEMPT, not cumulative —
+    * a replayed epoch finds its rows already admitted and records 0
+    * for that batch_id (including a bootstrap-epoch replay), so
+    * `SUM(n_admitted)` UNDERCOUNTS the corpus after any at-least-once
+    * redelivery. Corpus size comes from `n_index_rows` (written
+    * alongside: the total stored row count AFTER this batch, read
+    * from parquet footer metadata — no data scan), or from counting
+    * the index directly; the sum of admissions is only a lower bound.
+    */
   def processBatch(batch: DataFrame, indexDir: String, ledgerDir: String,
       centroidsDir: String, batchId: Long): Long = {
     val spark = batch.sparkSession
@@ -71,7 +81,11 @@ object VectorIngest {
         cnt
       } else VectorIndex.mergeDelta(spark, indexDir, emb, centroids)
     import spark.implicits._
-    Seq(n).toDF("n_admitted")
+    // post-batch corpus size from footer metadata (count() over a
+    // parquet scan with no filters folds to row-group counts): the
+    // ledger's replay-safe corpus-size column — see the scaladoc
+    val total = spark.read.parquet(indexDir).count()
+    Seq((n, total)).toDF("n_admitted", "n_index_rows")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$ledgerDir/batch_id=$batchId")
     n

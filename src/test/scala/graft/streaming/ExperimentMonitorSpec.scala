@@ -53,6 +53,44 @@ class ExperimentMonitorSpec extends SparkSpec {
     assert(again === batch)
   }
 
+  test("50-batch soak: epoch-scattered folds + every-10th replay converge to batch q_ab_test") {
+    val base = Files.createTempDirectory("exp_mon_soak").toString
+    val store = s"$base/store"
+    // 50 epochs sliced by event_id: each user's exposures and
+    // conversions land scattered across many epochs, interleaved with
+    // at-least-once replays — the long-haul version of the 3-epoch
+    // convergence test above
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    for (b <- 0 until 50) {
+      val slice = ExperimentMonitor.conversions(
+        ev.filter(col("event_id") % 50 === b)
+          .select("user_id", "event_type", "value"))
+      if (b == 0) CdcMaintenance.seedStore(slice, Seq("user_id"), store, 32)
+      else CdcMaintenance.mergeBatch(spark, store, slice, Seq("user_id"), 32)
+      // every 10th epoch redelivers: the monotone guard must make the
+      // refold a no-op (checked implicitly by the final readout, and
+      // bindingly at epoch 29 mid-soak)
+      if (b % 10 == 9) {
+        CdcMaintenance.mergeBatch(spark, store, slice, Seq("user_id"), 32)
+        if (b == 29) {
+          val mid = CdcMaintenance.read(spark, store, Seq("user_id"))
+            .agg(sum("conv")).as[Long].collect()(0)
+          CdcMaintenance.mergeBatch(spark, store, slice, Seq("user_id"), 32)
+          val again = CdcMaintenance.read(spark, store, Seq("user_id"))
+            .agg(sum("conv")).as[Long].collect()(0)
+          assert(again === mid, "triple replay moved the store")
+        }
+      }
+    }
+    val cols = graft.SparkEntry.queries("q_ab_test")(spark, sf).columns
+    val streamed = ExperimentMonitor.alertRow(spark, store, 49L)
+      .select(cols.map(col): _*).collect().toSeq
+    val batch = graft.SparkEntry.queries("q_ab_test")(spark, sf)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("monotone OR: a later non-converting sighting cannot revoke a conversion") {
     val base = Files.createTempDirectory("exp_mon_or").toString
     val store = s"$base/store"

@@ -77,6 +77,45 @@ class VectorIngestSpec extends SparkSpec {
     assert(probed(idx).toSeq === probed(batchAll).toSeq)
   }
 
+  test("50-batch soak: streamed index == one-shot build, replays admit 0, ledger corpus count monotone") {
+    val base = Files.createTempDirectory("vec_ingest_soak").toString
+    val cd = writeCentroids(base)
+    val idx = s"$base/idx"
+    val led = s"$base/ledger"
+    // 50 disjoint 10-vector epochs cover the whole sf0.001 corpus;
+    // every 10th epoch is redelivered (at-least-once) and must admit 0
+    var expectTotal = 0L
+    for (b <- 0 until 50) {
+      val slice = embAll
+        .filter(col("vec_id") >= b * 10L && col("vec_id") < (b + 1) * 10L)
+      val n = VectorIngest.processBatch(slice, idx, led, cd, b.toLong)
+      expectTotal += n
+      if (b % 10 == 9) {
+        val replay = VectorIngest.processBatch(slice, idx, led, cd, b.toLong)
+        assert(replay === 0L, s"epoch $b replay admitted $replay")
+      }
+    }
+    assert(expectTotal === embAll.count())
+    // converged layout bit-identical to the one-shot batch build
+    val batchAll = s"$base/batch_all"
+    VectorIndex.build(embAll, spark.read.parquet(cd), batchAll)
+    assert(indexRows(idx) === indexRows(batchAll))
+    // ledger: n_index_rows is the replay-safe corpus size — strictly
+    // monotone over batch_id and equal to the true total at the end
+    // (replayed epochs rewrote their rows with n_admitted=0 but the
+    // full post-batch total)
+    val ledger = spark.read.option("basePath", led).parquet(led)
+      .select(col("batch_id").cast("long"), col("n_admitted"),
+        col("n_index_rows"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(ledger.map(_._1) === (0L until 50L))
+    assert(ledger.last._3 === expectTotal)
+    assert(ledger.map(_._3) === ledger.map(_._3).sorted, "corpus count not monotone")
+    ledger.filter(_._1 % 10 == 9).foreach { case (b, adm, _) =>
+      assert(adm === 0L, s"replayed epoch $b recorded n_admitted=$adm")
+    }
+  }
+
   test("a replayed epoch admits nothing and rewrites its ledger row") {
     val base = Files.createTempDirectory("vec_ingest_replay").toString
     val cd = writeCentroids(base)
@@ -99,10 +138,14 @@ class VectorIngestSpec extends SparkSpec {
     assert(ids.size.toLong === n0 + n1)
 
     // the replay REWROTE its partition (one row, recording the
-    // replay's own admission count) — never double-counts
+    // replay's own admission count) — never double-counts. n_admitted
+    // is therefore PER-ATTEMPT (sums to a lower bound after replays);
+    // n_index_rows is the replay-safe corpus size: the replayed row
+    // records 0 admitted but the FULL post-batch total.
     val rows = spark.read.option("basePath", led).parquet(led)
-      .select(col("batch_id").cast("long"), col("n_admitted"))
-      .as[(Long, Long)].collect().toSeq.sorted
-    assert(rows === Seq((0L, n0), (1L, 0L)))
+      .select(col("batch_id").cast("long"), col("n_admitted"),
+        col("n_index_rows"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rows === Seq((0L, n0, n0), (1L, 0L, n0 + n1)))
   }
 }
