@@ -30,11 +30,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_VERIFY_SLICE="name=<sql predicate>;name2=<pred>": filter
+    // the named queries' OUTPUT before writing — the sampled-gate
+    // affordance for wide-output queries at big scale factors (sf10
+    // q_target_encoding is 150M rows; a deterministic key slice makes
+    // its gate cheap while still hashing real engine output).
+    // tools/sampled_gate.py applies the same predicate over the DuckDB
+    // oracle and compares order-insensitively. The predicate must be
+    // portable SQL over the query's OWN output columns (e.g.
+    // "o_orderkey % 128 = 7"). Slices never apply to the driver's
+    // plain two-arg invocation unless the driver sets the env.
+    val slices: Map[String, String] =
+      sys.env.getOrElse("GRAFT_VERIFY_SLICE", "").split(';')
+        .filter(_.contains("=")).map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df0 = fn(spark, sfDir)
+        val df = slices.get(name)
+          .map(p => df0.filter(org.apache.spark.sql.functions.expr(p)))
+          .getOrElse(df0)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
