@@ -239,6 +239,59 @@ object PipelineOps {
       .agg(sum(when(col("__u") < col("keep_threshold"), 1L).otherwise(0L))
         .as("n_kept"))
   }
+
+  /** Integer waterfill: allocate a token `budget` across sources by
+    * the max UNIFORM CAP that fits — alloc_i = min(t_i, c*) with
+    * c* = max{c : Σ min(t_i, c) ≤ budget} — the budgeted data-mixing
+    * primitive (cap the over-represented domains, take the small ones
+    * whole; [[temperatureMix]] flattens by a temperature, this fills
+    * an absolute budget). Exact closed form, no iteration: sort
+    * sources by t ascending with prefix sums P_k; A(c) = P_k+(n−k)·c
+    * on the segment [t_k, t_{k+1}), so K = max{k : P_k+(n−k)·t_k ≤
+    * budget} pins the segment and c* = (budget−P_K) div (n−K) (all
+    * sources fit when K = n; nothing fits a sliver — K = 0 degrades
+    * to budget div n). All BIGINT; `budget` may reference the frame's
+    * own global windows (e.g. `expr("sum(t) over () div 2")`).
+    *
+    * Input: one row per source with `t` (token count) + passthrough
+    * columns. Output adds budget/cap/alloc/capped.
+    *
+    * Scale shape: runs on the SOURCE-grain rollup — |sources| rows (a
+    * domain registry, thousands at worst), so the single-partition
+    * sort window is bounded by construction, the K aggregate is one
+    * row, and it broadcast-crossjoins back. The corpus-sized work is
+    * whatever built `t` upstream (one map-side-combined rollup in
+    * [[PipelineQueries]]' q_token_budget_fill).
+    */
+  def waterfill(perSource: DataFrame, budget: org.apache.spark.sql.Column,
+      key: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asc = Window.orderBy(col("t"), col(key))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = perSource
+      .withColumn("k", row_number().over(asc).cast("long"))
+      .withColumn("p", sum(col("t")).over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nsrc", count(lit(1)).over(all))
+      .withColumn("tmax", max(col("t")).over(all))
+      .withColumn("budget", budget)
+    // the feasible-segment aggregate: max k whose segment START fits.
+    // Empty when even the smallest source can't be taken whole at a
+    // uniform cap (K = 0) — coalesce to the P_0 = 0 segment.
+    val kAgg = ranked
+      .filter(col("p") + (col("nsrc") - col("k")) * col("t") <= col("budget"))
+      .agg(max(struct(col("k"), col("p"))).as("kp"))
+      .select(coalesce(col("kp.k"), lit(0L)).as("bk"),
+        coalesce(col("kp.p"), lit(0L)).as("bp"))
+    ranked.crossJoin(broadcast(kAgg))
+      .withColumn("cap",
+        expr("case when bk = nsrc then tmax" +
+          " else (budget - bp) div (nsrc - bk) end"))
+      .withColumn("alloc", least(col("t"), col("cap")))
+      .withColumn("capped", (col("t") > col("cap")).cast("long"))
+      .drop("k", "p", "nsrc", "tmax", "bk", "bp")
+  }
 }
 
 object PipelineQueries extends QueryModule {
@@ -505,6 +558,61 @@ object PipelineQueries extends QueryModule {
         |FROM u JOIN thresholds t ON u.lang = t.lang
         |GROUP BY u.lang, t.n_docs, t.keep_threshold
         |ORDER BY u.lang""".stripMargin)),
+
+    // ---- Token-budget waterfill: allocate HALF the corpus's tokens
+    // across sources at the maximum uniform cap that fits
+    // ([[PipelineOps.waterfill]] — exact closed form on the sorted
+    // prefix sums, no iteration). The audit row a mixing pipeline
+    // publishes per source: how many tokens it holds, how many the
+    // budget admits, and whether the cap bound it. Exactness: token
+    // counts are whitespace-token integers (the q_feature_hashing
+    // tokenizer on both engines), every derived value is BIGINT
+    // arithmetic (`div` ≡ `//`). Scale shape: ONE map-side-combined
+    // rollup of the corpus to |sources| rows; everything after runs
+    // on that bounded registry frame (single-partition window is
+    // |sources|-sized by construction, documented in the operator).
+    "q_token_budget_fill" -> QueryDef(
+      fn = (spark, dir) => {
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val per = Tables(spark, dir, "documents")
+          .select(col("source"), size(toks).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("t"))
+        PipelineOps.waterfill(per, expr("sum(t) over () div 2"))
+          .select(col("source"), col("n_docs"),
+            col("t").as("n_tokens"), col("budget"), col("cap"),
+            col("alloc"), col("capped"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_docs, t,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS k,
+        |    CAST(SUM(t) OVER (ORDER BY t, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc,
+        |    CAST(SUM(t) OVER () // 2 AS BIGINT) AS budget,
+        |    CAST(MAX(t) OVER () AS BIGINT) AS tmax
+        |  FROM per),
+        |kk AS (
+        |  SELECT COALESCE(MAX_BY(k, k), 0) AS bk,
+        |         COALESCE(MAX_BY(p, k), 0) AS bp
+        |  FROM r WHERE p + (nsrc - k) * t <= budget),
+        |c AS (
+        |  SELECT r.*, CAST(CASE WHEN kk.bk = r.nsrc THEN r.tmax
+        |    ELSE (r.budget - kk.bp) // (r.nsrc - kk.bk) END AS BIGINT)
+        |    AS cap
+        |  FROM r CROSS JOIN kk)
+        |SELECT source, n_docs, t AS n_tokens, budget, cap,
+        |  CAST(LEAST(t, cap) AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN t > cap THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM c ORDER BY source""".stripMargin)),
 
     // ---- Weighted sampling WITHOUT replacement (deterministic ticket
     // scheme): docs get 1/2/4 tickets by length tier, each ticket
