@@ -614,6 +614,106 @@ object PipelineQueries extends QueryModule {
         |  CAST(CASE WHEN t > cap THEN 1 ELSE 0 END AS BIGINT) AS capped
         |FROM c ORDER BY source""".stripMargin)),
 
+    // ---- Budget ADMISSION: realize q_token_budget_fill's per-source
+    // allocation as an actual document pick — docs admit in
+    // deterministic hash order (md5 of doc_id, the q_train_shards /
+    // q_weighted_sample pseudo-random convention) while their
+    // token-prefix sum fits the source's alloc. PREFIX TRUNCATION,
+    // not bin packing: the cut is the first overflow in hash order,
+    // so both engines replay the identical admission set — audited
+    // here as per-source counts + the bit_xor 60-bit id checksum
+    // (q_table_checksum's order-independent fingerprint, so the
+    // ADMITTED SET itself is hash-gated, not just its size).
+    // Scale shape: one corpus rollup (registry-sized waterfill), one
+    // corpus shuffle on source for the per-source prefix-sum window,
+    // registry broadcast back. A pathologically hot source would swap
+    // the partitioned window for the ExactRank.prefixSum two-job fold
+    // per source — the arithmetic is unchanged.
+    "q_budget_admission" -> QueryDef(
+      fn = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = filter(wsTokens(col("text")), t => t =!= "")
+        val docs = Tables(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(toks).cast("long").as("nt"))
+        val per = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("t"))
+        val allocF = PipelineOps
+          .waterfill(per, expr("sum(t) over () div 2"))
+          .select(col("source"), col("alloc"))
+        val ord = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val adm = docs.join(broadcast(allocF), "source")
+          .withColumn("cum", sum(col("nt")).over(ord.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= col("alloc"))
+          .withColumn("h",
+            conv(md5(col("doc_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("nt")).as("tok_admitted"),
+            expr("bit_xor(h)").as("ids_xor60"))
+        allocF.join(adm, Seq("source"), "left")
+          .select(col("source"), col("alloc"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("tok_admitted"), lit(0L)).as("tok_admitted"),
+            expr("coalesce(tok_admitted, 0) * 10000" +
+              " div nullif(alloc, 0)").as("fill_bp"),
+            coalesce(col("ids_xor60"), lit(0L)).as("ids_xor60"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> ''))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, t,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS k,
+        |    CAST(SUM(t) OVER (ORDER BY t, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc,
+        |    CAST(SUM(t) OVER () // 2 AS BIGINT) AS budget,
+        |    CAST(MAX(t) OVER () AS BIGINT) AS tmax
+        |  FROM per),
+        |kk AS (
+        |  SELECT COALESCE(MAX_BY(k, k), 0) AS bk,
+        |         COALESCE(MAX_BY(p, k), 0) AS bp
+        |  FROM r WHERE p + (nsrc - k) * t <= budget),
+        |a AS (
+        |  SELECT r.source,
+        |    CAST(LEAST(r.t, CASE WHEN kk.bk = r.nsrc THEN r.tmax
+        |      ELSE (r.budget - kk.bp) // (r.nsrc - kk.bk) END)
+        |      AS BIGINT) AS alloc
+        |  FROM r CROSS JOIN kk),
+        |d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hm
+        |  FROM documents),
+        |w AS (
+        |  SELECT d.*, a.alloc,
+        |    CAST(SUM(nt) OVER (PARTITION BY d.source ORDER BY hm, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM d JOIN a USING (source)),
+        |adm AS (
+        |  SELECT source, COUNT(*) AS n_admitted,
+        |    CAST(SUM(nt) AS BIGINT) AS tok_admitted,
+        |    bit_xor(CAST('0x' || substr(hm, 1, 15) AS BIGINT)) AS ids_xor60
+        |  FROM w WHERE cum <= alloc GROUP BY source)
+        |SELECT a.source, a.alloc,
+        |  CAST(COALESCE(adm.n_admitted, 0) AS BIGINT) AS n_admitted,
+        |  CAST(COALESCE(adm.tok_admitted, 0) AS BIGINT) AS tok_admitted,
+        |  CAST(COALESCE(adm.tok_admitted, 0) * 10000
+        |    // nullif(a.alloc, 0) AS BIGINT) AS fill_bp,
+        |  CAST(COALESCE(adm.ids_xor60, 0) AS BIGINT) AS ids_xor60
+        |FROM a LEFT JOIN adm USING (source) ORDER BY a.source""".stripMargin)),
+
     // ---- Weighted sampling WITHOUT replacement (deterministic ticket
     // scheme): docs get 1/2/4 tickets by length tier, each ticket
     // hashes to md5(doc_id:t), and a doc's sample key is its MINIMUM

@@ -50,6 +50,47 @@ class WaterfillSpec extends SparkSpec {
     assert(got === Seq(("a", 50L, 15L, 15L, 1L), ("b", 60L, 15L, 15L, 1L)))
   }
 
+  test("q_budget_admission: imperative replay of the prefix-truncation admission") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc-grain inputs, replayed with plain Scala (same tokenizer
+    // semantics: whitespace split, empties dropped)
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect().toSeq
+      .map { case (s, id, t) =>
+        (s, id, t.split("[ \t\n\f\r]+").count(_.nonEmpty).toLong)
+      }
+    val per = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val budget = per.values.sum / 2
+    // waterfill by definition: largest integer cap whose total fits
+    val tmax = per.values.max
+    val cap = (0L to tmax).reverse
+      .find(c => per.values.map(math.min(_, c)).sum <= budget).get
+    val alloc = per.map { case (s, t) => s -> math.min(t, cap) }
+    // prefix-truncation admission in md5(doc_id) order
+    val expected = docs.groupBy(_._1).map { case (s, ds) =>
+      var cum = 0L
+      val adm = ds.sortBy(d => (md5hex(d._2.toString), d._2))
+        .takeWhile { d => cum += d._3; cum <= alloc(s) }
+      val xor = adm.map(d =>
+          java.lang.Long.parseLong(md5hex(d._2.toString).take(15), 16))
+        .foldLeft(0L)(_ ^ _)
+      s -> ((alloc(s), adm.size.toLong, adm.map(_._3).sum, xor))
+    }
+    val got = SparkEntry.queries("q_budget_admission")(spark, dir)
+      .select("source", "alloc", "n_admitted", "tok_admitted", "ids_xor60")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (s, a, n, tk, x) =>
+      assert((a, n, tk, x) === ((expected(s)._1, expected(s)._2,
+        expected(s)._3, expected(s)._4)), s"source $s")
+      assert(tk <= a)
+    }
+  }
+
   test("q_token_budget_fill: half-corpus budget respected at sf0.001") {
     val out = SparkEntry.queries("q_token_budget_fill")(
         spark, "/root/testdata/sf0.001")
