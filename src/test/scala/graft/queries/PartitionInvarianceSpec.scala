@@ -55,7 +55,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // integer contribution sums — no partition order may leak into
     // either; Benford is a 9-group integer rollup + share divisions
     "q_roc_auc", "q_target_encoding", "q_feature_hashing",
-    "q_hits", "q_benford")
+    "q_hits", "q_benford",
+    // round-8 wave: the waterfill pair — the registry-frame sort
+    // window, the feasible-K aggregate, and the per-source prefix
+    // admission (plus its XOR set fingerprint) must all select
+    // identical rows at any slicing
+    "q_token_budget_fill", "q_budget_admission")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
