@@ -654,7 +654,9 @@ object PipelineQueries extends QueryModule {
           .agg(count(lit(1)).as("n_admitted"),
             sum(col("nt")).as("tok_admitted"),
             expr("bit_xor(h)").as("ids_xor60"))
-        allocF.join(adm, Seq("source"), "left")
+        // both sides are registry-sized; broadcast the admitted rollup
+        // so the final stitch never plans a sort-merge exchange
+        allocF.join(broadcast(adm), Seq("source"), "left")
           .select(col("source"), col("alloc"),
             coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
             coalesce(col("tok_admitted"), lit(0L)).as("tok_admitted"),
