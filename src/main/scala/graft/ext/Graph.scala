@@ -566,8 +566,12 @@ object GraphQueries extends QueryModule {
   /** One personalized-PageRank iteration as a CTE: like [[iterCte]]
     * but the teleport is the node's own seed-dependent `t` from the
     * `nodes` CTE instead of the uniform constant. */
+  // AS MATERIALIZED throughout — DuckDB inlines plain CTEs, so an
+  // unrolled round chain re-evaluates every base frame per level
+  // (the kcore/mmr lesson; measured here: the sf1 q_ppr oracle spilled
+  // >70 GB and died on disk with plain CTEs, seconds materialized)
   private def pprCte(prev: String, cur: String): String = s"""
-    |$cur AS (
+    |$cur AS MATERIALIZED (
     |  SELECT n.node,
     |    CAST(n.t + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
     |  FROM nodes n LEFT JOIN (
@@ -745,19 +749,19 @@ object GraphQueries extends QueryModule {
           .limit(25)
       },
       oracle = Some(s"""
-        |WITH cs AS (
+        |WITH cs AS MATERIALIZED (
         |  SELECT CAST(o.o_custkey AS BIGINT) * 2 AS c,
         |         CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS s,
         |         CAST(COUNT(*) AS BIGINT) AS w
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  GROUP BY 1, 2),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst, w FROM cs
         |  UNION ALL
         |  SELECT s AS src, c AS dst, w FROM cs),
-        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
-        |nodes0 AS (SELECT DISTINCT src AS node FROM edges),
-        |seeds AS (
+        |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        |nodes0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |seeds AS MATERIALIZED (
         |  SELECT n.node FROM nodes0 n
         |  WHERE n.node IN (
         |    SELECT CAST(c_custkey AS BIGINT) * 2
@@ -767,12 +771,12 @@ object GraphQueries extends QueryModule {
         |  SELECT (CAST(15 AS BIGINT) * 1000000000
         |          * (SELECT COUNT(*) FROM nodes0))
         |         // (100 * (SELECT COUNT(*) FROM seeds)) AS t),
-        |nodes AS (
+        |nodes AS MATERIALIZED (
         |  SELECT n.node,
         |    CASE WHEN s.node IS NOT NULL THEN (SELECT t FROM consts)
         |         ELSE CAST(0 AS BIGINT) END AS t
         |  FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node),
-        |it0 AS (SELECT node, t AS pr FROM nodes),
+        |it0 AS MATERIALIZED (SELECT node, t AS pr FROM nodes),
         |${(0 until 4).map(i => pprCte(s"it$i", s"it${i + 1}").trim).mkString(",\n")}
         |SELECT 'S' || CAST(node // 2 AS VARCHAR) AS node, pr
         |FROM it4 WHERE node % 2 = 1

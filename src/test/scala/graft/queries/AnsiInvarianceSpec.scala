@@ -30,7 +30,11 @@ class AnsiInvarianceSpec extends SparkSpec {
     "q_exact_median", "q_trimmed_mean", "q_weighted_median",
     "q_pagerank", "q_hits",
     "q_cusum_changepoint", "q_stl_outliers", "q_ks_drift",
-    "q_benford")
+    "q_benford",
+    // round-8: the waterfill closed form ((budget-P_K) div (n-K),
+    // segment products) and the admission's div-based fill_bp must
+    // not rely on silent wrap anywhere
+    "q_token_budget_fill", "q_budget_admission")
 
   private def run(name: String, ansi: Boolean): Seq[String] = {
     val prior = spark.conf.get("spark.sql.ansi.enabled")

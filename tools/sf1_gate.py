@@ -43,6 +43,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     log_path = sys.argv[3] if len(sys.argv) > 3 else "sf1_gate_log.md"
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    # optional trailing query names: gate only that subset (lets the
+    # heavy tail split across parallel invocations — each process has
+    # its own DuckDB, mem cap, and spill dir, so two halves at half
+    # the threads each halve the wall)
+    only = set(sys.argv[4:])
+    if only:
+        names = [n for n in names if n in only]
     order = [n for n in names if n not in HEAVIES] + \
         [n for n in HEAVIES if n in names]
     env = dict(os.environ)
