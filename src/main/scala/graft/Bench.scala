@@ -7,6 +7,33 @@ import org.apache.spark.sql.SparkSession
   * line consumed by the driver (BENCH_r{N}.json).
   */
 object Bench {
+
+  /** Spec-pinned contention rule: a multicore probe reading more than
+    * this ratio over the same-moment single-thread quarter probe means
+    * co-tenant load is binding on the full-width regime (r7 evidence:
+    * contended driver runs read 1.7–2.2× while clean windows sit at
+    * ~1.0–1.2×). Using the IN-RUN single-thread quarter as the
+    * denominator makes the rule machine-independent — no hardcoded
+    * "0.125 s idle" constant that only holds on one host. */
+  val ContendedRatio = 1.5
+
+  /** True iff the slowest-thread multicore spin time exceeds
+    * [[ContendedRatio]] × the single-thread quarter spin measured in
+    * the same window. */
+  def isContended(mtSec: Double, stQuarterSec: Double): Boolean =
+    mtSec > ContendedRatio * math.max(stQuarterSec, 1e-9)
+
+  /** Merge two measurement passes per query: min of the successful
+    * times; a failure (-1) in one pass defers to the other; both
+    * failing stays -1. Keys must align (same benchQueries order). */
+  def mergePasses(a: Seq[(String, Double)],
+      b: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(a.map(_._1) == b.map(_._1), "pass key mismatch")
+    a.zip(b).map { case ((k, x), (_, y)) =>
+      k -> (if (x < 0) y else if (y < 0) x else math.min(x, y))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,14 +104,20 @@ object Bench {
     // r6 and r7 bench runs while pre/post stayed at ~0.47 s (round-8
     // same-VM A/B of the two code snapshots showed identical
     // per-query times, so the drift was the machine, not the code).
-    // All `cpus` threads spin the same kernel at quarter length; the
-    // reported figure is the SLOWEST thread — on an idle host it
-    // matches the single-thread quarter (~0.125 s), under multicore
-    // contention it inflates roughly like the Spark stages do.
+    // Thread count is min(physical cores, SPARK_GRAFT_CPUS): on hosts
+    // with fewer cores than the configured parallelism, `cpus` threads
+    // would inflate the max-thread time even when idle — the probe
+    // must measure co-tenancy, not self-oversubscription. The count is
+    // recorded in the calib JSON so the reading is interpretable on
+    // any machine. All threads spin the same kernel at quarter
+    // length; the reported figure is the SLOWEST thread — on an idle
+    // host it matches the single-thread quarter (~0.125 s), under
+    // multicore contention it inflates roughly like the Spark stages.
+    val mtThreads =
+      math.min(Runtime.getRuntime.availableProcessors(), cpus.toInt)
     def spinMtSec(): Double = {
-      val n = cpus.toInt
-      val times = new Array[Double](n)
-      val threads = (0 until n).map { i =>
+      val times = new Array[Double](mtThreads)
+      val threads = (0 until mtThreads).map { i =>
         new Thread(() => times(i) = spinN(QuarterIters))
       }
       threads.foreach(_.start()); threads.foreach(_.join())
@@ -118,6 +151,7 @@ object Bench {
 
     spinSec() // JIT warm
     val calibPre = spinSec()
+    val stPre = spinN(QuarterIters)
     val calibMtPre = spinMtSec()
 
     val ml = graft.ops.MetricsListener.attach(spark)
@@ -133,7 +167,7 @@ object Bench {
     val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val calibPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    val results = SparkEntry.benchQueries.map { name =>
+    def runPass(): Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
       // one untimed pass at the TARGET dir first: the sf0.001 warmup
       // covers JIT/codegen but not the target-scale page cache, AQE
       // stats, or build-once index materialization — without this the
@@ -181,6 +215,38 @@ object Bench {
         drainedSnapshot().map(_.shuffleBytesWritten).sum / runs.size
       name -> dt
     }
+
+    // contention-aware measurement: if the multicore probes bracketing
+    // a pass read over ContendedRatio× the in-window single-thread
+    // quarter, co-tenant load was binding during that pass — rerun the
+    // whole timed loop once (per-query MIN across passes: a query's
+    // number is credible if EITHER window was clean) and stamp the
+    // final line with "contended" so a number measured entirely under
+    // ambient load can never silently become the round artifact (this
+    // exact failure cost adjudication effort in r7 AND r8).
+    var results = runPass()
+    var stPost = spinN(QuarterIters)
+    var calibMtPost = spinMtSec()
+    var mtPreUsed = calibMtPre; var stPreUsed = stPre
+    var contended = isContended(calibMtPre, stPre) ||
+      isContended(calibMtPost, stPost)
+    var reruns = 0
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "1").toInt
+    while (contended && reruns < maxReruns) {
+      System.err.println(
+        f"[bench] CONTENDED window (mt_pre ${mtPreUsed}%.3f st ${stPreUsed}%.3f " +
+          f"mt_post ${calibMtPost}%.3f st ${stPost}%.3f, ratio gate " +
+          f"$ContendedRatio) — rerunning timed loop")
+      reruns += 1
+      stPreUsed = spinN(QuarterIters)
+      mtPreUsed = spinMtSec()
+      results = mergePasses(results, runPass())
+      stPost = spinN(QuarterIters)
+      calibMtPost = spinMtSec()
+      contended = isContended(mtPreUsed, stPreUsed) ||
+        isContended(calibMtPost, stPost)
+    }
+
     val sj = shuffleBytes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"[bench] shuffle bytes/run: $sj")
@@ -189,7 +255,6 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")),
       (s"""{"shuffle_bytes_per_run":$sj}""" + "\n").getBytes("UTF-8"))
     val calibPost = spinSec()
-    val calibMtPost = spinMtSec()
     // COMPACT final line: the driver captures only the last ~2000
     // chars of combined output and parses the metric JSON out of that
     // window. Round 7 learned this the hard way — inlining 35
@@ -210,9 +275,15 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = s"""{"metric":"bench_detail","per_query_quarter_calib_sec":$cq,"shuffle_bytes_per_run":$sj}"""
     println(detail)
+    // mt_pre/mt_post bracket the FINAL measurement window (the rerun's
+    // probes when one happened); st_pre/st_post are the same-moment
+    // single-thread quarters the contention rule divides by; mt_threads
+    // makes the reading interpretable on any core count
     val calib = f"""{"pre":$calibPre%.3f,"post":$calibPost%.3f,""" +
-      f""""mt_pre":$calibMtPre%.3f,"mt_post":$calibMtPost%.3f}"""
-    val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
+      f""""mt_pre":$mtPreUsed%.3f,"mt_post":$calibMtPost%.3f,""" +
+      f""""st_pre":$stPreUsed%.3f,"st_post":$stPost%.3f,""" +
+      s""""mt_threads":$mtThreads}"""
+    val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"reruns":$reruns,"calib_sec":$calib}"""
     if (json.length > 1800) System.err.println(
       s"[bench] WARNING final metric line is ${json.length} chars — " +
         "approaching the driver's 2000-char tail window")

@@ -40,12 +40,21 @@ object Verify {
     // portable SQL over the query's OWN output columns (e.g.
     // "o_orderkey % 128 = 7"). Slices never apply to the driver's
     // plain two-arg invocation unless the driver sets the env.
+    // Predicates must not contain ';' (the entry separator — a literal
+    // ';' would split the predicate mid-expression). A slice key that
+    // names no query is a HARD error: a typo'd name used to silently
+    // write FULL output, which then failed the sampled gate with a
+    // confusing row-count mismatch instead of failing here.
     val slices: Map[String, String] =
       sys.env.getOrElse("GRAFT_VERIFY_SLICE", "").split(';')
         .filter(_.contains("=")).map { kv =>
           val i = kv.indexOf('=')
           kv.take(i).trim -> kv.drop(i + 1).trim
         }.toMap
+    val unknownSlices = slices.keySet -- SparkEntry.queries.keySet
+    require(unknownSlices.isEmpty,
+      s"GRAFT_VERIFY_SLICE names unknown queries: ${unknownSlices.mkString(", ")} " +
+        "(note: predicates cannot contain ';' — it is the entry separator)")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -17,7 +17,12 @@ object BatchLedger {
       excludeBatch: Long): Option[DataFrame] = {
     val root = new java.io.File(dir)
     if (root.exists() && root.listFiles().exists(_.getName.startsWith("batch_id=")))
-      Some(spark.read.option("basePath", dir).parquet(dir)
+      // mergeSchema: a ledger whose row schema grew across eras (e.g.
+      // VectorIngest adding n_index_rows) must not infer from one
+      // footer and drop the new column — late columns read as null in
+      // pre-change partitions, which is the audit-friendly semantics
+      Some(spark.read.option("basePath", dir)
+        .option("mergeSchema", "true").parquet(dir)
         .filter(col("batch_id") =!= excludeBatch)
         .drop("batch_id"))
     else None

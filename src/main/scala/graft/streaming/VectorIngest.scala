@@ -61,6 +61,13 @@ object VectorIngest {
     * alongside: the total stored row count AFTER this batch, read
     * from parquet footer metadata — no data scan), or from counting
     * the index directly; the sum of admissions is only a lower bound.
+    *
+    * Schema evolution: `n_index_rows` was added after the first
+    * ledger era — consumers MUST read the ledger with
+    * `option("mergeSchema", "true")` (as [[BatchLedger]] does) so a
+    * mixed-era ledger surfaces the column as null in pre-change
+    * partitions instead of inferring a one-footer schema that either
+    * drops the column or fails the select.
     */
   def processBatch(batch: DataFrame, indexDir: String, ledgerDir: String,
       centroidsDir: String, batchId: Long): Long = {

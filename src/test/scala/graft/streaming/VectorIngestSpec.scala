@@ -104,7 +104,8 @@ class VectorIngestSpec extends SparkSpec {
     // monotone over batch_id and equal to the true total at the end
     // (replayed epochs rewrote their rows with n_admitted=0 but the
     // full post-batch total)
-    val ledger = spark.read.option("basePath", led).parquet(led)
+    val ledger = spark.read.option("basePath", led)
+      .option("mergeSchema", "true").parquet(led)
       .select(col("batch_id").cast("long"), col("n_admitted"),
         col("n_index_rows"))
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)

@@ -124,8 +124,15 @@ def main():
         con.sql(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
         # per-process spill dir: concurrent oracle runs (e.g. sf1 and
         # sf0.01 gates side by side) must not clobber each other's
-        # temp blocks in a shared directory
-        con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='graft_duck_spill_')}'")
+        # temp blocks in a shared directory. GRAFT_SPILL_ROOT (set by
+        # sf1_gate.py per invocation) parents the dir so each gate run
+        # reaps ONLY its own spill subtree — two parallel gate halves
+        # must never rmtree each other's live spill mid-query.
+        spill_parent = os.environ.get("GRAFT_SPILL_ROOT") or None
+        if spill_parent:
+            os.makedirs(spill_parent, exist_ok=True)
+        con.sql("SET temp_directory='{}'".format(
+            tempfile.mkdtemp(prefix="graft_duck_spill_", dir=spill_parent)))
     if os.environ.get("GRAFT_ORACLE_THREADS"):
         con.sql(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
     for t in TABLES:

@@ -55,6 +55,12 @@ def main():
     env = dict(os.environ)
     env.setdefault("GRAFT_ORACLE_MEM", "48GB")
     env.setdefault("GRAFT_ORACLE_THREADS", "24")
+    # per-invocation spill root: check.py mkdtemps its spill dir UNDER
+    # this, so the reap below touches only dirs THIS gate run created —
+    # the documented parallel-halves mode (trailing query-name args)
+    # previously rmtree'd the sibling invocation's live spill mid-query
+    spill_root = tempfile.mkdtemp(prefix="graft_gate_spill_")
+    env["GRAFT_SPILL_ROOT"] = spill_root
     check = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "check.py")
     results = []
@@ -79,15 +85,16 @@ def main():
             sys.stderr.write(
                 f"[sf1_gate] {i + 1}/{len(order)} {name} "
                 f"{'ok' if ok else 'FAIL'} {dt:.1f}s\n")
-            # reap this query's spill dir (and any other leaked ones)
-            tmp = tempfile.gettempdir()
-            for d in os.listdir(tmp):
-                if d.startswith("graft_duck_spill_"):
-                    shutil.rmtree(os.path.join(tmp, d),
-                                  ignore_errors=True)
+            # reap this query's spill dir — ONLY under this
+            # invocation's own root, never the shared tmpdir, so a
+            # concurrent gate half's live spill is untouchable
+            for d in os.listdir(spill_root):
+                shutil.rmtree(os.path.join(spill_root, d),
+                              ignore_errors=True)
         n_pass = sum(1 for _, ok, _ in results if ok)
         log.write(f"\n**{n_pass}/{len(results)} pass**, "
                   f"total {sum(d for _, _, d in results):.0f}s\n")
+    shutil.rmtree(spill_root, ignore_errors=True)
     print(f"== sf1_gate {n_pass}/{len(results)} pass ==")
     sys.exit(0 if n_pass == len(results) else 1)
 
