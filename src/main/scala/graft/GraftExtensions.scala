@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions._
-import graft.plans.{RangeJoinRewriteRule, TopKRewriteRule, TopKStrategy}
+import graft.plans.{MatViewRewriteRule, RangeJoinRewriteRule, TopKRewriteRule, TopKStrategy}
 
 /** One-stop Catalyst integration (the `SparkSessionExtensions` packaging):
   *
@@ -63,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
+    ext.injectOptimizerRule(_ => MatViewRewriteRule)
   }
 }

@@ -25,6 +25,22 @@ object EventsQueries extends QueryModule {
   private val lastFunnelS2 =
     graft.ops.BuildOnce.swapRef()
 
+  /** Build-once hourly-rollup store per dataset dir (the demo stand-in
+    * for a RollupMaintenance-maintained production store; the memo is
+    * BuildOnce-registered so invariance tests that clearAll() force a
+    * rebuild — and with it a fresh MatViewRewriteRule registration). */
+  private val rollupStoreMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  private[graft] def rollupStoreFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.ops.BuildOnce.cached(rollupStoreMemo, dir) {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_rollup_store").toString
+      graft.streaming.RollupMaintenance.buildStore(
+        Tables(spark, dir, "events"), store)
+      store
+    }
+
   override def defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- Tumbling 1-hour window aggregation (event time).
@@ -40,6 +56,33 @@ object EventsQueries extends QueryModule {
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
       bench = true),
+
+    // ---- Served materialized view (plans/MatViewRewriteRule): the
+    // SAME from-scratch hourly-rollup code as q_events_hourly, but
+    // with the rewrite rule installed and the RollupMaintenance store
+    // registered — the optimizer substitutes the tiny pre-aggregated
+    // store for the full event scan (plan-asserted in
+    // MatViewServeSpec, staleness gate included). The oracle
+    // recomputes the aggregate from the RAW events, so a PASS proves
+    // the rewrite lossless — the IVM loop the engine maintains,
+    // closed end-to-end at serving time.
+    "q_rollup_served" -> QueryDef(
+      fn = (spark, dir) => {
+        val store = rollupStoreFor(spark, dir)
+        graft.plans.MatViewRewriteRule.install(spark)
+        graft.plans.MatViewRewriteRule.register(
+          EventsStream.hourlyRollup(Tables(spark, dir, "events")), store,
+          graft.streaming.RollupMaintenance.read(_, store))
+        EventsStream.hourlyRollup(Tables(spark, dir, "events"))
+          .orderBy("hour_start", "event_type")
+      },
+      oracle = Some("""
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
     // ---- Sliding windows: 2-hour window sliding by 1 hour (same
     // definition as the streaming twin, EventsStream.slidingRollup).

@@ -1,0 +1,115 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.{EventsStream, RollupMaintenance}
+
+/** MatViewRewriteRule: the registered from-scratch hourly rollup is
+  * served from the RollupMaintenance store (plan-asserted), falls back
+  * when the source outruns the store (staleness gate), resumes after
+  * the maintenance cycle, and declines on store/type misalignment —
+  * results identical in every regime.
+  */
+class MatViewServeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def optimizedRoots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toSet
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate => a
+    }.nonEmpty
+
+  private def rollup(dir: String): DataFrame =
+    EventsStream.hourlyRollup(Tables(spark, dir, "events"))
+      .orderBy("hour_start", "event_type")
+
+  test("registered rollup is served from the store, losslessly") {
+    val store = Files.createTempDirectory("graft_mv_store").toString
+    val expected = rollup(sfDir).collect().toSeq // before any registration
+    RollupMaintenance.buildStore(Tables(spark, sfDir, "events"), store)
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, sfDir, "events")), store,
+      RollupMaintenance.read(_, store))
+    try {
+      val served = rollup(sfDir)
+      val roots = optimizedRoots(served)
+      assert(roots.exists(_.contains(store)), s"store not probed: $roots")
+      assert(!roots.exists(_.contains("events.parquet")),
+        s"raw events still scanned: $roots")
+      assert(!hasAggregate(served), "aggregate survived the rewrite")
+      assert(served.collect().toSeq === expected)
+    } finally MatViewRewriteRule.deregister(store)
+  }
+
+  test("staleness gate: source append falls back, maintenance resumes serving") {
+    // file-copied source dir so the test can append to it
+    val srcRoot = Files.createTempDirectory("graft_mv_src").toString
+    Files.createDirectories(Paths.get(s"$srcRoot/events.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$srcRoot/events.parquet/part-00000.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val store = Files.createTempDirectory("graft_mv_store2").toString
+    RollupMaintenance.buildStore(Tables(spark, srcRoot, "events"), store)
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, srcRoot, "events")), store,
+      RollupMaintenance.read(_, store))
+    try {
+      assert(optimizedRoots(rollup(srcRoot)).exists(_.contains(store)))
+
+      // append: a second copy of the event log lands in the source —
+      // the store is now stale; the rule must fall back to the scan
+      Thread.sleep(20) // file-mtime granularity guard
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        Paths.get(s"$srcRoot/events.parquet/part-00001.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val stale = rollup(srcRoot)
+      assert(!optimizedRoots(stale).exists(_.contains(store)),
+        "stale store still served")
+      assert(hasAggregate(stale))
+      val freshTruth = stale.collect().toSeq // doubled counts, from scratch
+
+      // maintenance cycle: rebuild the store from the grown source —
+      // serving resumes and matches the from-scratch recompute
+      Thread.sleep(20)
+      RollupMaintenance.buildStore(Tables(spark, srcRoot, "events"), store)
+      val resumed = rollup(srcRoot)
+      assert(optimizedRoots(resumed).exists(_.contains(store)),
+        "rebuilt store not served")
+      assert(resumed.collect().toSeq === freshTruth)
+    } finally MatViewRewriteRule.deregister(store)
+  }
+
+  test("misaligned store columns decline the rewrite instead of casting") {
+    val store = Files.createTempDirectory("graft_mv_store3").toString
+    RollupMaintenance.buildStore(Tables(spark, sfDir, "events"), store)
+    MatViewRewriteRule.install(spark)
+    // readStore with n_events narrowed to int: name matches, type does
+    // not — the rule must leave the query on the from-scratch plan
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, sfDir, "events")), store,
+      s => RollupMaintenance.read(s, store)
+        .withColumn("n_events",
+          org.apache.spark.sql.functions.col("n_events").cast("int")))
+    try {
+      val df = rollup(sfDir)
+      assert(!optimizedRoots(df).exists(_.contains(store)))
+      assert(hasAggregate(df))
+      assert(df.count() > 0)
+    } finally MatViewRewriteRule.deregister(store)
+  }
+}
