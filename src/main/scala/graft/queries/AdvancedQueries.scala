@@ -684,6 +684,111 @@ object AdvancedQueries extends QueryModule {
         |       AS BIGINT) AS jacc_ok
         |FROM fin""".stripMargin)),
 
+    // ---- Mergeable quantile sketch (ops/QuantileSketch — the rank
+    // member of the sketch family: CMS answers frequency, HLL/KMV
+    // distincts, THIS answers "what is the φ-quantile?" from ≤k rows
+    // that merge across shards and batches). Deterministic level
+    // sampling: row priority = the shared 60-bit md5 hash of the
+    // unique (orderkey, linenumber) key; level = 60 - bitlen(h);
+    // sketch = all rows surviving the minimal level with ≤1024
+    // survivors. The sketch content, the φ-quantile positions, and
+    // the 5σ rank-error certificate (exact integer cross-
+    // multiplication in DECIMAL(38,0)/HUGEINT) are all replayed by
+    // the oracle — an approx structure that is hash-CHECKED, the
+    // q_kmv_distinct way. Scale shape: one scan to (v, h, lmax), a
+    // ≤61-row level aggregate (single-partition window on the
+    // registry-frame class), broadcast 1-row meta, ≤k rows ever
+    // shuffled after the filter. The streamed twin
+    // (streaming/QuantileMaintenance) folds per-batch sketches into
+    // a store that is bit-equal to this one-shot build (spec-pinned).
+    "q_quantile_sketch" -> QueryDef(
+      fn = (spark, dir) => {
+        import spark.implicits._
+        val k = 1024
+        val li = Tables(spark, dir, "lineitem")
+        val rows = li.select(
+          (col("l_extendedprice") * 100).cast("long").as("v"),
+          graft.ops.QuantileSketch.hash60(
+            concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
+        val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
+        val mDf = sk.groupBy("lstar", "n").agg(count(lit(1)).as("m"))
+        // ≤k-row frame: the single-partition rank window is bounded
+        // by the sketch capacity, never by data size
+        val skOrd = sk.select(col("v"), col("h"))
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("v"), col("h"))).cast("long"))
+        val phis = Seq(100L, 500L, 2500L, 5000L, 7500L, 9500L, 9900L)
+          .toDF("phi_bp")
+        val est = phis.crossJoin(broadcast(mDf))
+          .withColumn("pos",
+            greatest(lit(1L), expr("phi_bp * m div 10000")))
+          .join(broadcast(skOrd.select(col("pos"), col("v").as("est_v"))),
+            "pos")
+        // exact rank of each estimate over the FULL data — the
+        // in-engine half of the error certificate (7-row broadcast)
+        val ranks = rows
+          .crossJoin(broadcast(est.select("phi_bp", "est_v")))
+          .groupBy("phi_bp", "est_v")
+          .agg(sum(when(col("v") <= col("est_v"), 1L).otherwise(0L))
+            .as("exact_rank"))
+        val errX = abs(col("exact_rank") * lit(10000L) -
+          col("phi_bp") * col("n"))
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        est.join(ranks, Seq("phi_bp", "est_v"))
+          .withColumn("err_x", errX)
+          .withColumn("within_5sigma",
+            (d38(col("err_x")) * d38(col("err_x")) * d38(col("m")) <=
+              d38(lit(25L)) * d38(col("phi_bp")) *
+                d38(lit(10000L) - col("phi_bp")) *
+                d38(col("n")) * d38(col("n"))).cast("long"))
+          .select(col("phi_bp"), col("lstar"), col("m"), col("n"),
+            col("est_v"), col("exact_rank"), col("err_x"),
+            col("within_5sigma"))
+          .orderBy("phi_bp")
+      },
+      oracle = Some("""
+        |WITH src AS (
+        |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |lv AS (
+        |  SELECT v, h,
+        |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
+        |  FROM src),
+        |surv AS (
+        |  SELECT lmax, SUM(c) OVER (ORDER BY lmax DESC) AS s, c
+        |  FROM (SELECT lmax, COUNT(*) AS c FROM lv GROUP BY 1)),
+        |meta AS (
+        |  SELECT CAST(COALESCE(MAX(CASE WHEN s > 1024 THEN lmax END) + 1, 0)
+        |           AS BIGINT) AS lstar,
+        |         CAST(SUM(c) AS BIGINT) AS n
+        |  FROM surv),
+        |sk AS (SELECT v, h FROM lv, meta WHERE lmax >= lstar),
+        |skm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sk),
+        |sk_ord AS (
+        |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, h) AS BIGINT) AS pos
+        |  FROM sk),
+        |phis AS (SELECT CAST(unnest([100, 500, 2500, 5000, 7500, 9500,
+        |  9900]) AS BIGINT) AS phi_bp),
+        |est AS (
+        |  SELECT phi_bp, lstar, m, n, o.v AS est_v
+        |  FROM phis CROSS JOIN skm CROSS JOIN meta
+        |  JOIN sk_ord o ON o.pos = GREATEST(1, phi_bp * m // 10000)),
+        |ranks AS (
+        |  SELECT e.phi_bp, e.est_v,
+        |    CAST(SUM(CASE WHEN l.v <= e.est_v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exact_rank
+        |  FROM est e, lv l GROUP BY 1, 2)
+        |SELECT e.phi_bp, e.lstar, e.m, e.n, e.est_v, r.exact_rank,
+        |  abs(r.exact_rank * 10000 - e.phi_bp * e.n) AS err_x,
+        |  CAST(CAST(abs(r.exact_rank * 10000 - e.phi_bp * e.n) AS HUGEINT)
+        |         * abs(r.exact_rank * 10000 - e.phi_bp * e.n) * e.m
+        |       <= CAST(25 AS HUGEINT) * e.phi_bp * (10000 - e.phi_bp)
+        |          * e.n * e.n AS BIGINT) AS within_5sigma
+        |FROM est e JOIN ranks r ON e.phi_bp = r.phi_bp AND e.est_v = r.est_v
+        |ORDER BY e.phi_bp""".stripMargin)),
+
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds
     // heavy hitters, CMS answers "how often?" for ANY key from d×w
