@@ -143,6 +143,50 @@ object DedupFunctions {
   private[ext] val lastGrams =
     graft.ops.BuildOnce.swapRef()
 
+  /** Paragraph-grain dedup (CCNet granularity): drop every duplicate
+    * OCCURRENCE of a paragraph across the whole corpus — keeping the
+    * globally-first occurrence by (doc_id, position) — and rebuild
+    * each document from its surviving paragraphs. This is the one
+    * curation grain between doc-level near-dup and token-window
+    * ExactSubstr: boilerplate paragraphs (headers, footers, licence
+    * blocks) vanish corpus-wide while the documents that carried them
+    * survive.
+    *
+    * Input: (doc_id, text) with paragraphs separated by blank lines.
+    * Output: (doc_id, n_paras, n_kept, cleaned_md5) — counts plus the
+    * md5 of the text rebuilt from kept paragraphs in original order
+    * (the q_passage_scrub convention: hash-checkable without shipping
+    * documents).
+    *
+    * Scale shape: ONE content-hash exchange picks each paragraph's
+    * global first occurrence (min of the integer (doc_id·128 + pos)
+    * encoding — pos < 128 is the paragraphs-per-doc bound the caller
+    * guarantees; the encoding is what the DuckDB oracle replays
+    * exactly), one equi-join back, one per-doc reassembly groupBy
+    * whose collect_list is bounded by paragraphs-per-doc. No pair
+    * joins anywhere; document text never shuffles except inside its
+    * own doc_id group.
+    */
+  def paragraphDedup(corpus: DataFrame): DataFrame = {
+    val paras = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), "\n\n")).as(Seq("pos", "p")))
+    val hashed = paras
+      .withColumn("h", md5(lower(trim(col("p"))).cast("binary")))
+      .withColumn("ord", col("doc_id") * 128 + col("pos"))
+    val win = hashed.groupBy("h").agg(min(col("ord")).as("w"))
+    val kept = hashed.join(win, Seq("h")).filter(col("ord") === col("w"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            x => x("p"))).as("txt"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("txt"), lit("")).cast("binary")).as("cleaned_md5"))
+  }
+
   /** DuckDB CTE mirroring [[withPlantedNearDups]]. */
   val plantedCte: String =
     """WITH docs AS (
@@ -939,6 +983,67 @@ object DedupQueries extends QueryModule {
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
         |FROM clean ORDER BY doc_id""".stripMargin)),
+
+    // ---- Paragraph-grain dedup (CCNet granularity;
+    // DedupFunctions.paragraphDedup): dedup the PARAGRAPH, keep the
+    // doc — the curation grain between doc-level near-dup and
+    // token-window ExactSubstr. The corpus plants all three duplicate
+    // classes deterministically: each doc = its own text ⊕ its
+    // decade-leader's text ⊕ a constant footer, so leaders carry an
+    // INTRA-doc duplicate (own text twice), members carry a CROSS-doc
+    // duplicate (the leader paragraph), and the footer is global
+    // boilerplate that must survive exactly once corpus-wide. First
+    // occurrence by (doc_id, position) wins — the integer
+    // doc_id·128+pos encoding is replayed verbatim by the oracle.
+    // Scale shape: one content-hash exchange + one equi-join back +
+    // one per-doc reassembly; no pair joins (see the kernel scaladoc).
+    "q_paragraph_dedup" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs
+          .withColumn("lid", col("doc_id") - pmod(col("doc_id"), lit(10L)))
+          .join(docs.select(col("doc_id").as("lid"),
+            col("text").as("ltext")), "lid")
+          .select(col("doc_id"),
+            concat(col("text"), lit("\n\n"), col("ltext"), lit("\n\n"),
+              lit("(c) graft corpus 2026")).as("text"))
+        paragraphDedup(corpus).orderBy("doc_id")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT d.doc_id,
+        |    d.text || chr(10) || chr(10) || l.text || chr(10) || chr(10)
+        |      || '(c) graft corpus 2026' AS text
+        |  FROM documents d
+        |  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 10),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ps))) - 1 AS pos,
+        |    unnest(ps) AS p
+        |  FROM (SELECT doc_id,
+        |          string_split(text, chr(10) || chr(10)) AS ps
+        |        FROM corpus)),
+        |hashed AS (
+        |  SELECT doc_id, pos, p, md5(lower(trim(p))) AS h,
+        |         doc_id * 128 + pos AS ord
+        |  FROM paras),
+        |win AS (SELECT h, MIN(ord) AS w FROM hashed GROUP BY h),
+        |kept AS (
+        |  SELECT doc_id, pos, p FROM hashed
+        |  JOIN win ON hashed.h = win.h AND hashed.ord = win.w),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(p, chr(10) || chr(10) ORDER BY pos) AS txt
+        |  FROM kept GROUP BY doc_id),
+        |np AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+        |  FROM paras GROUP BY doc_id)
+        |SELECT np.doc_id, np.n_paras,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  md5(COALESCE(r.txt, '')) AS cleaned_md5
+        |FROM np LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- Snapshot reconciliation (anti-entropy table diff): ONE
     // co-partitioned full-outer equi-join on the key, comparing
