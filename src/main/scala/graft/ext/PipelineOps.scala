@@ -292,6 +292,61 @@ object PipelineOps {
       .withColumn("capped", (col("t") > col("cap")).cast("long"))
       .drop("k", "p", "nsrc", "tmax", "bk", "bp")
   }
+
+  /** Regime gate for [[admissionCum]]: above this many rows in ONE
+    * source, the per-source window (whose partition is a single task
+    * holding the whole source: ~100 B/row with the 32-char md5 sort
+    * key ⇒ ~100 MB at 1M rows, the executor-comfort line the
+    * pageRank broadcastNodes gate uses) swaps for the
+    * [[graft.ops.ExactRank.prefixSum]] two-job fold, which spreads
+    * the sort across the cluster. Both regimes are BIT-EQUAL by
+    * construction (spec-pinned): a global prefix sum under
+    * (source, hash, doc_id) order minus the per-source exclusive
+    * offset IS the per-source prefix sum. */
+  val HotSourceRows = 1000000L
+
+  /** Per-source hash-order admission prefix sum — the cumulative
+    * token count each doc sees when documents admit in deterministic
+    * md5(doc_id) order within their source (q_budget_admission's
+    * kernel). Input columns: (source, doc_id, nt); output adds `cum`.
+    *
+    * Two regimes behind one measured gate (one registry-sized count
+    * job decides):
+    *   - window: ONE shuffle on source, per-source running sum — the
+    *     default while every source fits a task;
+    *   - hot-source: [[graft.ops.ExactRank.prefixSum]] global fold
+    *     under (source, md5, doc_id) order, then per-source cum =
+    *     global cum − the source's exclusive offset (a |sources|-row
+    *     broadcast; its window is registry-bounded by construction).
+    */
+  def admissionCum(docs: DataFrame,
+      hotSourceRows: Long = HotSourceRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hm = md5(col("doc_id").cast("string"))
+    val maxPerSource = docs.groupBy("source")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    if (maxPerSource <= hotSourceRows) {
+      val ord = Window.partitionBy(col("source")).orderBy(hm, col("doc_id"))
+      docs.withColumn("cum", sum(col("nt")).over(ord.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+    } else {
+      val g = graft.ops.ExactRank.prefixSum(
+        docs.withColumn("__hm", hm),
+        Seq(col("source"), col("__hm"), col("doc_id")),
+        Seq("__gcum" -> col("nt")))
+      // exclusive per-source offsets over the registry frame (the
+      // waterfill single-partition contract: |sources| rows)
+      val wo = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs.groupBy("source").agg(sum(col("nt")).as("__ts"))
+        .withColumn("__off", coalesce(sum(col("__ts")).over(wo), lit(0L)))
+        .select(col("source"), col("__off"))
+      g.join(broadcast(offs), "source")
+        .withColumn("cum", col("__gcum") - col("__off"))
+        .drop("__hm", "__gcum", "__off")
+    }
+  }
 }
 
 object PipelineQueries extends QueryModule {
@@ -624,14 +679,14 @@ object PipelineQueries extends QueryModule {
     // here as per-source counts + the bit_xor 60-bit id checksum
     // (q_table_checksum's order-independent fingerprint, so the
     // ADMITTED SET itself is hash-gated, not just its size).
-    // Scale shape: one corpus rollup (registry-sized waterfill), one
-    // corpus shuffle on source for the per-source prefix-sum window,
-    // registry broadcast back. A pathologically hot source would swap
-    // the partitioned window for the ExactRank.prefixSum two-job fold
-    // per source — the arithmetic is unchanged.
+    // Scale shape: one corpus rollup (registry-sized waterfill), then
+    // PipelineOps.admissionCum — the per-source prefix sum behind a
+    // measured regime gate: a partitioned window while every source
+    // fits one task, the ExactRank.prefixSum two-job fold past
+    // HotSourceRows (both regimes bit-equal, AdmissionRegimeSpec) —
+    // and a registry broadcast back.
     "q_budget_admission" -> QueryDef(
       fn = (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = filter(wsTokens(col("text")), t => t =!= "")
         val docs = Tables(spark, dir, "documents")
           .select(col("source"), col("doc_id"),
@@ -641,11 +696,8 @@ object PipelineQueries extends QueryModule {
         val allocF = PipelineOps
           .waterfill(per, expr("sum(t) over () div 2"))
           .select(col("source"), col("alloc"))
-        val ord = Window.partitionBy(col("source"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        val adm = docs.join(broadcast(allocF), "source")
-          .withColumn("cum", sum(col("nt")).over(ord.rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)))
+        val adm = PipelineOps.admissionCum(docs)
+          .join(broadcast(allocF), "source")
           .filter(col("cum") <= col("alloc"))
           .withColumn("h",
             conv(md5(col("doc_id").cast("string")).substr(1, 15), 16, 10)
