@@ -1010,6 +1010,7 @@ object DedupQueries extends QueryModule {
               lit("(c) graft corpus 2026")).as("text"))
         paragraphDedup(corpus).orderBy("doc_id")
       },
+      bench = true,
       oracle = Some("""
         |WITH corpus AS (
         |  SELECT d.doc_id,

@@ -746,6 +746,7 @@ object AdvancedQueries extends QueryModule {
             col("within_5sigma"))
           .orderBy("phi_bp")
       },
+      bench = true,
       oracle = Some("""
         |WITH src AS (
         |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v,
