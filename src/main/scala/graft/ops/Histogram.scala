@@ -87,6 +87,46 @@ object Histogram {
       .withColumn("est_mid", expr("(est_lo + est_hi) div 2"))
   }
 
+  /** Equi-depth boundaries served from a mergeable
+    * [[QuantileSketch]] frame instead of a full rescan — the
+    * incremental-maintenance answer to [[equiDepth]]'s one
+    * range-shuffled sort pass over ALL data: the streamed store
+    * ([[graft.streaming.QuantileMaintenance]]) keeps the ≤k-row
+    * sketch fresh per micro-batch, and THIS turns that bounded frame
+    * into bucket boundaries without ever touching history again.
+    * Boundaries are the sketch's own order statistics at positions
+    * `max(1, b·m div B)` in (v, h) order (h breaks value ties — the
+    * [[QuantileSketch.QSketch.quantile]] rule), so each carries the
+    * sketch's 5σ rank certificate rather than [[equiDepth]]'s exact
+    * one-bucket bracket — the classic exactness-for-maintainability
+    * trade, both sides of which the engine now offers.
+    *
+    * Input: a [[QuantileSketch.sketchRows]] frame (v, h, lstar, n).
+    * Output: `buckets` rows (bucket, lo, ub, lstar, n, m) where
+    * bucket b covers `lo < v ≤ ub` (lo null = −∞ on bucket 1; the
+    * LAST bucket is upper-unbounded by the caller's contract — its
+    * ub is the sketch max, not the data max). All windows here run
+    * on ≤k rows — bounded single-partition by construction (the
+    * sketch-capacity class, never data-sized).
+    */
+  def sketchBoundaries(sk: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val mDf = sk.groupBy("lstar", "n").agg(count(lit(1)).as("m"))
+    val skOrd = sk.select(col("v"), col("h"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("v"), col("h"))).cast("long"))
+    val spark = sk.sparkSession
+    import spark.implicits._
+    (1 to buckets).map(_.toLong).toDF("bucket")
+      .crossJoin(broadcast(mDf))
+      .withColumn("pos",
+        greatest(lit(1L), expr(s"bucket * m div $buckets")))
+      .join(broadcast(skOrd.select(col("pos"), col("v").as("ub"))), "pos")
+      .withColumn("lo", lag("ub", 1).over(Window.orderBy("bucket")))
+      .select("bucket", "lo", "ub", "lstar", "n", "m")
+  }
+
   /** The certain UPPER bound on rows satisfying `value <= threshold`,
     * read from a boundary frame — B rows, so the `.head()` is the
     * documented sketch-row driver class (the [[TableStats.rowCount]]

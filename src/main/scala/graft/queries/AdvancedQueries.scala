@@ -701,13 +701,18 @@ object AdvancedQueries extends QueryModule {
     // shuffled after the filter. The streamed twin
     // (streaming/QuantileMaintenance) folds per-batch sketches into
     // a store that is bit-equal to this one-shot build (spec-pinned).
+    // NOTE the explicit round() before the cents cast: the price is a
+    // DOUBLE, so price*100 lands at integer±1e-9 — Spark's bare cast
+    // TRUNCATES (7369442.999999999 → 7369442) where DuckDB's ROUNDS,
+    // and the histogram gate caught the 1-cent divergence at a bucket
+    // boundary. round() on BOTH engines recovers the true integer.
     "q_quantile_sketch" -> QueryDef(
       fn = (spark, dir) => {
         import spark.implicits._
         val k = 1024
         val li = Tables(spark, dir, "lineitem")
         val rows = li.select(
-          (col("l_extendedprice") * 100).cast("long").as("v"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
           graft.ops.QuantileSketch.hash60(
             concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
         val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
@@ -749,7 +754,7 @@ object AdvancedQueries extends QueryModule {
       bench = true,
       oracle = Some("""
         |WITH src AS (
-        |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v,
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
         |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM lineitem),
@@ -789,6 +794,187 @@ object AdvancedQueries extends QueryModule {
         |          * e.n * e.n AS BIGINT) AS within_5sigma
         |FROM est e JOIN ranks r ON e.phi_bp = r.phi_bp AND e.est_v = r.est_v
         |ORDER BY e.phi_bp""".stripMargin)),
+
+    // ---- Equi-depth histogram SERVED from the mergeable quantile
+    // sketch (ops/Histogram.sketchBoundaries): the incremental-
+    // maintenance answer to the rebuild-only equi-depth ANALYZE pass
+    // — boundaries come from the ≤k-row sketch the streamed store
+    // keeps fresh per micro-batch, never from a rescan of history.
+    // Buckets partition the domain (lo < v ≤ ub; bucket B upper-
+    // unbounded), exact per-bucket counts come from ONE broadcast
+    // range join (16 predicates per row, no shuffle), and each
+    // boundary's exact rank (the cumulative bucket count) is checked
+    // against its target rank under the sketch's 5σ certificate in
+    // exact integer arithmetic — the approx structure is hash-CHECKED
+    // end-to-end, the q_quantile_sketch way. Scale shape: one scan to
+    // (v, h), the ≤61-row level aggregate, the ≤k-row sketch windows,
+    // one broadcast-nested-loop count pass; nothing data-sized is
+    // ever sorted or collected.
+    "q_histogram_sketch" -> QueryDef(
+      fn = (spark, dir) => {
+        val k = 1024
+        val nB = 16
+        val li = Tables(spark, dir, "lineitem")
+        val rows = li.select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          graft.ops.QuantileSketch.hash60(
+            concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
+        val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
+        val bnds = graft.ops.Histogram.sketchBoundaries(sk, nB)
+        // exact per-bucket counts: each row lands in EXACTLY one
+        // bucket (lo null = -inf; the last bucket is upper-unbounded)
+        val cnts = rows.join(broadcast(bnds),
+            (col("lo").isNull || col("v") > col("lo")) &&
+              (col("v") <= col("ub") || col("bucket") === nB.toLong))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        // boundary b's exact rank = cumulative count through bucket b
+        // (16-row window — bounded by construction); its target rank
+        // is phi_bp = b*10^4/B of n, certified within 5 sigma
+        val d38 = (c: Column) => c.cast("decimal(38,0)")
+        bnds.join(cnts, Seq("bucket"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .withColumn("exact_rank", sum(col("cnt")).over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("phi_bp", col("bucket") * lit(10000L / nB))
+          .withColumn("err_x", abs(col("exact_rank") * lit(10000L)
+            - col("phi_bp") * col("n")))
+          .withColumn("within_5sigma",
+            (d38(col("err_x")) * d38(col("err_x")) * d38(col("m")) <=
+              d38(lit(25L)) * d38(col("phi_bp")) *
+                d38(lit(10000L) - col("phi_bp")) *
+                d38(col("n")) * d38(col("n"))).cast("long"))
+          .select(col("bucket"), col("lo"), col("ub"), col("cnt"),
+            col("exact_rank"), col("n"), col("m"), col("lstar"),
+            col("within_5sigma"))
+          .orderBy("bucket")
+      },
+      bench = true,
+      oracle = Some("""
+        |WITH src AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |lv AS (
+        |  SELECT v, h,
+        |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
+        |  FROM src),
+        |surv AS (
+        |  SELECT lmax, SUM(c) OVER (ORDER BY lmax DESC) AS s, c
+        |  FROM (SELECT lmax, COUNT(*) AS c FROM lv GROUP BY 1)),
+        |meta AS (
+        |  SELECT CAST(COALESCE(MAX(CASE WHEN s > 1024 THEN lmax END) + 1, 0)
+        |           AS BIGINT) AS lstar,
+        |         CAST(SUM(c) AS BIGINT) AS n
+        |  FROM surv),
+        |sk AS (SELECT v, h FROM lv, meta WHERE lmax >= lstar),
+        |skm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sk),
+        |sk_ord AS (
+        |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, h) AS BIGINT) AS pos
+        |  FROM sk),
+        |bks AS (SELECT CAST(unnest(generate_series(1, 16)) AS BIGINT)
+        |          AS bucket),
+        |bnd0 AS (
+        |  SELECT bucket, o.v AS ub, lstar, n, m
+        |  FROM bks CROSS JOIN skm CROSS JOIN meta
+        |  JOIN sk_ord o ON o.pos = GREATEST(1, bucket * m // 16)),
+        |bnd AS (
+        |  SELECT bucket, LAG(ub) OVER (ORDER BY bucket) AS lo, ub,
+        |         lstar, n, m
+        |  FROM bnd0),
+        |cnts AS (
+        |  SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lv l JOIN bnd b
+        |    ON (b.lo IS NULL OR l.v > b.lo)
+        |   AND (l.v <= b.ub OR b.bucket = 16)
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT b.bucket, b.lo, b.ub, COALESCE(c.cnt, 0) AS cnt,
+        |    CAST(SUM(COALESCE(c.cnt, 0)) OVER (ORDER BY b.bucket)
+        |      AS BIGINT) AS exact_rank,
+        |    b.n, b.m, b.lstar, b.bucket * 625 AS phi_bp
+        |  FROM bnd b LEFT JOIN cnts c ON b.bucket = c.bucket)
+        |SELECT bucket, lo, ub, cnt, exact_rank, n, m, lstar,
+        |  CAST(CAST(abs(exact_rank * 10000 - phi_bp * n) AS HUGEINT)
+        |         * abs(exact_rank * 10000 - phi_bp * n) * m
+        |       <= CAST(25 AS HUGEINT) * phi_bp * (10000 - phi_bp)
+        |          * n * n AS BIGINT) AS within_5sigma
+        |FROM fin ORDER BY bucket""".stripMargin)),
+
+    // ---- Per-group quantile summaries via the typed Aggregator
+    // (ops/QuantileSketch.QuantileSketchAgg in KeyValueGroupedDataset
+    // .agg — the Dataset-typed surface of the same sketch): one
+    // partial-aggregating exchange carries ≤k pairs PER GROUP
+    // regardless of group size, the per-group p50/p95 read off the
+    // sketch's own order statistics. Because the sketch is an exact
+    // function of each group's multiset, the whole result is
+    // hash-exact cross-engine: DuckDB replays the level sampling
+    // PARTITIONed by group. k=64 forces real level-raising even at
+    // sf0.001 (the capacity class the Aggregator spec pins). Scale
+    // shape: this is the 100 TB "p95 tokens per source" monitoring
+    // query — group count × k rows after partial aggregation, never
+    // corpus-sized state.
+    "q_group_quantiles" -> QueryDef(
+      fn = (spark, dir) => {
+        import spark.implicits._
+        val k = 64
+        val docs = Tables(spark, dir, "documents").select(
+          col("source"),
+          graft.ops.QuantileSketch.hash60(col("doc_id").cast("string"))
+            .as("h"),
+          col("n_chars").cast("long").as("v"))
+        val agg = new graft.ops.QuantileSketch.QuantileSketchAgg(k)
+        docs.as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(agg.toColumn.name("sk"))
+          .map { case (src, sk) =>
+            (src, sk.level.toLong, sk.total, sk.items.size.toLong,
+              sk.quantile(5000L).get, sk.quantile(9500L).get)
+          }
+          .toDF("source", "lstar", "n", "m", "p50_v", "p95_v")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |WITH src AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |lv AS (
+        |  SELECT source, v, h,
+        |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
+        |  FROM src),
+        |surv AS (
+        |  SELECT source, lmax, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY lmax DESC) AS s
+        |  FROM (SELECT source, lmax, COUNT(*) AS c FROM lv GROUP BY 1, 2)),
+        |meta AS (
+        |  SELECT source,
+        |    CAST(COALESCE(MAX(CASE WHEN s > 64 THEN lmax END) + 1, 0)
+        |      AS BIGINT) AS lstar,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM surv GROUP BY 1),
+        |sk AS (
+        |  SELECT l.source, l.v, l.h, m.lstar, m.n
+        |  FROM lv l JOIN meta m ON l.source = m.source
+        |  WHERE l.lmax >= m.lstar),
+        |skm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+        |        FROM sk GROUP BY 1),
+        |ord AS (
+        |  SELECT source, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, h)
+        |      AS BIGINT) AS pos
+        |  FROM sk)
+        |SELECT m.source, m.lstar, m.n, k.m,
+        |  o50.v AS p50_v, o95.v AS p95_v
+        |FROM meta m JOIN skm k ON m.source = k.source
+        |JOIN ord o50 ON o50.source = m.source
+        |  AND o50.pos = GREATEST(1, 5000 * k.m // 10000)
+        |JOIN ord o95 ON o95.source = m.source
+        |  AND o95.pos = GREATEST(1, 9500 * k.m // 10000)
+        |ORDER BY m.source""".stripMargin)),
 
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds

@@ -21,7 +21,7 @@ class QuantileSketchSpec extends SparkSpec {
     li.select(
         QuantileSketch.hash60(
           concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"),
-        (col("l_extendedprice") * 100).cast("long").as("v"))
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
 
@@ -34,7 +34,7 @@ class QuantileSketchSpec extends SparkSpec {
 
     // DataFrame plan (the query's path)
     val df = Tables(spark, sfDir, "lineitem").select(
-      (col("l_extendedprice") * 100).cast("long").as("v"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"),
       QuantileSketch.hash60(
         concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
     val planned = QuantileSketch.sketchRows(df, K).collect()
@@ -72,7 +72,7 @@ class QuantileSketchSpec extends SparkSpec {
     val rows = liRows()
     val sk = QSketch.fromRows(rows, K)
     val df = Tables(spark, sfDir, "lineitem")
-      .select((col("l_extendedprice") * 100).cast("long").as("v"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
     val n = rows.size.toLong
     val m = sk.items.size.toLong
     for (phiBp <- Seq(100L, 2500L, 5000L, 7500L, 9900L)) {

@@ -34,7 +34,11 @@ class AnsiInvarianceSpec extends SparkSpec {
     // round-8: the waterfill closed form ((budget-P_K) div (n-K),
     // segment products) and the admission's div-based fill_bp must
     // not rely on silent wrap anywhere
-    "q_token_budget_fill", "q_budget_admission")
+    "q_token_budget_fill", "q_budget_admission",
+    // round-9: the quantile family's integer certificate arithmetic
+    // (err² · m vs 25·φ(10⁴−φ)·n² products) runs in DECIMAL(38,0) —
+    // ANSI must not change any product or the position div math
+    "q_quantile_sketch", "q_histogram_sketch", "q_group_quantiles")
 
   private def run(name: String, ansi: Boolean): Seq[String] = {
     val prior = spark.conf.get("spark.sql.ansi.enabled")

@@ -60,7 +60,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // window, the feasible-K aggregate, and the per-source prefix
     // admission (plus its XOR set fingerprint) must all select
     // identical rows at any slicing
-    "q_token_budget_fill", "q_budget_admission")
+    "q_token_budget_fill", "q_budget_admission",
+    // round-9 wave: the quantile-sketch family — the ≤61-row level
+    // aggregate, the sketch filter, the Aggregator's per-group merges
+    // (arbitrary merge ORDER must yield the same sketch), and the
+    // histogram's broadcast bucket counts are all multiset functions;
+    // paragraph dedup's first-occurrence winner is a commutative min
+    "q_quantile_sketch", "q_histogram_sketch", "q_group_quantiles",
+    "q_paragraph_dedup")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
