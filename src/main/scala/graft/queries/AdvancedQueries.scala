@@ -15,6 +15,23 @@ object AdvancedQueries extends QueryModule {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** The quantile-sketch queries' (v, h) base frame — md5 over every
+    * lineitem row, consumed 2–3× per query (level aggregate, sketch
+    * filter, exact-rank certificate / bucket counts). Persisted via
+    * the one-slot swap so the 60M-row hash pass runs ONCE per
+    * invocation instead of per consumer (sf10: q_quantile_sketch
+    * 46.7 s → the md5 scan was ~2/3 of it); bounded at one copy
+    * across invocations (the lastSeries pattern). */
+  private val lastSketchRows = graft.ops.BuildOnce.swapRef()
+
+  private def sketchRowsOf(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.BuildOnce.swapPersist(lastSketchRows,
+      Tables(spark, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        graft.ops.QuantileSketch.hash60(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h")))
+
   /** q_pareto_frontier's supplier aggregate — feeds both the frontier
     * derivation and the output semi-join; swap-released, bounded at
     * one copy across invocations (the Dedup.lastSigs pattern). */
@@ -710,11 +727,7 @@ object AdvancedQueries extends QueryModule {
       fn = (spark, dir) => {
         import spark.implicits._
         val k = 1024
-        val li = Tables(spark, dir, "lineitem")
-        val rows = li.select(
-          round(col("l_extendedprice") * 100).cast("long").as("v"),
-          graft.ops.QuantileSketch.hash60(
-            concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
+        val rows = sketchRowsOf(spark, dir)
         val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
         val mDf = sk.groupBy("lstar", "n").agg(count(lit(1)).as("m"))
         // ≤k-row frame: the single-partition rank window is bounded
@@ -814,11 +827,7 @@ object AdvancedQueries extends QueryModule {
       fn = (spark, dir) => {
         val k = 1024
         val nB = 16
-        val li = Tables(spark, dir, "lineitem")
-        val rows = li.select(
-          round(col("l_extendedprice") * 100).cast("long").as("v"),
-          graft.ops.QuantileSketch.hash60(
-            concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
+        val rows = sketchRowsOf(spark, dir)
         val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
         val bnds = graft.ops.Histogram.sketchBoundaries(sk, nB)
         // exact per-bucket counts: each row lands in EXACTLY one
@@ -856,21 +865,21 @@ object AdvancedQueries extends QueryModule {
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
         |      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM lineitem),
-        |lv AS (
+        |lv AS MATERIALIZED (
         |  SELECT v, h,
         |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
         |  FROM src),
         |surv AS (
         |  SELECT lmax, SUM(c) OVER (ORDER BY lmax DESC) AS s, c
         |  FROM (SELECT lmax, COUNT(*) AS c FROM lv GROUP BY 1)),
-        |meta AS (
+        |meta AS MATERIALIZED (
         |  SELECT CAST(COALESCE(MAX(CASE WHEN s > 1024 THEN lmax END) + 1, 0)
         |           AS BIGINT) AS lstar,
         |         CAST(SUM(c) AS BIGINT) AS n
         |  FROM surv),
-        |sk AS (SELECT v, h FROM lv, meta WHERE lmax >= lstar),
+        |sk AS MATERIALIZED (SELECT v, h FROM lv, meta WHERE lmax >= lstar),
         |skm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sk),
-        |sk_ord AS (
+        |sk_ord AS MATERIALIZED (
         |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, h) AS BIGINT) AS pos
         |  FROM sk),
         |bks AS (SELECT CAST(unnest(generate_series(1, 16)) AS BIGINT)
@@ -942,7 +951,7 @@ object AdvancedQueries extends QueryModule {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM documents),
-        |lv AS (
+        |lv AS MATERIALIZED (
         |  SELECT source, v, h,
         |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
         |  FROM src),
@@ -950,13 +959,13 @@ object AdvancedQueries extends QueryModule {
         |  SELECT source, lmax, c,
         |    SUM(c) OVER (PARTITION BY source ORDER BY lmax DESC) AS s
         |  FROM (SELECT source, lmax, COUNT(*) AS c FROM lv GROUP BY 1, 2)),
-        |meta AS (
+        |meta AS MATERIALIZED (
         |  SELECT source,
         |    CAST(COALESCE(MAX(CASE WHEN s > 64 THEN lmax END) + 1, 0)
         |      AS BIGINT) AS lstar,
         |    CAST(SUM(c) AS BIGINT) AS n
         |  FROM surv GROUP BY 1),
-        |sk AS (
+        |sk AS MATERIALIZED (
         |  SELECT l.source, l.v, l.h, m.lstar, m.n
         |  FROM lv l JOIN meta m ON l.source = m.source
         |  WHERE l.lmax >= m.lstar),

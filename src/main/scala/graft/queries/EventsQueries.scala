@@ -84,6 +84,37 @@ object EventsQueries extends QueryModule {
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    // ---- Roll-up serving (the aggregate-COARSENING face of
+    // MatViewRewriteRule): a per-type total the user writes against
+    // the RAW events is served by re-aggregating the (hour, type)
+    // store — SUM of the stored per-hour counts — because the
+    // candidate's grouping keys are a subset of the view's, COUNT
+    // re-aggregates as SUM(count), and its filter residue equals the
+    // view's (isnotnull(ts) — the window expansion plants it on the
+    // view side, so the store is blind to null-ts rows and a coarse
+    // query WITHOUT the filter must never be served; the explicit
+    // .filter here is that contract made visible). The oracle
+    // recomputes from raw events = losslessness proof; the plan
+    // assert lives in MatViewServeSpec. At 100 TB this is the
+    // dashboard class served from B rows instead of the event log.
+    "q_rollup_coarse_served" -> QueryDef(
+      fn = (spark, dir) => {
+        val store = rollupStoreFor(spark, dir)
+        graft.plans.MatViewRewriteRule.install(spark)
+        graft.plans.MatViewRewriteRule.register(
+          EventsStream.hourlyRollup(Tables(spark, dir, "events")), store,
+          graft.streaming.RollupMaintenance.read(_, store))
+        Tables(spark, dir, "events")
+          .filter(col("ts").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_events
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Sliding windows: 2-hour window sliding by 1 hour (same
     // definition as the streaming twin, EventsStream.slidingRollup).
     "q_events_sliding" -> QueryDef(

@@ -59,6 +59,21 @@ object QuantileMaintenance {
     (QSketch(k, meta.getLong(1).toInt, meta.getLong(2), items), stamp)
   }
 
+  /** The stored sketch as a [[QuantileSketch.sketchRows]]-shaped frame
+    * (v, h, lstar, n) — what lets the maintained store SERVE derived
+    * statistics directly: `Histogram.sketchBoundaries(sketchFrame(...))`
+    * yields equi-depth boundaries from the always-fresh ≤k-row store
+    * with no rescan of history (spec-pinned equal to the boundaries of
+    * the one-shot batch-built sketch, because streamed == batch-built
+    * holds for the sketch itself). */
+  def sketchFrame(spark: SparkSession, storeDir: String,
+      k: Int = QuantileSketch.DefaultK): DataFrame = {
+    val (sk, _) = readSketch(spark, storeDir, k)
+    import spark.implicits._
+    sk.canonical.map { case (h, v) => (v, h, sk.level.toLong, sk.total) }
+      .toDF("v", "h", "lstar", "n")
+  }
+
   /** Distributed batch → sketch value: one pass + ≤k collected rows. */
   def sketchOf(rows: DataFrame, k: Int = QuantileSketch.DefaultK): QSketch = {
     val collected = QuantileSketch.sketchRows(rows, k)

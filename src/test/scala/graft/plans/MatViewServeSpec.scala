@@ -94,6 +94,91 @@ class MatViewServeSpec extends SparkSpec {
     } finally MatViewRewriteRule.deregister(store)
   }
 
+  private def coarse(dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  test("coarser aggregate is ROLLED UP from the store, losslessly") {
+    val store = Files.createTempDirectory("graft_mv_store4").toString
+    val expected = coarse(sfDir).collect().toSeq // before registration
+    RollupMaintenance.buildStore(Tables(spark, sfDir, "events"), store)
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, sfDir, "events")), store,
+      RollupMaintenance.read(_, store))
+    try {
+      val served = coarse(sfDir)
+      val roots = optimizedRoots(served)
+      assert(roots.exists(_.contains(store)), s"store not probed: $roots")
+      assert(!roots.exists(_.contains("events.parquet")),
+        s"raw events still scanned: $roots")
+      // the roll-up KEEPS an aggregate — over B store rows, not the log
+      assert(hasAggregate(served))
+      assert(served.collect().toSeq === expected)
+    } finally MatViewRewriteRule.deregister(store)
+  }
+
+  test("coarse query WITHOUT the view's null filter is never served") {
+    // the hourly view's window expansion drops null-ts rows before
+    // aggregating; a per-type count over ALL raw rows is a different
+    // query and must keep its scan even though keys/aggs match
+    val store = Files.createTempDirectory("graft_mv_store5").toString
+    RollupMaintenance.buildStore(Tables(spark, sfDir, "events"), store)
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, sfDir, "events")), store,
+      RollupMaintenance.read(_, store))
+    try {
+      val unfiltered = Tables(spark, sfDir, "events")
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      assert(!optimizedRoots(unfiltered).exists(_.contains(store)),
+        "served a coarse query whose filter residue differs from the view's")
+      // and a SUM the store cannot re-aggregate exactly (total_value
+      // is cast-wrapped in the view) declines too
+      val sumValue = Tables(spark, sfDir, "events")
+        .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.sum("value").as("v"))
+      assert(!optimizedRoots(sumValue).exists(_.contains(store)))
+    } finally MatViewRewriteRule.deregister(store)
+  }
+
+  test("coarse roll-up respects the staleness gate") {
+    val srcRoot = Files.createTempDirectory("graft_mv_src2").toString
+    Files.createDirectories(Paths.get(s"$srcRoot/events.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$srcRoot/events.parquet/part-00000.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val store = Files.createTempDirectory("graft_mv_store6").toString
+    RollupMaintenance.buildStore(Tables(spark, srcRoot, "events"), store)
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(
+      EventsStream.hourlyRollup(Tables(spark, srcRoot, "events")), store,
+      RollupMaintenance.read(_, store))
+    try {
+      assert(optimizedRoots(coarse(srcRoot)).exists(_.contains(store)))
+      Thread.sleep(20)
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        Paths.get(s"$srcRoot/events.parquet/part-00001.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val stale = coarse(srcRoot)
+      assert(!optimizedRoots(stale).exists(_.contains(store)),
+        "stale store still rolled up")
+      val truth = stale.collect().toSeq
+      Thread.sleep(20)
+      RollupMaintenance.buildStore(Tables(spark, srcRoot, "events"), store)
+      val resumed = coarse(srcRoot)
+      assert(optimizedRoots(resumed).exists(_.contains(store)))
+      assert(resumed.collect().toSeq === truth)
+    } finally MatViewRewriteRule.deregister(store)
+  }
+
   test("misaligned store columns decline the rewrite instead of casting") {
     val store = Files.createTempDirectory("graft_mv_store3").toString
     RollupMaintenance.buildStore(Tables(spark, sfDir, "events"), store)

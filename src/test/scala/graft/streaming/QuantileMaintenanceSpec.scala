@@ -48,6 +48,22 @@ class QuantileMaintenanceSpec extends SparkSpec {
       assert(streamed.quantile(phi) === batch.quantile(phi))
   }
 
+  test("histogram boundaries served from the maintained store == batch-built") {
+    val store = Files.createTempDirectory("graft_qm_store3").toString
+    QuantileMaintenance.build(orderRows(0L, 2000L), store, K)
+    QuantileMaintenance.mergeDelta(spark, store,
+      orderRows(2000L, 100000000L), "b0", K)
+    // the store serves equi-depth boundaries with NO rescan of history
+    val fromStore = graft.ops.Histogram.sketchBoundaries(
+      QuantileMaintenance.sketchFrame(spark, store, K), 8)
+      .collect().map(_.toString).toSeq
+    val batchSketch = QuantileSketch.sketchRows(
+      orderRows(0L, 100000000L), K)
+    val fromBatch = graft.ops.Histogram.sketchBoundaries(batchSketch, 8)
+      .collect().map(_.toString).toSeq
+    assert(fromStore === fromBatch)
+  }
+
   test("file-stream maintenance: streamed store == one-shot, restart is incremental") {
     val src = Files.createTempDirectory("graft_qm_src").toString
     val store = Files.createTempDirectory("graft_qm_store2").toString

@@ -94,10 +94,12 @@ def main():
     hq, bq = head["queries"], base["queries"]
     print(f"\n### sf10 ratio: {base_rev} (base) vs HEAD — same VM, "
           f"back to back, BENCH_RUNS={runs}\n")
-    print(f"base: total {base['value']} s, contended={base['contended']}, "
-          f"reruns={base['reruns']}, calib={base['calib_sec']}")
-    print(f"HEAD: total {head['value']} s, contended={head['contended']}, "
-          f"reruns={head['reruns']}, calib={head['calib_sec']}\n")
+    # older snapshots predate the contended/reruns fields — .get()
+    for tag, t in (("base", base), ("HEAD", head)):
+        print(f"{tag}: total {t['value']} s, "
+              f"contended={t.get('contended')}, reruns={t.get('reruns')}, "
+              f"calib={t.get('calib_sec')}")
+    print()
     print("| query | base s | HEAD s | HEAD/base |")
     print("|---|---|---|---|")
     flagged = []
