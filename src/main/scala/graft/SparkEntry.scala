@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{BpeQueries, DedupQueries, FingerprintQueries, GraphQueries, LinkageQueries, MultimodalQueries, PipelineQueries, RetrievalQueries, SimilarityQueries, TextQueries}
 import graft.pipeline.{Observations, StarSchema, WeatherEtl}
-import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, TimeSeriesQueries, WeatherQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, EventsQueries, FunctionQueries, RelationalQueries, StorageQueries, TimeSeriesQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,8 @@ object SparkEntry {
     LinkageQueries,       // blocked fuzzy entity resolution
     BpeQueries,           // relational BPE vocabulary training
     RetrievalQueries,     // hybrid lexical+semantic rank fusion (RRF)
-    TimeSeriesQueries     // EMA recurrence, motif mining, drift report
+    TimeSeriesQueries,    // EMA recurrence, motif mining, drift report
+    StorageQueries        // zone-map pruning, delete ledger, bloom join
   )
 
   private lazy val allDefs: Seq[(String, QueryDef)] = {

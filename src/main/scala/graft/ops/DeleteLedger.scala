@@ -1,0 +1,145 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes: a key-addressed delete LEDGER beside the
+  * data instead of rewriting data files per delete — the lakehouse
+  * deletion-vector idea (Delta DVs, Iceberg delete files) expressed as
+  * an explicit, inspectable operator. At 100 TB a compliance delete of
+  * 0.1% of rows must not cost a 100 TB rewrite; here it costs one
+  * ledger append, and readers reconcile with ONE anti-join until a
+  * background [[compact]] folds the ledger into the next data version.
+  *
+  * Layout under `base/`:
+  *   - `data_v{N}/`  immutable data versions (parquet)
+  *   - `VERSION`     one-line pointer to the current N — the
+  *                   manifest-last commit (the O-24 pattern): a data
+  *                   rewrite is invisible until this file flips
+  *   - `deletes/`    the ledger, hive-partitioned by `batch_id`
+  *
+  * Correctness contracts:
+  *   - DELETE idempotency: each batch writes via dynamic-partition
+  *     overwrite of its own `batch_id=` partition, so a retried batch
+  *     replaces itself instead of duplicating (the [[JoinView]]
+  *     recipe).
+  *   - COMPACTION crash windows: compact writes `data_v{N+1}`, flips
+  *     `VERSION`, then clears the ledger — in that order. A crash
+  *     before the flip leaves the old version + full ledger (nothing
+  *     lost); a crash after the flip but before the clear leaves the
+  *     new data AND the stale ledger, and re-applying a delete of
+  *     keys that no longer exist is a no-op anti-join (spec-proven).
+  *     The unsafe order (clear first) would lose deletes — documented
+  *     so nobody "optimizes" the sequence.
+  *   - single concurrent WRITER (deleter/compactor), many readers —
+  *     the same contract as the engine's other self-managed stores.
+  *
+  * Scale posture: the reconcile anti-join broadcasts the ledger while
+  * a MEASURED count stays under [[BroadcastDeleteRows]] (delete sets
+  * are usually orders of magnitude smaller than the table) and
+  * degrades to a shuffle anti-join beyond it — the [[TableStats]]
+  * statsJoin posture, never a frozen hint. Both regimes return the
+  * same rows by construction (spec-pinned). Compaction itself is one
+  * read-reconcile-write pass, amortized across every read that
+  * follows it.
+  */
+object DeleteLedger {
+
+  /** Ledger sizes up to this broadcast into the reconcile anti-join;
+    * beyond it the plan degrades to a shuffle anti-join. ~4M keys of
+    * a few dozen bytes ≈ low hundreds of MB — the upper edge of a
+    * comfortable broadcast. */
+  val BroadcastDeleteRows: Long = 4L * 1024 * 1024
+
+  private def versionFile(base: String) = Paths.get(base, "VERSION")
+  private def deletesDir(base: String) = s"$base/deletes"
+
+  /** Current data version, or -1 before [[create]] committed. */
+  def currentVersion(base: String): Int = {
+    val p = versionFile(base)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toInt
+    else -1
+  }
+
+  def dataDir(base: String): String =
+    s"$base/data_v${currentVersion(base)}"
+
+  /** Atomic-enough pointer flip: write a temp file, rename over. */
+  private def writeVersion(base: String, v: Int): Unit = {
+    val tmp = Paths.get(base, s".VERSION.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, versionFile(base), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Bootstrap the table: write `df` as version 0, commit the pointer
+    * last. */
+  def create(spark: SparkSession, base: String, df: DataFrame): Unit = {
+    new File(base).mkdirs()
+    df.write.mode(SaveMode.Overwrite).parquet(s"$base/data_v0")
+    writeVersion(base, 0)
+  }
+
+  /** Append one delete batch: `keys` is a single-column frame of the
+    * table's primary key. Dynamic-partition overwrite of this batch's
+    * own partition — a retry replaces itself. Deleting a key the data
+    * never held (or one already deleted) is harmlessly recorded; the
+    * anti-join makes it a no-op. */
+  def delete(spark: SparkSession, base: String, keys: DataFrame,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty, "empty batchId")
+    require(keys.columns.length == 1,
+      s"keys must be a single pk column, got ${keys.columns.mkString(",")}")
+    keys.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(deletesDir(base))
+  }
+
+  /** Distinct deleted keys (empty single-column frame before any
+    * delete), named `pk`. */
+  private def deletedKeys(spark: SparkSession, base: String,
+      pk: String): DataFrame = {
+    val dir = new File(deletesDir(base))
+    if (!Fs.hasCommittedParquet(dir))
+      spark.range(0).select(col("id").as(pk)).filter(lit(false))
+    else {
+      val raw = spark.read.parquet(deletesDir(base))
+      val keyCol = raw.columns.filterNot(_ == "batch_id").head
+      raw.select(col(keyCol).as(pk)).distinct()
+    }
+  }
+
+  /** The live table: current data version minus the ledger. One
+    * anti-join, broadcast while the measured ledger size allows.
+    * `maxBroadcast` exists so the spec can force the shuffle regime
+    * and pin both plans equal — production callers take the default. */
+  def read(spark: SparkSession, base: String, pk: String,
+      maxBroadcast: Long = BroadcastDeleteRows): DataFrame = {
+    val data = spark.read.parquet(dataDir(base))
+    val dels = deletedKeys(spark, base, pk)
+    if (dels.isEmpty) data
+    else {
+      // ledger-sized count — the measured regime gate
+      val n = dels.count()
+      val right = if (n <= maxBroadcast) broadcast(dels) else dels
+      data.join(right, Seq(pk), "left_anti")
+    }
+  }
+
+  /** Fold the ledger into a new data version. Order is load-bearing —
+    * see the object doc's crash analysis. Returns the new version. */
+  def compact(spark: SparkSession, base: String, pk: String): Int = {
+    val next = currentVersion(base) + 1
+    read(spark, base, pk).write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/data_v$next")
+    writeVersion(base, next)
+    Fs.deleteRecursively(new File(deletesDir(base)))
+    next
+  }
+}

@@ -89,4 +89,47 @@ object ScaleJoins {
   /** Two-sided salting for skewed x skewed self-proximity joins is a
     * cross-replication (salts^2) — not provided on purpose: block by a
     * content key instead (see the LSH/IVF operators). */
+
+  /** Bloom-reduced equi-join: semi-join reduction for the
+    * big-fact ⋈ selective-dim shape where the dim side is too big (or
+    * too late-filtered) for the cost model to broadcast, so the plan
+    * shuffles BOTH sides — including every fact row whose key the dim
+    * side doesn't even contain.
+    *
+    * The classic fix (Bloom-join, Mackert & Lohman '86; what AQE's
+    * InjectRuntimeFilter plants opportunistically under shuffle
+    * joins): sketch the dim keys into a bloom filter (one aggregate →
+    * one bounded blob on the driver, like a broadcast var), and kill
+    * definitely-absent fact rows with a narrow codegen'd filter
+    * BEFORE the fact side's exchange. No false negatives, and the
+    * join itself re-verifies every survivor, so the result is
+    * IDENTICAL to the plain join for any sketch size — the sizing
+    * knobs trade only shuffle bytes (false-positive rate) against
+    * blob size. Making it an explicit operator (vs hoping the runtime
+    * filter fires) pins the plan: the reduction applies at EVERY
+    * scale factor, not just when AQE's heuristics notice.
+    *
+    * Scale posture: at 100 TB the fact exchange is the dominant cost
+    * of this join shape; with fpp ~1% the shuffled fact bytes drop to
+    * ~(selectivity + 0.01) of the table for one extra fact-scan
+    * predicate and one dim-side aggregate. The blob (`nBits/8` bytes)
+    * rides the plan as a literal — size it for the dim's TRUE key
+    * count (1<<23 bits ≈ 1 MB handles ~1M keys at ~2% fpp).
+    */
+  def bloomReducedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, nItems: Long = 1L << 20,
+      nBits: Long = 1L << 23): DataFrame = {
+    val blob = dim
+      .agg(graft.functions.BloomSketch
+        .bloomAgg(xxhash64(col(dimKey)), nItems, nBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an empty dim aggregates to a null sketch; the join result is
+    // empty either way — keep the pre-filter total so the plan shape
+    // (filter below the exchange) is invariant
+    val pre =
+      if (blob == null) fact.filter(lit(false))
+      else fact.filter(graft.functions.BloomSketch
+        .mightContain(lit(blob), xxhash64(col(factKey))))
+    pre.join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone map (min/max skipping catalog) — the MANIFEST
+  * counterpart of [[Layout]]'s parquet-footer row-group statistics.
+  *
+  * Parquet footers already let a scan skip row groups, but the
+  * executor must still OPEN every file to learn that: at 100 TB with
+  * ~100k files, the driver schedules a task per file and each task
+  * pays a footer read before discovering it has nothing to do. A zone
+  * map moves the min/max one level up — one catalog row per data file,
+  * built in a single scan and persisted beside the data — so a
+  * range-filtered read prunes the FILE LIST before any task exists.
+  * This is the "small materialized aggregates" idea (Moerkotte,
+  * VLDB'98) as productized by every lakehouse table format
+  * (Delta/Iceberg manifest stats); here it is an explicit, inspectable
+  * operator instead of format magic.
+  *
+  * Interaction with layout: a zone map over a randomly-written table
+  * prunes nothing (every file spans the whole domain); over a
+  * [[Layout.writeRangeLayout]] table the per-file ranges are disjoint
+  * and a selective range predicate keeps O(selectivity) of the files.
+  * Build the layout for the hot filter column, then the zone map makes
+  * the pruning decision free.
+  *
+  * Scale posture:
+  *   - the BUILD is one scan with a map-side-combined groupBy on
+  *     `_metadata.file_path` — output is one row per file, i.e. the
+  *     catalog is ~10^5 rows where the data is 10^11;
+  *   - the PRUNE collects only the SURVIVING file paths to the driver
+  *     — the same driver-resident class as a lakehouse manifest scan
+  *     (Delta's log replay holds exactly this list) and as this
+  *     engine's index probe lists ([[VectorIndex]], [[JoinView]]);
+  *     the intersect test itself runs distributed on the stats frame;
+  *   - correctness never depends on the stats: pruning only DROPS
+  *     files whose [min,max] cannot intersect the predicate, and the
+  *     residual filter is always re-applied to the surviving rows, so
+  *     pruned-read ≡ full-scan-filter by construction (the
+  *     `q_zonemap_pruned` oracle gate proves it end-to-end).
+  *
+  * Null semantics: a range predicate `col BETWEEN lo AND hi` never
+  * matches NULL, so a file whose tracked column is entirely null
+  * (min/max both null) is correctly skipped; files with SOME nulls
+  * keep their non-null min/max and survive on those. IS NULL probes
+  * are out of scope here — track `n_nonnull` vs `n_rows` if needed.
+  */
+object ZoneMap {
+
+  /** Build the zone map for `dataDir`, tracking `cols`: one output row
+    * per data file with `n_rows` plus typed `min_c`/`max_c`/`nn_c` per
+    * tracked column. One scan, map-side combined (file count <<
+    * row count, so partial aggregation collapses each task's rows to
+    * at most its file count before the exchange). */
+  def build(spark: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "track at least one column")
+    val src = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          count(col(c)).as(s"nn_$c"))
+      }
+    src.groupBy("file").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the catalog beside the data (one small parquet — the
+    * stats frame is file-count-sized, so one file is right). */
+  def write(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit =
+    build(spark, dataDir, cols).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir)
+
+  def read(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(statsDir)
+
+  /** The files whose [min,max] MAY intersect [lo, hi] on `column`.
+    * Distributed filter on the stats frame; only survivors reach the
+    * driver. Null-stats files (all-null column) drop out because
+    * `null <= hi` is not true. private[graft] so the spec can assert
+    * the pruning ratio directly. */
+  private[graft] def survivingFiles(stats: DataFrame, column: String,
+      lo: Column, hi: Column): Seq[String] =
+    stats.filter(col(s"min_$column") <= hi && col(s"max_$column") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range-pruned read: scan only the surviving files, then re-apply
+    * the exact predicate. Result ≡ `spark.read.parquet(dataDir)
+    * .filter(column between (lo, hi))` for ANY zone map state — the
+    * catalog can only skip non-matching files, never rows. An empty
+    * survivor set returns an empty frame with the table's schema
+    * (folded from the full read, no scan tasks). */
+  def pruneRange(spark: SparkSession, dataDir: String, stats: DataFrame,
+      column: String, lo: Column, hi: Column): DataFrame = {
+    val files = survivingFiles(stats, column, lo, hi)
+    if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.ops.{BuildOnce, DeleteLedger, Layout, ScaleJoins, ZoneMap}
+
+/** Storage-layer operators end-to-end: file-level zone-map pruning,
+  * merge-on-read delete ledgers, and bloom semi-join reduction. Each
+  * query's oracle replays the PLAIN relational semantics over the raw
+  * tables, so the hash gate proves the storage machinery (pruned file
+  * lists, ledger reconciliation, bloom pre-filters) loses and invents
+  * nothing — the same losslessness-proof shape as the served-index
+  * queries.
+  */
+object StorageQueries extends QueryModule {
+
+  private val zoneMapMemo = BuildOnce.memo[String, String]()
+
+  /** Range-layout the events table by `user_id` and build its zone
+    * map — the write-once artifact every pruned read probes. The
+    * layout keeps the query's columns only (the ts column's
+    * nanos-vs-micros parquet round trip is [[Tables]]' concern, not
+    * this demo's). */
+  private[graft] def zoneMapFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(zoneMapMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zonemap").toString
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      Layout.writeRangeLayout(events, s"$base/data", 8, "user_id")
+      ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("user_id"))
+      base
+    }
+
+  private val deleteMemo = BuildOnce.memo[String, String]()
+
+  /** Documents table behind a delete ledger: two delete batches (one
+    * replayed, proving idempotency on the query path itself), never
+    * compacted here — the query reads through the reconcile
+    * anti-join. DeleteLedgerSpec owns compaction/crash schedules. */
+  private[graft] def deleteTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(deleteMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_delete_ledger").toString
+      val docs = Tables(spark, dir, "documents")
+      DeleteLedger.create(spark, base, docs)
+      val b1 = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      DeleteLedger.delete(spark, base, b1, "b1")
+      DeleteLedger.delete(spark, base,
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"), "b2")
+      // retried batch: dynamic overwrite of its own partition, no dups
+      DeleteLedger.delete(spark, base, b1, "b1")
+      base
+    }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Zone-map pruned range scan (ops/ZoneMap over a
+    // Layout.writeRangeLayout table): the file list is pruned from
+    // the min/max catalog BEFORE any scan task exists, then the exact
+    // predicate re-applies to the survivors — so the result is the
+    // plain filter's result whatever the catalog says (the oracle IS
+    // the plain filter over the raw table). A fixed user band stays
+    // ~constant rows at every SF while the table grows, so the
+    // pruned fraction improves with scale — the 100 TB access shape.
+    // ZoneMapSpec asserts the pruning ratio; this gate proves
+    // losslessness end-to-end.
+    "q_zonemap_pruned" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = zoneMapFor(spark, dir)
+        val stats = ZoneMap.read(spark, s"$base/zm")
+        ZoneMap.pruneRange(spark, s"$base/data", stats,
+          "user_id", lit(3L), lit(7L))
+          .withColumn("__h60",
+            conv(md5(col("event_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      bench = true),
+
+    // ---- Merge-on-read delete ledger (ops/DeleteLedger): documents
+    // behind two delete batches (one retried), read through the
+    // reconcile anti-join — no data file was rewritten. The oracle
+    // applies the same deletes as a plain NOT-filter on the raw
+    // table, so the hash gate proves ledger reconciliation ≡ the
+    // logical delete. Broadcast-vs-shuffle reconcile regimes are
+    // measured-count gated and spec-pinned equal.
+    "q_delete_ledger" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = deleteTableFor(spark, dir)
+        DeleteLedger.read(spark, base, "doc_id")
+          .withColumn("__h60",
+            conv(md5(col("doc_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            expr("bit_xor(__h60)").as("ids_xor60"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 3 OR doc_id % 11 = 5)
+        |GROUP BY source ORDER BY source""".stripMargin),
+      bench = true),
+
+    // ---- Bloom-reduced join (ScaleJoins.bloomReducedJoin): lineitem
+    // against the selective high-value-orders dim through a bloom
+    // pre-filter planted below the fact exchange. False positives are
+    // re-verified by the join itself, so the result is the plain
+    // join's for ANY sketch size — the oracle is exactly that plain
+    // join. l_quantity is integral-valued; the BIGINT cast before the
+    // sum keeps the aggregate exact (the strict-dtype discipline).
+    "q_bloom_join_reduce" -> QueryDef(
+      fn = (spark, dir) => {
+        val dim = Tables(spark, dir, "orders")
+          .filter(col("o_totalprice") > 470000.0)
+          .select("o_orderkey", "o_orderpriority")
+        val fact = Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        ScaleJoins.bloomReducedJoin(fact, dim, "l_orderkey", "o_orderkey")
+          .withColumn("__h60",
+            conv(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            expr("bit_xor(__h60)").as("ids_xor60"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        |SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |    || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)) AS ids_xor60
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 470000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true)
+  )
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DeleteLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): (String, DataFrame) = {
+    val base = Files.createTempDirectory("dl_spec").toString
+    val df = (0L until 1000L).map(i => (i, s"row$i", i % 7)).toDF("pk", "payload", "g")
+    DeleteLedger.create(spark, base, df)
+    (base, df)
+  }
+
+  private def liveSet(base: String, maxBroadcast: Long = DeleteLedger.BroadcastDeleteRows) =
+    DeleteLedger.read(spark, base, "pk", maxBroadcast).collect().toSet
+
+  test("read == data minus the ledger; retried batch does not double-delete") {
+    val (base, df) = freshTable()
+    val b1 = df.filter(col("pk") % 7 === 3).select("pk")
+    DeleteLedger.delete(spark, base, b1, "b1")
+    DeleteLedger.delete(spark, base,
+      df.filter(col("pk") % 11 === 5).select("pk"), "b2")
+    DeleteLedger.delete(spark, base, b1, "b1") // retry replaces itself
+
+    val expected = df.filter(!(col("pk") % 7 === 3 || col("pk") % 11 === 5))
+      .collect().toSet
+    assert(liveSet(base) === expected)
+  }
+
+  test("deleting keys the table never held is a no-op") {
+    val (base, df) = freshTable()
+    DeleteLedger.delete(spark, base,
+      Seq(100000L, 200000L).toDF("pk"), "ghost")
+    assert(liveSet(base) === df.collect().toSet)
+  }
+
+  test("broadcast and shuffle reconcile regimes return identical rows") {
+    val (base, _) = freshTable()
+    DeleteLedger.delete(spark, base,
+      (0L until 1000L by 3).toDF("pk"), "b1")
+
+    // pin the cost model AND AQE's runtime rescue off, so the
+    // regime really is the gate's choice: the hinted read must
+    // broadcast, the over-threshold read must shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val broad = DeleteLedger.read(spark, base, "pk")
+      val shuffled = DeleteLedger.read(spark, base, "pk", maxBroadcast = 0L)
+      assert(broad.collect().toSet === shuffled.collect().toSet)
+      assert(execNodes(broad).exists(_.isInstanceOf[BroadcastHashJoinExec]))
+      assert(execNodes(shuffled).exists(n =>
+        n.isInstanceOf[SortMergeJoinExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("compact folds the ledger: same rows, version bumped, no join in the read plan") {
+    val (base, _) = freshTable()
+    DeleteLedger.delete(spark, base,
+      (0L until 1000L by 5).toDF("pk"), "b1")
+    val before = liveSet(base)
+
+    val v = DeleteLedger.compact(spark, base, "pk")
+    assert(v === 1)
+    assert(DeleteLedger.currentVersion(base) === 1)
+    assert(!Fs.hasCommittedParquet(new File(s"$base/deletes")))
+    assert(liveSet(base) === before)
+
+    val plan = DeleteLedger.read(spark, base, "pk")
+    plan.collect()
+    assert(!execNodes(plan).exists(n =>
+      n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("crash window: stale ledger replayed over compacted data is a no-op") {
+    val (base, df) = freshTable()
+    val keys = (0L until 1000L by 4).toDF("pk")
+    DeleteLedger.delete(spark, base, keys, "b1")
+    val before = liveSet(base)
+    DeleteLedger.compact(spark, base, "pk")
+    // simulate: VERSION flipped but the ledger clear never happened —
+    // re-plant the same ledger over the already-applied data
+    DeleteLedger.delete(spark, base, keys, "b1")
+    assert(liveSet(base) === before)
+    // and the NEXT compact converges to a clean state
+    DeleteLedger.compact(spark, base, "pk")
+    assert(liveSet(base) === before)
+    assert(DeleteLedger.currentVersion(base) === 2)
+  }
+
+  test("deletes accumulate across compactions") {
+    val (base, df) = freshTable()
+    DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")
+    DeleteLedger.compact(spark, base, "pk")
+    DeleteLedger.delete(spark, base, Seq(3L, 4L).toDF("pk"), "b2")
+    val expected = df.filter(!col("pk").isin(1L, 2L, 3L, 4L)).collect().toSet
+    assert(liveSet(base) === expected)
+  }
+}

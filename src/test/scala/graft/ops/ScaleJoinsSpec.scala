@@ -76,4 +76,46 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bloomReducedJoin == plain join, with the might_contain filter below the join") {
+    // fact: 10k rows over 1000 keys; dim: 20 of those keys — the
+    // selective-dim shape where the reduction pays. The fact goes
+    // through parquet: over a LocalRelation, Catalyst constant-folds
+    // the (foldable-bloom) filter away at optimization time and the
+    // plan assert below would see nothing.
+    val factDir = java.nio.file.Files.createTempDirectory("bloom_fact").toString
+    (0L until 10000L).map(i => (i % 1000, i)).toDF("fk", "row_id")
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = (0L until 1000L by 50).map(k => (k, s"d$k")).toDF("dk", "name")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = fact.join(dim, col("fk") === col("dk"))
+      val reduced = ScaleJoins.bloomReducedJoin(fact, dim, "fk", "dk",
+        nItems = 1L << 10, nBits = 1L << 14)
+      assert(reduced.count() === plain.count())
+      assert(reduced.except(plain).isEmpty && plain.except(reduced).isEmpty)
+
+      // the pre-filter sits in the executed plan (below the join) …
+      reduced.collect()
+      assert(execNodes(reduced).exists(
+        _.toString.contains("might_contain")), reduced.queryExecution.executedPlan)
+      // … and it actually reduces: probe the same predicate directly.
+      // 20/1000 true keys at these sketch sizes keeps well under half.
+      val blob = dim.agg(graft.functions.BloomSketch
+        .bloomAgg(xxhash64(col("dk")), 1L << 10, 1L << 14)).head().getAs[Array[Byte]](0)
+      val kept = fact.filter(graft.functions.BloomSketch
+        .mightContain(lit(blob), xxhash64(col("fk")))).count()
+      assert(kept >= plain.count() && kept < 5000, s"pre-filter kept $kept")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("bloomReducedJoin against an empty dim returns empty") {
+    val fact = (0L until 100L).map(i => (i, i)).toDF("fk", "row_id")
+    val dim = Seq.empty[(Long, String)].toDF("dk", "name")
+    assert(ScaleJoins.bloomReducedJoin(fact, dim, "fk", "dk").count() === 0L)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("build: one catalog row per data file, counts add up") {
+    val base = tempDir("zm_build")
+    val df = (0L until 1000L).map(i => (i, i % 10, s"p$i")).toDF("k", "g", "payload")
+    Layout.writeRangeLayout(df, s"$base/data", 4, "k")
+
+    val stats = ZoneMap.build(spark, s"$base/data", Seq("k", "g"))
+    val rows = stats.collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === 1000L)
+    // global min/max reassemble from the per-file stats
+    assert(rows.map(_.getAs[Long]("min_k")).min === 0L)
+    assert(rows.map(_.getAs[Long]("max_k")).max === 999L)
+  }
+
+  test("pruneRange == plain filter, and it actually prunes files") {
+    val base = tempDir("zm_prune")
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    Layout.writeRangeLayout(df, s"$base/data", 8, "k")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    val stats = ZoneMap.read(spark, s"$base/zm")
+
+    val pruned = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(100L), lit(199L))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("k") >= 100L && col("k") <= 199L)
+    assert(pruned.collect().toSet === full.collect().toSet)
+
+    // a 10% band over 8 range-disjoint files touches at most 2
+    val surviving = ZoneMap.survivingFiles(stats, "k", lit(100L), lit(199L))
+    assert(surviving.nonEmpty && surviving.length <= 2,
+      s"expected <=2 surviving files, got ${surviving.length}")
+  }
+
+  test("boundaries are inclusive on both ends") {
+    val base = tempDir("zm_bounds")
+    val df = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    Layout.writeRangeLayout(df, s"$base/data", 4, "k")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    val stats = ZoneMap.read(spark, s"$base/zm")
+
+    val one = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(42L), lit(42L)).collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("all-null files are skipped; files with some nulls survive on their non-null range") {
+    val base = tempDir("zm_nulls")
+    // file 1: k in [0,9]; file 2: k all null; file 3: k null-or-[20,29]
+    (0L until 10L).map(i => (Some(i), "a")).toDF("k", "tag")
+      .coalesce(1).write.parquet(s"$base/data")
+    Seq.fill(10)((None: Option[Long], "b")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    (20L until 30L).map(i => (if (i % 2 == 0) Some(i) else None, "c")).toDF("k", "tag")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    val stats = ZoneMap.read(spark, s"$base/zm")
+    assert(stats.count() === 3)
+
+    // range over the third file only: the all-null file must drop out
+    val surviving = ZoneMap.survivingFiles(stats, "k", lit(20L), lit(29L))
+    assert(surviving.length === 1)
+    val pruned = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(20L), lit(29L))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("k") >= 20L && col("k") <= 29L)
+    assert(pruned.collect().toSet === full.collect().toSet)
+  }
+
+  test("empty survivor set returns an empty frame with the table schema") {
+    val base = tempDir("zm_empty")
+    val df = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    Layout.writeRangeLayout(df, s"$base/data", 2, "k")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    val stats = ZoneMap.read(spark, s"$base/zm")
+
+    val none = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(5000L), lit(6000L))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("k", "payload"))
+  }
+}

@@ -67,7 +67,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // histogram's broadcast bucket counts are all multiset functions;
     // paragraph dedup's first-occurrence winner is a commutative min
     "q_quantile_sketch", "q_histogram_sketch", "q_group_quantiles",
-    "q_paragraph_dedup")
+    "q_paragraph_dedup",
+    // storage wave: all three ride XOR set fingerprints (commutative
+    // by construction), and the machinery under them — pruned file
+    // lists, ledger anti-join, bloom pre-filter — must select the
+    // same ROWS at any slicing for those fingerprints to match
+    "q_zonemap_pruned", "q_delete_ledger", "q_bloom_join_reduce")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
