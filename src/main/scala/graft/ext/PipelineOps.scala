@@ -947,6 +947,37 @@ object PipelineQueries extends QueryModule {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin)),
 
+    // ---- Served JOIN view (plans/MatViewRewriteRule's join class):
+    // the SAME from-scratch orders><lineitem join code, with the
+    // rewrite rule installed and the incrementally-maintained
+    // ops/JoinView store registered — the optimizer substitutes the
+    // pre-joined store for the two-table join (exact-shape match
+    // only: by rewrite time the main optimizer has pushed any
+    // candidate-specific filter into the scans, so a different join
+    // differs structurally and is never served). The oracle is the
+    // plain join over the raw tables, so a PASS proves
+    // store-maintenance + rewrite lossless end-to-end; the
+    // store-probed/fallback plan asserts live in MatViewServeSpec.
+    // At 100 TB this serves the repeated wide fact-join from one
+    // pre-shuffled artifact instead of re-paying the join's
+    // two-sided exchange per query.
+    "q_joinview_served" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = joinViewFor(spark, dir)
+        graft.plans.MatViewRewriteRule.install(spark)
+        graft.plans.MatViewRewriteRule.register(
+          ordersLineitemJoin(spark, dir), s"$base/view",
+          graft.ops.JoinView.read(_, base))
+        ordersLineitemJoin(spark, dir)
+          .orderBy("o_orderkey", "l_linenumber", "o_custkey",
+            "o_orderstatus", "l_quantity", "l_extendedprice")
+      },
+      oracle = Some("""
+        |SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |       l_quantity, l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin)),
+
     // ---- Two-level quota sampling: a fixed quota per (lang, source)
     // stratum drawn by deterministic id-hash ticket — the equal-
     // allocation eval-set draw that complements q_weighted_sample's
@@ -1202,6 +1233,21 @@ object PipelineQueries extends QueryModule {
     * exercises all three delta terms (dA x B_old, A_old x dB,
     * dA x dB all non-empty). */
   private val joinViewMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  /** The canonical from-scratch orders><lineitem join — ONE definition
+    * shared by q_join_view's oracle shape, q_joinview_served's
+    * registered view, and the served query itself (exact-shape
+    * matching means the registered and candidate frames must be built
+    * by the same code path). */
+  private[graft] def ordersLineitemJoin(spark: SparkSession,
+      dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val line = Tables(spark, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    orders.join(line, "o_orderkey")
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderstatus"), col("l_quantity"), col("l_extendedprice"))
+  }
 
   private[graft] def joinViewFor(spark: SparkSession, dir: String): String =
     graft.ops.BuildOnce.cached(joinViewMemo, dir) {

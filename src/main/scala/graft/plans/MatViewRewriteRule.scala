@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, ExprId, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.PlanBridge
@@ -379,6 +379,14 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
           case served => served
         }
       case p @ Project(_, _: Aggregate) => tryServe(p)
+      // the JOIN class (an incrementally-maintained ops/JoinView is
+      // the store): exact-shape matching only — by the time this rule
+      // runs, the main optimizer has pushed candidate-specific
+      // filters/prunes INTO the join's scans, so any query that isn't
+      // the registered view verbatim differs structurally and keeps
+      // its from-scratch plan (the conservative boundary again)
+      case p: Join => tryServe(p)
+      case p @ Project(_, _: Join) => tryServe(p)
     }
 
   private def tryServe(p: LogicalPlan): LogicalPlan = {

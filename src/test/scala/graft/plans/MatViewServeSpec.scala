@@ -197,4 +197,36 @@ class MatViewServeSpec extends SparkSpec {
       assert(df.count() > 0)
     } finally MatViewRewriteRule.deregister(store)
   }
+
+  private def hasJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+
+  test("registered JOIN view is served from the JoinView store, losslessly") {
+    val base = graft.ext.PipelineQueries.joinViewFor(spark, sfDir)
+    def fromScratch = graft.ext.PipelineQueries.ordersLineitemJoin(spark, sfDir)
+    val expected = fromScratch.collect().toSet // before registration
+    MatViewRewriteRule.install(spark)
+    MatViewRewriteRule.register(fromScratch, s"$base/view",
+      graft.ops.JoinView.read(_, base))
+    try {
+      val served = fromScratch
+      val roots = optimizedRoots(served)
+      assert(roots.exists(_.contains(s"$base/view")), s"store not probed: $roots")
+      assert(!roots.exists(r => r.contains("orders.parquet") ||
+        r.contains("lineitem.parquet")), s"raw tables still scanned: $roots")
+      assert(!hasJoin(served), "join survived the rewrite")
+      assert(served.collect().toSet === expected)
+
+      // a candidate with an extra filter is NOT the registered shape:
+      // the main optimizer pushes the filter into the scans, so the
+      // join subtree differs and must keep its from-scratch plan
+      val filtered = fromScratch.filter(
+        org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      assert(!optimizedRoots(filtered).exists(_.contains(s"$base/view")))
+      assert(hasJoin(filtered))
+      assert(filtered.count() > 0)
+    } finally MatViewRewriteRule.deregister(s"$base/view")
+  }
 }
