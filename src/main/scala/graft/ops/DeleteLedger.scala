@@ -142,4 +142,41 @@ object DeleteLedger {
     Fs.deleteRecursively(new File(deletesDir(base)))
     next
   }
+
+  // -----------------------------------------------------------------
+  // Time travel: data versions are immutable and compact never touches
+  // old ones, so every compaction boundary is a readable snapshot for
+  // free — the lakehouse time-travel surface. Granularity is honest:
+  // a version is the table AS OF ITS COMPACTION (the ledger is folded
+  // in and cleared there); deletes ledgered since the current version
+  // are visible only through [[read]], not as a version of their own.
+  // -----------------------------------------------------------------
+
+  /** All committed data versions, ascending. */
+  def versions(base: String): Seq[Int] =
+    Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("data_v") && Fs.hasCommittedParquet(f))
+          n.stripPrefix("data_v").toIntOption
+        else None
+      }.sorted.toSeq.filter(_ <= currentVersion(base))
+
+  /** The table exactly as version `v` committed it (no ledger applied
+    * — v's compaction already folded every delete it knew about). */
+  def readVersion(spark: SparkSession, base: String, v: Int): DataFrame = {
+    require(versions(base).contains(v),
+      s"version $v not available (have ${versions(base).mkString(",")})")
+    spark.read.parquet(s"$base/data_v$v")
+  }
+
+  /** Retention: drop all but the newest `keep` versions (never the
+    * current one). Time travel reaches only what vacuum kept — the
+    * standard storage/history trade, made explicit. */
+  def vacuum(base: String, keep: Int = 1): Seq[Int] = {
+    require(keep >= 1, "must keep at least the current version")
+    val dropped = versions(base).dropRight(keep)
+    dropped.foreach(v => Fs.deleteRecursively(new File(s"$base/data_v$v")))
+    dropped
+  }
 }

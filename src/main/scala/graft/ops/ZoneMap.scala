@@ -85,6 +85,59 @@ object ZoneMap {
     stats.filter(col(s"min_$column") <= hi && col(s"max_$column") >= lo)
       .select("file").collect().map(_.getString(0)).toSeq
 
+  /** URI-scheme-insensitive path key: `_metadata.file_path` renders as
+    * `file:///tmp/x` while Hadoop `Path` renders `file:/tmp/x` — the
+    * filesystem path is the stable identity. */
+  private def pathKey(s: String): String =
+    if (s.contains(":")) java.net.URI.create(s.replace(" ", "%20")).getPath
+    else s
+
+  /** Data files currently under `dataDir` (driver-side listing — the
+    * same file-count-bounded class as the catalog itself). */
+  private def listDataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        f.getName.endsWith(".parquet")) out += f.toString
+    }
+    out.result()
+  }
+
+  /** Incremental catalog maintenance for an APPEND-ONLY table: stat
+    * only the files the catalog doesn't know yet and append their
+    * rows — the whole-table [[build]] scan is paid once, every later
+    * ingest batch costs one scan of ITS OWN files. (Data files are
+    * immutable in this engine's stores — rewrites land as new files
+    * in new dirs — so known-file stats never go stale; a mutated-file
+    * format would need an mtime/etag column beside `file`.)
+    * Returns how many new files were cataloged. */
+  def update(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Int = {
+    val known: Set[String] =
+      if (Fs.hasCommittedParquet(new java.io.File(statsDir)))
+        read(spark, statsDir).select("file").collect()
+          .map(r => pathKey(r.getString(0))).toSet
+      else Set.empty
+    val fresh = listDataFiles(spark, dataDir)
+      .filterNot(f => known.contains(pathKey(f)))
+    if (fresh.nonEmpty) {
+      val src = spark.read.parquet(fresh: _*)
+        .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+            count(col(c)).as(s"nn_$c"))
+        }
+      src.groupBy("file").agg(aggs.head, aggs.tail: _*)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(statsDir)
+    }
+    fresh.length
+  }
+
   /** Range-pruned read: scan only the surviving files, then re-apply
     * the exact predicate. Result ≡ `spark.read.parquet(dataDir)
     * .filter(column between (lo, hi))` for ANY zone map state — the

@@ -100,6 +100,31 @@ class DeleteLedgerSpec extends SparkSpec {
     assert(DeleteLedger.currentVersion(base) === 2)
   }
 
+  test("time travel: old versions stay readable exactly as committed; vacuum bounds history") {
+    val (base, df) = freshTable()
+    val v0 = df.collect().toSet
+    DeleteLedger.delete(spark, base, (0L until 500L).toDF("pk"), "b1")
+    DeleteLedger.compact(spark, base, "pk") // v1
+    DeleteLedger.delete(spark, base, (500L until 750L).toDF("pk"), "b2")
+    DeleteLedger.compact(spark, base, "pk") // v2
+
+    assert(DeleteLedger.versions(base) === Seq(0, 1, 2))
+    assert(DeleteLedger.readVersion(spark, base, 0).collect().toSet === v0)
+    assert(DeleteLedger.readVersion(spark, base, 1).collect().toSet ===
+      df.filter(col("pk") >= 500L).collect().toSet)
+    assert(DeleteLedger.readVersion(spark, base, 2).collect().toSet ===
+      df.filter(col("pk") >= 750L).collect().toSet)
+    // current read == newest version when the ledger is empty
+    assert(liveSet(base) === df.filter(col("pk") >= 750L).collect().toSet)
+
+    assert(DeleteLedger.vacuum(base, keep = 1) === Seq(0, 1))
+    assert(DeleteLedger.versions(base) === Seq(2))
+    assert(liveSet(base) === df.filter(col("pk") >= 750L).collect().toSet)
+    intercept[IllegalArgumentException] {
+      DeleteLedger.readVersion(spark, base, 0)
+    }
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

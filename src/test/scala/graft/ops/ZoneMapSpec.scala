@@ -81,6 +81,38 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.collect().toSet === full.collect().toSet)
   }
 
+  test("incremental update stats only the new files and matches a full rebuild") {
+    val base = tempDir("zm_update")
+    (0L until 100L).map(i => (i, s"a$i")).toDF("k", "payload")
+      .coalesce(1).write.parquet(s"$base/data")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+
+    // ingest batch: two more files land
+    (100L until 200L).map(i => (i, s"b$i")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    (200L until 300L).map(i => (i, s"c$i")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+
+    assert(ZoneMap.update(spark, s"$base/data", s"$base/zm", Seq("k")) === 2)
+    // idempotent: nothing new on the second call
+    assert(ZoneMap.update(spark, s"$base/data", s"$base/zm", Seq("k")) === 0)
+
+    val incremental = ZoneMap.read(spark, s"$base/zm")
+      .collect().map(r => (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))).toSet
+    val rebuilt = ZoneMap.build(spark, s"$base/data", Seq("k"))
+      .collect().map(r => (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))).toSet
+    assert(incremental === rebuilt)
+
+    // and the maintained catalog prunes correctly over the grown table
+    val stats = ZoneMap.read(spark, s"$base/zm")
+    val pruned = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(250L), lit(260L))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === (250L to 260L))
+    assert(ZoneMap.survivingFiles(stats, "k", lit(250L), lit(260L)).length === 1)
+  }
+
   test("empty survivor set returns an empty frame with the table schema") {
     val base = tempDir("zm_empty")
     val df = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")
