@@ -985,6 +985,66 @@ object AdvancedQueries extends QueryModule {
         |  AND o95.pos = GREATEST(1, 9500 * k.m // 10000)
         |ORDER BY m.source""".stripMargin)),
 
+    // ---- The SAME per-source quantiles SERVED from the maintained
+    // per-group store (streaming/GroupQuantileMaintenance): the store
+    // is built through two mergeDelta batches (odd/even doc_id) plus
+    // a REPLAYED batch — the idempotency stamp makes the replay a
+    // no-op — and the answer reads off the ≤k-row-per-group store
+    // with no corpus rescan. Because each group's sketch is an exact
+    // function of its multiset and merge is bit-exact, the served
+    // numbers equal q_group_quantiles' from-scratch ones, and the
+    // oracle (the same per-group level-sampling replay over raw
+    // documents) proves the maintenance loop lossless end-to-end.
+    // Scale shape: serving is a store read (groups × k rows); each
+    // maintenance batch pays one partial-aggregated exchange of its
+    // OWN rows only.
+    "q_group_quantiles_served" -> QueryDef(
+      fn = (spark, dir) => {
+        val store = groupQuantileStoreFor(spark, dir)
+        graft.streaming.GroupQuantileMaintenance
+          .quantilesFrame(spark, store, k = 64)
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |WITH src AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |lv AS MATERIALIZED (
+        |  SELECT source, v, h,
+        |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
+        |  FROM src),
+        |surv AS (
+        |  SELECT source, lmax, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY lmax DESC) AS s
+        |  FROM (SELECT source, lmax, COUNT(*) AS c FROM lv GROUP BY 1, 2)),
+        |meta AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(COALESCE(MAX(CASE WHEN s > 64 THEN lmax END) + 1, 0)
+        |      AS BIGINT) AS lstar,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM surv GROUP BY 1),
+        |sk AS MATERIALIZED (
+        |  SELECT l.source, l.v, l.h, m.lstar, m.n
+        |  FROM lv l JOIN meta m ON l.source = m.source
+        |  WHERE l.lmax >= m.lstar),
+        |skm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+        |        FROM sk GROUP BY 1),
+        |ord AS (
+        |  SELECT source, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, h)
+        |      AS BIGINT) AS pos
+        |  FROM sk)
+        |SELECT m.source, m.lstar, m.n, k.m,
+        |  o50.v AS p50_v, o95.v AS p95_v
+        |FROM meta m JOIN skm k ON m.source = k.source
+        |JOIN ord o50 ON o50.source = m.source
+        |  AND o50.pos = GREATEST(1, 5000 * k.m // 10000)
+        |JOIN ord o95 ON o95.source = m.source
+        |  AND o95.pos = GREATEST(1, 9500 * k.m // 10000)
+        |ORDER BY m.source""".stripMargin)),
+
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds
     // heavy hitters, CMS answers "how often?" for ANY key from d×w
@@ -2053,4 +2113,33 @@ object AdvancedQueries extends QueryModule {
         |            n*6//10, n*7//10, n*8//10, n*9//10, n*10//10)
         |ORDER BY rank""".stripMargin))
   )
+
+  private val groupQuantileStoreMemo = graft.ops.BuildOnce.memo[String, String]()
+
+  /** Build-once per-source quantile store for `q_group_quantiles_served`:
+    * maintained through two mergeDelta batches (odd/even doc_id — the
+    * union is the whole corpus) plus a replayed batch the idempotency
+    * stamp turns into a no-op. k=64 matches q_group_quantiles. */
+  private[graft] def groupQuantileStoreFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.ops.BuildOnce.cached(groupQuantileStoreMemo, dir) {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_gq_store").toString
+      val k = 64
+      def rows(parity: Int) = Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === parity)
+        .select(col("source").as("g"),
+          graft.ops.QuantileSketch.hash60(col("doc_id").cast("string"))
+            .as("h"),
+          col("n_chars").cast("long").as("v"))
+      graft.streaming.GroupQuantileMaintenance.build(
+        rows(0).filter(lit(false)), store, k) // empty bootstrap
+      graft.streaming.GroupQuantileMaintenance
+        .mergeDelta(spark, store, rows(0), "b0", k)
+      graft.streaming.GroupQuantileMaintenance
+        .mergeDelta(spark, store, rows(1), "b1", k)
+      graft.streaming.GroupQuantileMaintenance
+        .mergeDelta(spark, store, rows(1), "b1", k) // replay: no-op
+      store
+    }
 }

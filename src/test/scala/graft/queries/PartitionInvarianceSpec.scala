@@ -72,7 +72,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // by construction), and the machinery under them — pruned file
     // lists, ledger anti-join, bloom pre-filter — must select the
     // same ROWS at any slicing for those fingerprints to match
-    "q_zonemap_pruned", "q_delete_ledger", "q_bloom_join_reduce")
+    "q_zonemap_pruned", "q_delete_ledger", "q_bloom_join_reduce",
+    // the served per-group store: clearAll() forces a full store
+    // REBUILD (two mergeDelta batches of typed-Aggregator exchanges)
+    // at each partition count — merge order inside the partial
+    // aggregation must never leak into the stored sketch
+    "q_group_quantiles_served")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
