@@ -279,6 +279,79 @@ object DedupQueries extends QueryModule {
         |      SELECT doc_id + 500000, upper(text), lang, source, n_chars FROM documents)
         |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)),
 
+    // ---- SOFT dedup (frequency-damped duplicate keeping): instead
+    // of keep-one-drop-rest, keep isqrt(n) copies of an n-duplicated
+    // document — the sqrt-damping used when duplication frequency
+    // carries signal (a page mirrored 10k times is probably
+    // boilerplate, but one repeated 4 times may be legitimately
+    // popular; hard dedup erases that weight, raw keeping lets spam
+    // dominate). Winners are the isqrt(n) smallest md5(doc_id)
+    // tickets per normalized-content hash — content-keyed and
+    // hash-ordered, so the draw is partitioning- and snapshot-stable.
+    // floor(sqrt(n)) is exact for any realistic group size (IEEE
+    // sqrt is correctly rounded; the first liar is beyond 2^52).
+    // Scale shape: two same-spec window passes (count + row_number)
+    // in ONE content-hash exchange, then a source rollup; the kept
+    // SET rides the output as the bit_xor id checksum.
+    "q_soft_dedup" -> QueryDef(
+      fn = (spark, dir) => {
+        val docs = Tables(spark, dir, "documents")
+        def cp(c: Long, p: org.apache.spark.sql.Column) =
+          docs.filter(p).select((col("doc_id") + c * 1000000L).as("doc_id"),
+            col("text"), col("source"), col("n_chars"))
+        val corpus = cp(0, lit(true))
+          .unionByName(cp(1, lit(true)))
+          .unionByName(cp(2, col("doc_id") % 2 === 0))
+          .unionByName(cp(3, col("doc_id") % 4 === 0))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ch"))
+        val keyed = corpus.select(col("source"), col("n_chars"),
+          col("doc_id"),
+          md5(normText(col("text")).cast("binary")).as("ch"),
+          md5(col("doc_id").cast("string")).as("tk"))
+        val kept = col("rn") <= floor(sqrt(col("n")))
+        keyed
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("tk"), col("doc_id"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(kept, lit(1))).as("n_kept"),
+            sum(when(kept, col("n_chars"))).cast("long").as("chars_kept"),
+            expr("bit_xor(CASE WHEN rn <= CAST(floor(sqrt(n)) AS BIGINT)" +
+              " THEN CAST(conv(substr(tk, 1, 15), 16, 10) AS BIGINT) END)")
+              .as("ids_xor60"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, source, n_chars FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |keyed AS (
+        |  SELECT source, n_chars, doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch,
+        |    md5(CAST(doc_id AS VARCHAR)) AS tk
+        |  FROM corpus),
+        |w AS (
+        |  SELECT source, n_chars, tk,
+        |    ROW_NUMBER() OVER (PARTITION BY ch ORDER BY tk, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ch) AS n
+        |  FROM keyed)
+        |SELECT source, COUNT(*) AS n_total,
+        |  COUNT(*) FILTER (rn <= CAST(FLOOR(SQRT(n)) AS BIGINT)) AS n_kept,
+        |  CAST(SUM(n_chars) FILTER (rn <= CAST(FLOOR(SQRT(n)) AS BIGINT))
+        |    AS BIGINT) AS chars_kept,
+        |  bit_xor(CASE WHEN rn <= CAST(FLOOR(SQRT(n)) AS BIGINT)
+        |    THEN CAST('0x' || substr(tk, 1, 15) AS BIGINT) END) AS ids_xor60
+        |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Cross-snapshot incremental dedup (batch): admit only the
     // incoming docs whose normalized content hash is absent from the
     // previous snapshot — the batch twin of

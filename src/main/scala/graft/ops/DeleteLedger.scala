@@ -179,4 +179,27 @@ object DeleteLedger {
     dropped.foreach(v => Fs.deleteRecursively(new File(s"$base/data_v$v")))
     dropped
   }
+
+  /** Streaming twin: maintain the ledger from a parquet stream of
+    * delete-key files (the compliance-delete feed). Exactly-once by
+    * composition — foreachBatch delivers at-least-once with a stable
+    * batch id, and [[delete]]'s dynamic-partition overwrite makes a
+    * replayed id rewrite its own partition instead of duplicating.
+    * `keyExpr` is a SQL expression over the feed's columns producing
+    * the table's pk. */
+  def start(spark: SparkSession, feedDir: String, base: String,
+      keyExpr: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(feedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        delete(batch.sparkSession, base,
+          batch.select(expr(keyExpr).as("pk")), s"s$id")
+      }
+      .option("checkpointLocation", s"$base/__delete_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

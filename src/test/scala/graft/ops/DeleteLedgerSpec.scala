@@ -125,6 +125,30 @@ class DeleteLedgerSpec extends SparkSpec {
     }
   }
 
+  test("streamed delete feed == batch deletes; restart ingests only new files") {
+    val (base, df) = freshTable()
+    val feed = Files.createTempDirectory("dl_feed").toString
+    def writeFeed(keys: Seq[Long]): Unit =
+      keys.toDF("user_pk").coalesce(1).write.mode("append").parquet(feed)
+
+    writeFeed(0L until 100L)
+    writeFeed(100L until 150L)
+    DeleteLedger.start(spark, feed, base, "user_pk").awaitTermination()
+    assert(liveSet(base) === df.filter(col("pk") >= 150L).collect().toSet)
+
+    // restart with one more feed file: only it is ingested
+    writeFeed(Seq(200L, 201L))
+    DeleteLedger.start(spark, feed, base, "user_pk").awaitTermination()
+    assert(liveSet(base) ===
+      df.filter(col("pk") >= 150L && !col("pk").isin(200L, 201L))
+        .collect().toSet)
+    // and compaction folds the streamed ledger like any other
+    DeleteLedger.compact(spark, base, "pk")
+    assert(liveSet(base) ===
+      df.filter(col("pk") >= 150L && !col("pk").isin(200L, 201L))
+        .collect().toSet)
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

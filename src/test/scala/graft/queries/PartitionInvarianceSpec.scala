@@ -77,7 +77,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // REBUILD (two mergeDelta batches of typed-Aggregator exchanges)
     // at each partition count — merge order inside the partial
     // aggregation must never leak into the stored sketch
-    "q_group_quantiles_served")
+    "q_group_quantiles_served",
+    // soft dedup: the isqrt quota must select the same ticket-ordered
+    // winners (and hence the same xor fingerprint) at any slicing
+    "q_soft_dedup")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
