@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampNTZType, TimestampType}
+
+/** Automatic zone-map file pruning — the optimizer-rule face of
+  * [[graft.ops.ZoneMap]]: a table registered with its min/max catalog
+  * gets its range-filtered scans pruned to the files that can match,
+  * with the user writing a PLAIN `read.filter` — no pruned-read API
+  * call, the same serve-transparently contract as
+  * [[MatViewRewriteRule]].
+  *
+  * Safety is one-sided by construction (same argument as the explicit
+  * read path): the rule only REMOVES files whose [min,max] cannot
+  * intersect the predicate's bounds, derives bounds CONSERVATIVELY
+  * (strict comparisons widen to inclusive; any conjunct it can't read
+  * contributes no bound), and always leaves the original Filter on
+  * top — so the rewritten plan returns exactly the plain scan's rows
+  * for ANY catalog content. What the catalog can break is
+  * COMPLETENESS: a data file the catalog has never seen would be
+  * silently pruned; the freshness gate prevents that — the rule
+  * declines whenever the data dir holds a file newer than the cached
+  * catalog, and a [[graft.ops.ZoneMap.update]] (one scan of the new
+  * files) re-arms it.
+  *
+  * Driver economics: the catalog is collected ONCE per registration
+  * (file-count-sized — the manifest class) and refreshed only when
+  * the stats dir's mtime moves; `apply` itself runs no Spark job —
+  * matching is a pure in-memory intersect over the cached rows, the
+  * same cost class as listing partitions. At 100 TB this turns every
+  * dashboard range query over a range-laid-out log into a
+  * selectivity-sized scan without anyone calling an index API.
+  */
+object ZoneMapRule extends Rule[LogicalPlan] {
+
+  /** One registered catalog: tracked columns, the cached stats rows
+    * (file path, per-column min/max as CATALYST-internal values), and
+    * the mtimes the freshness gate pins. */
+  private final case class Registered(
+      statsDir: String,
+      cols: Seq[String],
+      rows: Seq[(String, Map[String, (Any, Any)])],
+      statsMtime: Long,
+      dataMtime: Long)
+
+  // dataDir root (URI-normalized) -> Registered; bounded + clearable
+  // through the shared registry (invariance tests clearAll()).
+  private val tables = graft.ops.BuildOnce.memo[String, Registered]()
+
+  private def norm(p: String): String =
+    if (p.contains(":")) java.net.URI.create(p.replace(" ", "%20")).getPath
+    else p
+
+  private def latestMtime(f: java.io.File): Long =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null || kids.isEmpty) f.lastModified()
+      else kids.map(latestMtime).max
+    } else f.lastModified()
+
+  /** Load + cache the catalog for `dataDir`. Values are converted to
+    * Catalyst-internal form ONCE here, so `apply` compares against
+    * literal values directly with the column type's ordering. */
+  private def load(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Registered = {
+    val stats = graft.ops.ZoneMap.read(spark, statsDir)
+    val schema = stats.schema
+    val conv = cols.map { c =>
+      c -> CatalystTypeConverters.createToCatalystConverter(
+        schema(s"min_$c").dataType)
+    }.toMap
+    val rows = stats.collect().map { r =>
+      val mm = cols.flatMap { c =>
+        val (lo, hi) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+        if (lo == null || hi == null) None // all-null file: no range
+        else Some(c -> (conv(c)(lo), conv(c)(hi)))
+      }.toMap
+      (r.getAs[String]("file"), mm)
+    }.toSeq
+    Registered(statsDir, cols, rows,
+      latestMtime(new java.io.File(statsDir)),
+      latestMtime(new java.io.File(norm(dataDir))))
+  }
+
+  /** Register `dataDir`'s zone map for automatic pruning. */
+  def register(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit = {
+    if (tables.size >= graft.ops.BuildOnce.MemoMaxEntries &&
+      !tables.contains(norm(dataDir))) tables.clear()
+    tables.update(norm(dataDir), load(spark, dataDir, statsDir, cols))
+  }
+
+  def deregister(dataDir: String): Unit = tables.remove(norm(dataDir))
+
+  /** Atomic types the rule compares (all it ever needs — the catalog
+    * stores the column's own type). */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | TimestampType | TimestampNTZType |
+        DateType | BooleanType => true
+    case _ => false
+  }
+
+  /** Conservative per-column bounds from the filter's conjuncts:
+    * strict comparisons widen to inclusive (a superset of matching
+    * files is always safe); conjuncts the extractor can't read
+    * contribute nothing. Returns col -> (Option[lo], Option[hi]). */
+  private def bounds(cond: Expression, tracked: Set[String])
+      : Map[String, (Option[Any], Option[Any])] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    var m = Map.empty[String, (Option[Any], Option[Any])]
+      .withDefaultValue((None, None))
+    def tight(c: String, lo: Option[Any], hi: Option[Any],
+        ord: Ordering[Any]): Unit = {
+      val (l0, h0) = m(c)
+      val l = (l0 ++ lo).reduceOption((a, b) => ord.max(a, b))
+      val h = (h0 ++ hi).reduceOption((a, b) => ord.min(a, b))
+      m += c -> (l, h)
+    }
+    split(cond).foreach {
+      case cmp @ (_: GreaterThanOrEqual | _: GreaterThan |
+          _: LessThanOrEqual | _: LessThan | _: EqualTo) =>
+        (cmp.asInstanceOf[Expression].children: @unchecked) match {
+          case Seq(a: AttributeReference, Literal(v, dt))
+              if tracked(a.name) && v != null && orderable(dt) =>
+            val ord = PlanBridge.interpretedOrdering(dt)
+            cmp match {
+              case _: GreaterThanOrEqual | _: GreaterThan =>
+                tight(a.name, Some(v), None, ord)
+              case _: LessThanOrEqual | _: LessThan =>
+                tight(a.name, None, Some(v), ord)
+              case _: EqualTo => tight(a.name, Some(v), Some(v), ord)
+            }
+          case Seq(Literal(v, dt), a: AttributeReference)
+              if tracked(a.name) && v != null && orderable(dt) =>
+            val ord = PlanBridge.interpretedOrdering(dt)
+            cmp match { // mirrored operand order flips the bound side
+              case _: GreaterThanOrEqual | _: GreaterThan =>
+                tight(a.name, None, Some(v), ord)
+              case _: LessThanOrEqual | _: LessThan =>
+                tight(a.name, Some(v), None, ord)
+              case _: EqualTo => tight(a.name, Some(v), Some(v), ord)
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    m
+  }
+
+  /** Files that MAY satisfy the bounds (per the cached catalog).
+    * A file missing min/max for a bounded column (all-null there) can
+    * never match a range predicate on it and drops out. */
+  private def survivors(reg: Registered, attrs: Seq[Attribute],
+      bs: Map[String, (Option[Any], Option[Any])]): Option[Seq[String]] = {
+    val active = bs.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
+    if (active.isEmpty) None
+    else Some(reg.rows.collect {
+      case (file, mm) if active.forall { case (c, (lo, hi)) =>
+        mm.get(c).exists { case (mn, mx) =>
+          val dt = attrs.find(_.name == c).get.dataType
+          val ord = PlanBridge.interpretedOrdering(dt)
+          lo.forall(l => ord.gteq(mx, l)) && hi.forall(h => ord.lteq(mn, h))
+        }
+      } => file
+    })
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (tables.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] && {
+            val h = lr.relation.asInstanceOf[HadoopFsRelation]
+            h.location.rootPaths.length == 1 &&
+              h.partitionSchema.isEmpty &&
+              tables.contains(norm(h.location.rootPaths.head.toString))
+          } =>
+        val h = lr.relation.asInstanceOf[HadoopFsRelation]
+        val root = norm(h.location.rootPaths.head.toString)
+        val spark = SparkSession.active
+        var reg = tables(root)
+        val dataM = latestMtime(new java.io.File(root))
+        if (dataM > reg.dataMtime ||
+          latestMtime(new java.io.File(reg.statsDir)) > reg.statsMtime) {
+          // something moved: reload the catalog once, then re-gate
+          reg = load(spark, root, reg.statsDir, reg.cols)
+          tables.update(root, reg)
+        }
+        if (latestMtime(new java.io.File(root)) > reg.statsMtime) f
+        else {
+          survivors(reg, lr.output, bounds(cond, reg.cols.toSet)) match {
+            case Some(files) if files.length < reg.rows.length =>
+              val idx = new InMemoryFileIndex(spark,
+                files.map(new Path(_)), Map.empty, Some(h.dataSchema))
+              val pruned = h.copy(location = idx,
+                partitionSchema = StructType(Nil))(spark)
+              Filter(cond, lr.copy(relation = pruned))
+            case _ => f // no usable bound, or nothing pruned
+          }
+        }
+    }
+
+  /** Install on a session built without extensions (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(ZoneMapRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ZoneMapRule
+}

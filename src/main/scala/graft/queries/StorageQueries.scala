@@ -92,6 +92,41 @@ object StorageQueries extends QueryModule {
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = true),
 
+    // ---- AUTOMATIC zone-map pruning (plans/ZoneMapRule): the same
+    // semantics as q_zonemap_pruned, but the user writes a PLAIN
+    // read.filter — the optimizer consults the registered catalog and
+    // swaps the scan's file index for the survivors, freshness-gated
+    // (an un-cataloged append disarms the rule; ZoneMap.update
+    // re-arms it — ZoneMapRuleSpec pins both transitions and the
+    // pruned file count). The oracle is the plain filter over raw
+    // events, identical to q_zonemap_pruned's: serve-transparently,
+    // lose nothing.
+    "q_zonemap_auto" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = zoneMapFor(spark, dir)
+        graft.plans.ZoneMapRule.install(spark)
+        graft.plans.ZoneMapRule.register(spark, s"$base/data", s"$base/zm",
+          Seq("user_id"))
+        spark.read.parquet(s"$base/data")
+          .filter(col("user_id") >= 3L && col("user_id") <= 7L)
+          .withColumn("__h60",
+            conv(md5(col("event_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- Merge-on-read delete ledger (ops/DeleteLedger): documents
     // behind two delete batches (one retried), read through the
     // reconcile anti-join — no data file was rewritten. The oracle

@@ -26,4 +26,12 @@ object PlanBridge {
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Total ordering over a data type's CATALYST-internal values —
+    * what Spark's own comparison operators use (TypeUtils is
+    * `private[sql]`). Needed by the zone-map pruning rule to compare
+    * catalog min/max against filter literals for any atomic type. */
+  def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      .asInstanceOf[Ordering[Any]]
 }

@@ -1,0 +1,100 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Layout, ZoneMap}
+
+/** ZoneMapRule: a plain read.filter over a registered table scans only
+  * the catalog's surviving files (plan-asserted via the executed
+  * scan), returns exactly the unpruned rows, declines when the data
+  * dir outruns the catalog, and re-arms after ZoneMap.update.
+  */
+class ZoneMapRuleSpec extends SparkSpec {
+
+  /** Files the optimized plan's scan would touch — read off the file
+    * INDEX (the thing the rule rewrites), not runtime metrics, which
+    * under-report on a re-collected frame. */
+  private def scannedFiles(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length.toLong
+    }.max
+
+  private def mkTable(): String = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zmr").toString
+    val df = (0L until 1000L).map(i => (i, i % 7, s"p$i")).toDF("k", "g", "payload")
+    Layout.writeRangeLayout(df, s"$base/data", 8, "k")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    base
+  }
+
+  private def query(base: String): DataFrame =
+    spark.read.parquet(s"$base/data")
+      .filter(col("k") >= 100L && col("k") <= 199L)
+
+  test("plain read.filter scans only surviving files, rows identical") {
+    val base = mkTable()
+    val before = query(base).collect().toSet // rule not yet armed for this dir
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, s"$base/data", s"$base/zm", Seq("k"))
+    try {
+      val pruned = query(base)
+      assert(pruned.collect().toSet === before)
+      val n = scannedFiles(pruned)
+      assert(n >= 1 && n <= 2, s"expected <=2 files scanned, got $n")
+    } finally ZoneMapRule.deregister(s"$base/data")
+  }
+
+  test("equality predicate prunes to one file; untracked/unbounded filters decline") {
+    import spark.implicits._
+    val base = mkTable()
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, s"$base/data", s"$base/zm", Seq("k"))
+    try {
+      val eq = spark.read.parquet(s"$base/data").filter(col("k") === 500L)
+      assert(eq.collect().map(_.getLong(0)).toSeq === Seq(500L))
+      assert(scannedFiles(eq) === 1L)
+
+      // a filter on an untracked column must keep the full scan
+      val untracked = spark.read.parquet(s"$base/data")
+        .filter(col("g") === 3L)
+      assert(scannedFiles(untracked) === 8L)
+      assert(untracked.count() ===
+        (0L until 1000L).count(_ % 7 == 3).toLong)
+    } finally ZoneMapRule.deregister(s"$base/data")
+  }
+
+  test("freshness: un-cataloged append disarms; ZoneMap.update re-arms") {
+    import spark.implicits._
+    val base = mkTable()
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, s"$base/data", s"$base/zm", Seq("k"))
+    try {
+      assert(scannedFiles(query(base)) <= 2L)
+
+      // new rows in [100,199] land as an UN-CATALOGED file: pruning
+      // from the stale catalog would silently drop them — the rule
+      // must fall back to the full scan and still return them
+      Thread.sleep(20) // file-mtime granularity
+      Seq((150L, 0L, "late")).toDF("k", "g", "payload")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      val stale = query(base)
+      assert(stale.count() === 101L, "appended row lost")
+      assert(scannedFiles(stale) === 9L, "stale catalog still pruning")
+
+      // one incremental catalog update re-arms the pruning
+      Thread.sleep(20)
+      assert(ZoneMap.update(spark, s"$base/data", s"$base/zm", Seq("k")) === 1)
+      val rearmed = query(base)
+      assert(rearmed.count() === 101L)
+      assert(scannedFiles(rearmed) <= 3L, "update did not re-arm pruning")
+    } finally ZoneMapRule.deregister(s"$base/data")
+  }
+}

@@ -80,7 +80,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_group_quantiles_served",
     // soft dedup: the isqrt quota must select the same ticket-ordered
     // winners (and hence the same xor fingerprint) at any slicing
-    "q_soft_dedup")
+    "q_soft_dedup",
+    // auto zone-map pruning: the pruned file set (and therefore the
+    // xor fingerprint over the scanned rows) must not depend on the
+    // partition count of the catalog build or the aggregation
+    "q_zonemap_auto")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
