@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -152,6 +152,17 @@ object ZoneMapRule extends Rule[LogicalPlan] {
             }
           case _ => ()
         }
+      // IN-list: widened to the single interval [min(values),
+      // max(values)] — conservative (a superset of the exact
+      // multi-interval survivors), which is the safe direction
+      case In(a: AttributeReference, vs)
+          if tracked(a.name) && vs.nonEmpty &&
+            vs.forall(v => v.isInstanceOf[Literal] &&
+              v.asInstanceOf[Literal].value != null) &&
+            orderable(a.dataType) =>
+        val ord = PlanBridge.interpretedOrdering(a.dataType)
+        val vals = vs.map(_.asInstanceOf[Literal].value)
+        tight(a.name, Some(vals.min(ord)), Some(vals.max(ord)), ord)
       case _ => ()
     }
     m

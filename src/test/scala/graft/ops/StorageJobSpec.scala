@@ -1,0 +1,57 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** StorageJob: the managed-table maintenance slot drains the delete
+  * feed, compacts past the measured threshold (vacuum bounds
+  * history), keeps the PER-VERSION zone-map catalog fresh, and every
+  * step is replay-idempotent — a retried slot changes nothing.
+  */
+class StorageJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slots: drain feed -> threshold compaction -> versioned catalog; retried slot is a no-op") {
+    val base = Files.createTempDirectory("sj_base").toString
+    val feed = Files.createTempDirectory("sj_feed").toString
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("pk", "payload")
+    DeleteLedger.create(spark, base, df)
+
+    // slot 1: a small delete feed — ledger stays (below threshold),
+    // catalog v0 built
+    (0L until 100L).toDF("user_pk").coalesce(1).write.mode("append").parquet(feed)
+    val s1 = StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 500L, zonemapCols = Seq("pk"),
+      feedKeyExpr = "user_pk")
+    assert(s1("version") === 0L)
+    assert(s1("ledger_rows") === 100L)
+    assert(s1("new_files_cataloged") >= 1L)
+    assert(DeleteLedger.read(spark, base, "pk").count() === 900L)
+
+    // retried slot: checkpoint re-drains nothing, catalog stats 0 new
+    val s1r = StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 500L, zonemapCols = Seq("pk"),
+      feedKeyExpr = "user_pk")
+    assert(s1r === s1.updated("new_files_cataloged", 0L))
+
+    // slot 2: the feed grows past the threshold — compaction folds
+    // the ledger, vacuum keeps 2 versions, a fresh v1 catalog builds
+    (100L until 701L).toDF("user_pk").coalesce(1).write.mode("append").parquet(feed)
+    val s2 = StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 500L, zonemapCols = Seq("pk"),
+      feedKeyExpr = "user_pk")
+    assert(s2("version") === 1L)
+    assert(s2("ledger_rows") === 0L)
+    assert(DeleteLedger.versions(base) === Seq(0, 1))
+    assert(DeleteLedger.read(spark, base, "pk").count() === 299L)
+    assert(Fs.hasCommittedParquet(
+      new java.io.File(StorageJob.zonemapDir(base))))
+    // the v1 catalog covers exactly the v1 files
+    val stats = ZoneMap.read(spark, StorageJob.zonemapDir(base))
+    assert(stats.collect().forall(_.getAs[String]("file").contains("data_v1")))
+    assert(stats.agg(sum("n_rows")).head().getLong(0) === 299L)
+  }
+}

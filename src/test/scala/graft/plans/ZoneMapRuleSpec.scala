@@ -62,6 +62,14 @@ class ZoneMapRuleSpec extends SparkSpec {
       assert(eq.collect().map(_.getLong(0)).toSeq === Seq(500L))
       assert(scannedFiles(eq) === 1L)
 
+      // IN-list: widened to [min, max] of the values — close values
+      // prune to their covering files, rows exact
+      val in = spark.read.parquet(s"$base/data")
+        .filter(col("k").isin(210L, 215L, 230L))
+      assert(in.collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(210L, 215L, 230L))
+      assert(scannedFiles(in) <= 2L)
+
       // a filter on an untracked column must keep the full scan
       val untracked = spark.read.parquet(s"$base/data")
         .filter(col("g") === 3L)

@@ -26,6 +26,7 @@ DAG_DIR = os.path.join(
 EXPECTED_DAGS = {
     "weatherflow_spark_dag.py": "weatherflow_spark_etl",
     "graft_curation_dag.py": "graft_curation",
+    "graft_storage_dag.py": "graft_storage",
 }
 
 
