@@ -55,7 +55,68 @@ object StorageQueries extends QueryModule {
       base
     }
 
+  private val cdfMemo = BuildOnce.memo[String, String]()
+
+  /** Documents table with a COMPACTION BOUNDARY in its history:
+    * v0 = full corpus; b1 deletes folded into v1 by a compact; b2
+    * still in the ledger. Gives `q_version_diff` real version dirs +
+    * a live ledger to derive its change feed from. */
+  private[graft] def cdfTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(cdfMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cdf_table").toString
+      val docs = Tables(spark, dir, "documents")
+      DeleteLedger.create(spark, base, docs)
+      DeleteLedger.delete(spark, base,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "b1")
+      DeleteLedger.compact(spark, base, "doc_id") // v1: b1 folded in
+      DeleteLedger.delete(spark, base,
+        docs.filter(col("doc_id") % 11 === 5).select("doc_id"), "b2")
+      base
+    }
+
   def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- Change-data-feed over DeleteLedger versions: the diff is
+    // DERIVED FROM THE STORAGE ARTIFACTS (readVersion(0/1) + the
+    // live merge-on-read view + one ledger-sized anti-join), while
+    // the oracle replays the logical delete predicates over the raw
+    // table — a hash match proves version history, compaction, and
+    // the live reconcile all agree with the logical timeline. Scale
+    // shape: three scans + one anti-join whose right side is
+    // ledger-sized; rollups are registry-sized and broadcast-joined.
+    "q_version_diff" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = cdfTableFor(spark, dir)
+        val v0 = DeleteLedger.readVersion(spark, base, 0)
+        val v1 = DeleteLedger.readVersion(spark, base, 1)
+        val live = DeleteLedger.read(spark, base, "doc_id")
+        def per(df: org.apache.spark.sql.DataFrame, n: String) =
+          df.groupBy("source").agg(count(lit(1)).as(n))
+        val removed = v1.join(live.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("__h60",
+            conv(md5(col("doc_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_removed_since_v1"),
+            expr("bit_xor(__h60)").as("removed_xor60"))
+        per(v0, "n_v0")
+          .join(broadcast(per(v1, "n_v1")), Seq("source"))
+          .join(broadcast(per(live, "n_live")), Seq("source"))
+          .join(broadcast(removed), Seq("source"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |SELECT source, COUNT(*) AS n_v0,
+        |  COUNT(*) FILTER (NOT doc_id % 7 = 3) AS n_v1,
+        |  COUNT(*) FILTER (NOT doc_id % 7 = 3 AND NOT doc_id % 11 = 5)
+        |    AS n_live,
+        |  COUNT(*) FILTER (NOT doc_id % 7 = 3 AND doc_id % 11 = 5)
+        |    AS n_removed_since_v1,
+        |  bit_xor(CASE WHEN NOT doc_id % 7 = 3 AND doc_id % 11 = 5
+        |    THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) END) AS removed_xor60
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- Zone-map pruned range scan (ops/ZoneMap over a
     // Layout.writeRangeLayout table): the file list is pruned from

@@ -84,7 +84,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // auto zone-map pruning: the pruned file set (and therefore the
     // xor fingerprint over the scanned rows) must not depend on the
     // partition count of the catalog build or the aggregation
-    "q_zonemap_auto")
+    "q_zonemap_auto",
+    // version diff: the anti-join-derived change feed and its xor
+    // fingerprint must select the same rows at any slicing
+    "q_version_diff")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
