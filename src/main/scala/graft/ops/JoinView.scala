@@ -65,8 +65,17 @@ object JoinView {
     * "state exists" is [[Fs.hasCommittedParquet]], never a bare
     * directory probe — see that method's doc for the two traps).
     * See object doc for the algebra + retry argument. */
+  /** Delta sides up to this many rows broadcast into the increment
+    * joins; beyond it the joins degrade to shuffles. A "delta is
+    * batch-sized" assumption frozen into an unconditional hint is
+    * exactly the broadcast-OOM class [[TableStats.statsJoin]] exists
+    * to prevent — found the hard way when a 7.5M-row demo delta at
+    * the 100× replica blew `spark.driver.maxResultSize`. */
+  val BroadcastDeltaRows: Long = 4L * 1024 * 1024
+
   def applyDelta(spark: SparkSession, baseDir: String, key: String,
-      dA: DataFrame, dB: DataFrame, batchId: String): Unit = {
+      dA: DataFrame, dB: DataFrame, batchId: String,
+      maxBroadcast: Long = BroadcastDeltaRows): Unit = {
     require(batchId.nonEmpty, "empty batchId")
     val dAs = stamp(dA, key, batchId).localCheckpoint(true)
     val dBs = stamp(dB, key, batchId).localCheckpoint(true)
@@ -87,8 +96,13 @@ object JoinView {
           readState(spark, s"$baseDir/stateB", touched, batchId)
             .drop("kb", "batch_id")
         else dBp.limit(0)
-      val dV = broadcast(dAp).join(bOld.unionByName(dBp), key)
-        .unionByName(aOld.join(broadcast(dBp), key))
+      // measured broadcast gate (counts are cheap — the deltas are
+      // localCheckpointed): same rows either way, only the exchange
+      // strategy changes
+      def gate(df: DataFrame): DataFrame =
+        if (df.count() <= maxBroadcast) broadcast(df) else df
+      val dV = gate(dAp).join(bOld.unionByName(dBp), key)
+        .unionByName(aOld.join(gate(dBp), key))
       // view partitions stamp with the batch that produced them: the
       // retry overwrite granularity
       writePartitioned(stamp(dV, key, batchId), s"$baseDir/view")

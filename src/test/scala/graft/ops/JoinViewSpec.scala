@@ -46,6 +46,26 @@ class JoinViewSpec extends SparkSpec {
     Fs.deleteRecursively(new File(base))
   }
 
+  test("shuffle-regime deltas (maxBroadcast=0) build the identical view") {
+    // the measured broadcast gate must change only the exchange
+    // strategy, never the rows — force the shuffle regime end to end
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_jv_shuffle").toString
+    val orders = Tables(spark, sf, "orders")
+    val line = Tables(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    JoinView.applyDelta(spark, base, "o_orderkey",
+      orders.filter(col("o_orderkey") % 2 === 0),
+      line.filter(col("l_linenumber") % 2 === 1), "b1", maxBroadcast = 0L)
+    JoinView.applyDelta(spark, base, "o_orderkey",
+      orders.filter(col("o_orderkey") % 2 === 1),
+      line.filter(col("l_linenumber") % 2 === 0), "b2", maxBroadcast = 0L)
+    val broadcastBuilt = freshView()
+    assert(snapshot(base) === snapshot(broadcastBuilt))
+    Fs.deleteRecursively(new File(base))
+    Fs.deleteRecursively(new File(broadcastBuilt))
+  }
+
   test("replaying an applied batch is a no-op; crash schedules converge") {
     val base = freshView()
     val before = snapshot(base)
