@@ -1045,6 +1045,66 @@ object AdvancedQueries extends QueryModule {
         |  AND o95.pos = GREATEST(1, 9500 * k.m // 10000)
         |ORDER BY m.source""".stripMargin)),
 
+    // ---- Per-group EQUI-DEPTH HISTOGRAM served from the same
+    // maintained store (GroupQuantileMaintenance.boundariesFrame —
+    // the grouped face of Histogram.sketchBoundaries): 4 boundaries
+    // per source read off the ≤k-row-per-group store as ONE
+    // DataFrame plan whose every exchange is group-keyed over
+    // groups×k rows. The oracle replays the per-group level sampling
+    // AND the boundary rule (position b·m div 4 in (v,h) order), so
+    // the hash gate pins the whole serve path. The 100 TB shape of
+    // "per-source length distribution, always fresh".
+    "q_group_histogram_served" -> QueryDef(
+      fn = (spark, dir) => {
+        val store = groupQuantileStoreFor(spark, dir)
+        graft.streaming.GroupQuantileMaintenance
+          .boundariesFrame(spark, store, buckets = 4)
+          .orderBy("source", "bucket")
+      },
+      oracle = Some("""
+        |WITH src AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |lv AS MATERIALIZED (
+        |  SELECT source, v, h,
+        |    CASE WHEN h = 0 THEN 60 ELSE 60 - length(bin(h)) END AS lmax
+        |  FROM src),
+        |surv AS (
+        |  SELECT source, lmax, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY lmax DESC) AS s
+        |  FROM (SELECT source, lmax, COUNT(*) AS c FROM lv GROUP BY 1, 2)),
+        |meta AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(COALESCE(MAX(CASE WHEN s > 64 THEN lmax END) + 1, 0)
+        |      AS BIGINT) AS lstar,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM surv GROUP BY 1),
+        |sk AS MATERIALIZED (
+        |  SELECT l.source, l.v, l.h
+        |  FROM lv l JOIN meta m ON l.source = m.source
+        |  WHERE l.lmax >= m.lstar),
+        |skm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS m
+        |        FROM sk GROUP BY 1),
+        |ord AS (
+        |  SELECT source, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, h)
+        |      AS BIGINT) AS pos
+        |  FROM sk),
+        |pos AS (
+        |  SELECT k.source, CAST(b.bucket AS BIGINT) AS bucket,
+        |    GREATEST(1, CAST(b.bucket AS BIGINT) * k.m // 4) AS pos, k.m
+        |  FROM skm k CROSS JOIN range(1, 5) b(bucket)),
+        |ubs AS (
+        |  SELECT p.source, p.bucket, o.v AS ub, p.m
+        |  FROM pos p JOIN ord o ON o.source = p.source AND o.pos = p.pos)
+        |SELECT u.source, u.bucket,
+        |  LAG(u.ub) OVER (PARTITION BY u.source ORDER BY u.bucket) AS lo,
+        |  u.ub, m2.lstar, m2.n, u.m
+        |FROM ubs u JOIN meta m2 ON u.source = m2.source
+        |ORDER BY u.source, u.bucket""".stripMargin)),
+
     // ---- Count-Min sketch heavy-key estimation — the frequency
     // sketch of the family (KMV counts distincts, Misra–Gries finds
     // heavy hitters, CMS answers "how often?" for ANY key from d×w

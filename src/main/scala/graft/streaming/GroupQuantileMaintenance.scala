@@ -124,6 +124,41 @@ object GroupQuantileMaintenance {
     }.toDF("source", "lstar", "n", "m", "p50_v", "p95_v")
   }
 
+  /** Per-group EQUI-DEPTH boundaries served from the maintained
+    * store — the grouped face of
+    * [[graft.ops.Histogram.sketchBoundaries]], computed as one
+    * DataFrame plan over the store's own rows (every exchange is on
+    * the group key over ≤groups×k-row frames; no rescan of history).
+    * Same boundary rule per group: bucket b's upper bound is the
+    * sketch value at position max(1, b·m div buckets) in (v, h)
+    * order; lo = previous bucket's ub (null for the first). */
+  def boundariesFrame(spark: SparkSession, storeDir: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val store = spark.read.parquet(storeDir)
+      .filter(col("g") =!= StampG)
+    val meta = store.filter(col("h") === MetaH)
+      .select(col("g"), col("v").as("lstar"), col("total").as("n"))
+    val items = store.filter(col("h") =!= MetaH)
+      .select(col("g"), col("h"), col("v"))
+    val m = items.groupBy("g").agg(count(lit(1)).as("m"))
+    val ord = items.withColumn("pos", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("h"))).cast("long"))
+    (1 to buckets).map(_.toLong).toDF("bucket")
+      .crossJoin(broadcast(m))
+      .withColumn("pos",
+        greatest(lit(1L), expr(s"bucket * m div $buckets")))
+      .join(ord.select(col("g"), col("pos"), col("v").as("ub")),
+        Seq("g", "pos"))
+      .withColumn("lo", lag("ub", 1).over(
+        Window.partitionBy(col("g")).orderBy(col("bucket"))))
+      .join(broadcast(meta), "g")
+      .select(col("g").as("source"), col("bucket"), col("lo"), col("ub"),
+        col("lstar"), col("n"), col("m"))
+  }
+
   /** Maintain `storeDir` from the parquet stream at `sourceDir`;
     * `gExpr`/`vExpr`/`keyExpr` are SQL expressions over the source
     * columns producing the group, sketched value, and unique hash

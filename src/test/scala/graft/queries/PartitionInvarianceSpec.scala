@@ -87,7 +87,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_zonemap_auto",
     // version diff: the anti-join-derived change feed and its xor
     // fingerprint must select the same rows at any slicing
-    "q_version_diff")
+    "q_version_diff",
+    // per-group served histogram: group-keyed windows over the store
+    // rows must pick identical boundary positions at any slicing
+    "q_group_histogram_served")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")

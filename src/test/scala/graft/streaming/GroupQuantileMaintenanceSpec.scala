@@ -84,6 +84,29 @@ class GroupQuantileMaintenanceSpec extends SparkSpec {
     assert(served === scratch)
   }
 
+  test("per-group boundaries == Histogram.sketchBoundaries applied to each group alone") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_gqm_store5").toString
+    GroupQuantileMaintenance.build(docRows(all), store, K)
+
+    val grouped = GroupQuantileMaintenance
+      .boundariesFrame(spark, store, buckets = 4)
+      .select("source", "bucket", "lo", "ub", "m")
+      .collect().map(_.toString).sorted.toSeq
+
+    val (sks, _) = GroupQuantileMaintenance.readSketches(spark, store, K)
+    val single = sks.toSeq.flatMap { case (g, sk) =>
+      val frame = sk.canonical
+        .map { case (h, v) => (v, h, sk.level.toLong, sk.total) }
+        .toDF("v", "h", "lstar", "n")
+      graft.ops.Histogram.sketchBoundaries(frame, 4)
+        .select(lit(g).as("source"), col("bucket"), col("lo"), col("ub"),
+          col("m"))
+        .collect().map(_.toString)
+    }.sorted
+    assert(grouped === single)
+  }
+
   test("file-stream maintenance: streamed store == one-shot batch, restart is incremental") {
     val src = Files.createTempDirectory("graft_gqm_src").toString
     val store = Files.createTempDirectory("graft_gqm_store4").toString
