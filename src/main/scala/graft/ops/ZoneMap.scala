@@ -145,10 +145,38 @@ object ZoneMap {
     * survivor set returns an empty frame with the table's schema
     * (folded from the full read, no scan tasks). */
   def pruneRange(spark: SparkSession, dataDir: String, stats: DataFrame,
-      column: String, lo: Column, hi: Column): DataFrame = {
-    val files = survivingFiles(stats, column, lo, hi)
+      column: String, lo: Column, hi: Column): DataFrame =
+    pruneBox(spark, dataDir, stats, Seq((column, lo, hi)))
+
+  /** Multi-column BOX pruning: a file survives only when EVERY
+    * predicate's [lo, hi] intersects its per-column [min, max] — the
+    * read shape a [[Layout.writeZOrderLayout]] table exists for (a
+    * range-by-A layout prunes nothing on a B-only filter; Z-order
+    * gives both columns partial locality, so the box keeps ~the
+    * product of the per-dimension fractions of the files). Same
+    * one-sided safety as [[pruneRange]]: survivors are a superset of
+    * matching files and the exact conjunction re-applies. */
+  def pruneBox(spark: SparkSession, dataDir: String, stats: DataFrame,
+      preds: Seq[(String, Column, Column)]): DataFrame = {
+    require(preds.nonEmpty, "at least one range predicate")
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val files = stats.filter(keep).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
     if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-    else spark.read.parquet(files: _*)
-      .filter(col(column) >= lo && col(column) <= hi)
+    else spark.read.parquet(files: _*).filter(residual)
+  }
+
+  /** Surviving-file count for a box (the spec/monitoring probe). */
+  private[graft] def survivingBoxFiles(stats: DataFrame,
+      preds: Seq[(String, Column, Column)]): Long = {
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    stats.filter(keep).count()
   }
 }

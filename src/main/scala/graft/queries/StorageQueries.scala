@@ -55,6 +55,27 @@ object StorageQueries extends QueryModule {
       base
     }
 
+  private val zorderMemo = BuildOnce.memo[String, String]()
+
+  /** Z-order-layout the orders table on (o_custkey, whole dollars)
+    * and build a two-column zone map — the 2-D box-query artifact.
+    * bits=24 keeps the interleave in range through the sf10 replica
+    * (custkey ≤ 1.5M, dollars ≤ 500k < 2^24); zOrder raise_errors on
+    * overflow rather than silently scrambling the layout. */
+  private[graft] def zorderFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(zorderMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice")).cast("long").as("dollars"))
+      Layout.writeZOrderLayout(orders, s"$base/data", 16,
+        "o_custkey", "dollars", bits = 24)
+      ZoneMap.write(spark, s"$base/data", s"$base/zm",
+        Seq("o_custkey", "dollars"))
+      base
+    }
+
   private val cdfMemo = BuildOnce.memo[String, String]()
 
   /** Documents table with a COMPACTION BOUNDARY in its history:
@@ -76,6 +97,45 @@ object StorageQueries extends QueryModule {
     }
 
   def defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- 2-D BOX query over a Z-order layout + two-column zone map
+    // (ZoneMap.pruneBox): a file survives only when BOTH dimensions'
+    // ranges intersect its min/max — the read shape Z-order exists
+    // for (a range-by-A layout prunes nothing on a B filter; the
+    // interleave gives both dimensions partial locality, so the box
+    // touches ~the product of the per-dimension file fractions).
+    // Residual conjunction re-applies, so the oracle is the plain
+    // two-predicate filter over raw orders. Spec asserts the box
+    // prunes harder than either single dimension.
+    "q_zorder_box" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = zorderFor(spark, dir)
+        val stats = ZoneMap.read(spark, s"$base/zm")
+        ZoneMap.pruneBox(spark, s"$base/data", stats, Seq(
+            ("o_custkey", lit(100L), lit(199L)),
+            ("dollars", lit(200000L), lit(299999L))))
+          .withColumn("__h60",
+            conv(md5(col("o_orderkey").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .agg(count(lit(1)).as("n_orders"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("o_custkey")).as("min_cust"),
+            max(col("o_custkey")).as("max_cust"),
+            min(col("dollars")).as("min_dollars"),
+            max(col("dollars")).as("max_dollars"))
+      },
+      oracle = Some("""
+        |SELECT COUNT(*) AS n_orders,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+        |  MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS min_dollars,
+        |  MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS max_dollars
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199
+        |  AND CAST(FLOOR(o_totalprice) AS BIGINT)
+        |      BETWEEN 200000 AND 299999""".stripMargin),
+      bench = true),
 
     // ---- Change-data-feed over DeleteLedger versions: the diff is
     // DERIVED FROM THE STORAGE ARTIFACTS (readVersion(0/1) + the

@@ -113,6 +113,29 @@ class ZoneMapSpec extends SparkSpec {
     assert(ZoneMap.survivingFiles(stats, "k", lit(250L), lit(260L)).length === 1)
   }
 
+  test("2-D box over a Z-order layout: prunes harder than either dimension alone, rows exact") {
+    val base = tempDir("zm_box")
+    // a 64x64 grid: both dimensions uniform, so a Z-order layout
+    // gives each of the 16 files a tight 2-D tile
+    val df = (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "a", "b")
+    Layout.writeZOrderLayout(df, s"$base/data", 16, "a", "b", bits = 8)
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("a", "b"))
+    val stats = ZoneMap.read(spark, s"$base/zm")
+
+    val preds = Seq(("a", lit(10L), lit(20L)), ("b", lit(10L), lit(20L)))
+    val pruned = ZoneMap.pruneBox(spark, s"$base/data", stats, preds)
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("a").between(10L, 20L) && col("b").between(10L, 20L))
+    assert(pruned.collect().toSet === full.collect().toSet)
+
+    val boxFiles = ZoneMap.survivingBoxFiles(stats, preds)
+    val aOnly = ZoneMap.survivingBoxFiles(stats, preds.take(1))
+    val bOnly = ZoneMap.survivingBoxFiles(stats, preds.drop(1))
+    assert(boxFiles < 16, s"box did not prune: $boxFiles")
+    assert(boxFiles < aOnly && boxFiles < bOnly,
+      s"box ($boxFiles) must beat single dims (a=$aOnly, b=$bOnly)")
+  }
+
   test("empty survivor set returns an empty frame with the table schema") {
     val base = tempDir("zm_empty")
     val df = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")

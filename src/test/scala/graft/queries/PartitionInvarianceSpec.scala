@@ -90,7 +90,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_version_diff",
     // per-group served histogram: group-keyed windows over the store
     // rows must pick identical boundary positions at any slicing
-    "q_group_histogram_served")
+    "q_group_histogram_served",
+    // z-order box: the 2-D pruned file set + xor fingerprint must
+    // not depend on the layout write's or the rollup's slicing
+    "q_zorder_box")
 
   private def run(name: String, parts: String): Seq[String] = {
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
