@@ -59,9 +59,11 @@ object StorageQueries extends QueryModule {
 
   /** Z-order-layout the orders table on (o_custkey, whole dollars)
     * and build a two-column zone map — the 2-D box-query artifact.
-    * bits=24 keeps the interleave in range through the sf10 replica
-    * (custkey ≤ 1.5M, dollars ≤ 500k < 2^24); zOrder raise_errors on
-    * overflow rather than silently scrambling the layout. */
+    * bits=30 keeps the interleave in range through the sf10 replica
+    * (ScaleUp offsets custkeys to ~990M < 2^30; the interleave tops
+    * out at bit 61 < a long); zOrder raise_errored on the first
+    * bits=24 attempt at sf10 instead of silently scrambling the
+    * layout — the guard working as designed. */
   private[graft] def zorderFor(spark: SparkSession, dir: String): String =
     BuildOnce.cached(zorderMemo, dir) {
       val base = java.nio.file.Files
@@ -70,7 +72,7 @@ object StorageQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"),
           floor(col("o_totalprice")).cast("long").as("dollars"))
       Layout.writeZOrderLayout(orders, s"$base/data", 16,
-        "o_custkey", "dollars", bits = 24)
+        "o_custkey", "dollars", bits = 30)
       ZoneMap.write(spark, s"$base/data", s"$base/zm",
         Seq("o_custkey", "dollars"))
       base
