@@ -279,6 +279,53 @@ object DedupQueries extends QueryModule {
         |      SELECT doc_id + 500000, upper(text), lang, source, n_chars FROM documents)
         |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)),
 
+    // ---- Cross-SOURCE duplication matrix: for every source pair,
+    // how many distinct normalized contents they SHARE — the
+    // curation tool that tells you which feeds mirror each other
+    // before you pay to ingest both. Scale shape: one distinct pass
+    // + one exchange on the content hash; the per-hash source set is
+    // ≤|sources| (registry-bounded), so pair expansion is a bounded
+    // flatMap — the corpus is never self-joined. The oracle replays
+    // it AS the self-join (the quadratic formulation the engine
+    // avoids), so the hash match doubles as the equivalence proof.
+    "q_source_overlap" -> QueryDef(
+      fn = (spark, dir) => {
+        val raw = Tables(spark, dir, "documents")
+        // the synthetic corpus has no natural cross-source dups — a
+        // mirror feed (same texts, 'mirror_'-prefixed source) plants
+        // them, so every (s, mirror_s) pair must surface with s's
+        // full distinct-content count
+        val docs = raw.unionByName(raw
+          .withColumn("source", concat(lit("mirror_"), col("source")))
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        docs.select(md5(normText(col("text")).cast("binary")).as("ch"),
+            col("source"))
+          .distinct()
+          .groupBy("ch")
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .select(explode(expr(
+            "flatten(transform(ss, (a, i) -> " +
+              "transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))"))
+            .as("p"))
+          .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some("""
+        |WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror_' || source, text FROM documents),
+        |k AS (
+        |  SELECT DISTINCT
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch,
+        |    source
+        |  FROM corpus)
+        |SELECT k1.source AS src_a, k2.source AS src_b,
+        |       COUNT(*) AS n_shared
+        |FROM k k1 JOIN k k2 ON k1.ch = k2.ch AND k1.source < k2.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- SOFT dedup (frequency-damped duplicate keeping): instead
     // of keep-one-drop-rest, keep isqrt(n) copies of an n-duplicated
     // document — the sqrt-damping used when duplication frequency

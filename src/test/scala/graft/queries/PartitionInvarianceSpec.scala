@@ -81,6 +81,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // soft dedup: the isqrt quota must select the same ticket-ordered
     // winners (and hence the same xor fingerprint) at any slicing
     "q_soft_dedup",
+    // source overlap: the bounded pair expansion from per-hash source
+    // SETS must yield identical counts at any slicing (collect_set
+    // order is normalized by sort_array before pairing)
+    "q_source_overlap",
     // auto zone-map pruning: the pruned file set (and therefore the
     // xor fingerprint over the scanned rows) must not depend on the
     // partition count of the catalog build or the aggregation
