@@ -54,4 +54,48 @@ class StorageJobSpec extends SparkSpec {
     assert(stats.collect().forall(_.getAs[String]("file").contains("data_v1")))
     assert(stats.agg(sum("n_rows")).head().getLong(0) === 299L)
   }
+
+  test("ZoneMapRule stays armed across maintenance slots (end-to-end)") {
+    val base = Files.createTempDirectory("sj_rule").toString
+    val feed = Files.createTempDirectory("sj_rule_feed").toString
+    DeleteLedger.create(spark, base,
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("pk", "payload"))
+    // slot: builds the v0 catalog
+    StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 1000000L, zonemapCols = Seq("pk"))
+    graft.plans.ZoneMapRule.install(spark)
+    graft.plans.ZoneMapRule.register(spark, DeleteLedger.dataDir(base),
+      StorageJob.zonemapDir(base), Seq("pk"))
+    try {
+      def pruned = spark.read.parquet(DeleteLedger.dataDir(base))
+        .filter(col("pk") >= 10L && col("pk") <= 20L)
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length.toLong
+        }.max
+      val full = spark.read.parquet(DeleteLedger.dataDir(base))
+        .where(col("pk").between(10L, 20L)).count()
+      assert(pruned.count() === full)
+
+      // a plain append lands un-cataloged: the rule must disarm …
+      Thread.sleep(20)
+      Seq((15L, "late")).toDF("pk", "payload")
+        .coalesce(1).write.mode("append")
+        .parquet(DeleteLedger.dataDir(base))
+      val totalFiles = scanFiles(
+        spark.read.parquet(DeleteLedger.dataDir(base)).where(lit(true)))
+      assert(scanFiles(pruned) === totalFiles, "stale catalog still pruning")
+      assert(pruned.count() === full + 1)
+
+      // … and the NEXT maintenance slot re-arms it via ZoneMap.update
+      Thread.sleep(20)
+      StorageJob.run(spark, base, feed, "pk",
+        compactAtRows = 1000000L, zonemapCols = Seq("pk"))
+      assert(scanFiles(pruned) < totalFiles, "slot did not re-arm pruning")
+      assert(pruned.count() === full + 1)
+    } finally graft.plans.ZoneMapRule.deregister(DeleteLedger.dataDir(base))
+  }
 }
