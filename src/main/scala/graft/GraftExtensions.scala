@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions._
-import graft.plans.{MatViewRewriteRule, RangeJoinRewriteRule, TopKRewriteRule, TopKStrategy}
+import graft.plans.{MatViewRewriteRule, RangeJoinRewriteRule, TopKRewriteRule, TopKStrategy, ZoneMapRule}
 
 /** One-stop Catalyst integration (the `SparkSessionExtensions` packaging):
   *
@@ -64,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
+    ext.injectOptimizerRule(_ => ZoneMapRule)
   }
 }

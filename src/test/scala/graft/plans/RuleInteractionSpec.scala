@@ -65,12 +65,19 @@ class RuleInteractionSpec extends SparkSpec {
       assert(!physical.contains("BroadcastNestedLoopJoin") &&
         !physical.contains("CartesianProduct"), physical)
 
-      // reference: fresh session, no custom rules
-      val fresh = spark.newSession()
-      val plain = composed(fresh).orderBy("s_id", "a_id").collect().toSeq
-      assert(composed(fresh).queryExecution.optimizedPlan.toString()
-        .contains("Window")) // sanity: rules really absent there
-      assert(got === plain)
+      // reference: plain-Scala model, rule-independent by construction
+      // (a "fresh session, no rules" baseline was ORDER-FRAGILE: any
+      // earlier suite that getOrCreate'd with extensions mutates the
+      // shared session's extension set, and newSession() inherits it
+      // — found when a suite pair ran in the wrong order)
+      val plain = sensorRows.flatMap { case (sId, sTs) =>
+        alertRows.map { case (aId, aTs) => (sId, aId, sTs, aTs) }
+          .filter { case (_, _, s, a) => math.abs(s - a) <= 25 }
+          .sortBy { case (_, aId, s, a) => (math.abs(s - a), aId) }
+          .take(3)
+      }.sortBy(t => (t._1, t._2))
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))) === plain)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 }
