@@ -107,83 +107,83 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Conservative per-column bounds from the filter's conjuncts:
-    * strict comparisons widen to inclusive (a superset of matching
-    * files is always safe); conjuncts the extractor can't read
-    * contribute nothing. Returns col -> (Option[lo], Option[hi]). */
-  private def bounds(cond: Expression, tracked: Set[String])
-      : Map[String, (Option[Any], Option[Any])] = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case o => Seq(o)
-    }
-    var m = Map.empty[String, (Option[Any], Option[Any])]
-      .withDefaultValue((None, None))
-    def tight(c: String, lo: Option[Any], hi: Option[Any],
-        ord: Ordering[Any]): Unit = {
-      val (l0, h0) = m(c)
-      val l = (l0 ++ lo).reduceOption((a, b) => ord.max(a, b))
-      val h = (h0 ++ hi).reduceOption((a, b) => ord.min(a, b))
-      m += c -> (l, h)
-    }
-    split(cond).foreach {
+  /** Surviving file INDICES by structural recursion over the whole
+    * boolean predicate — AND intersects, OR unions, a readable
+    * comparison keeps the files whose [min, max] may satisfy it, and
+    * anything unreadable returns None ("all files", the conservative
+    * identity for ∩ and the absorbing element for ∪). This subsumes
+    * conjunct-hull extraction and handles DISJOINT disjuncts exactly:
+    * `k < 60 OR k > 940` keeps the first and last range files instead
+    * of everything (an interval hull would widen to no constraint).
+    * Strict comparisons still widen to inclusive at the FILE test —
+    * one-sided as ever, the residual Filter does the exact work. */
+  private def survivorIdx(reg: Registered, cond: Expression)
+      : Option[Set[Int]] = {
+    val tracked = reg.cols.toSet
+    val all = reg.rows.indices.toSet
+
+    // files whose [mn, mx] may intersect the test; a file with no
+    // stats for the column (all-null there) can never match
+    def files(c: String)(keep: (Any, Any, Ordering[Any]) => Boolean,
+        ord: Ordering[Any]): Set[Int] =
+      reg.rows.indices.filter { i =>
+        reg.rows(i)._2.get(c).exists { case (mn, mx) =>
+          keep(mn, mx, ord)
+        }
+      }.toSet
+
+    def cmpSet(c: String, dt: DataType, v: Any,
+        op: Expression): Option[Set[Int]] =
+      if (!tracked(c) || v == null || !orderable(dt)) None
+      else {
+        val ord = PlanBridge.interpretedOrdering(dt)
+        Some(op match {
+          case _: GreaterThanOrEqual | _: GreaterThan =>
+            files(c)((_, mx, o) => o.gteq(mx, v), ord)
+          case _: LessThanOrEqual | _: LessThan =>
+            files(c)((mn, _, o) => o.lteq(mn, v), ord)
+          case _: EqualTo =>
+            files(c)((mn, mx, o) => o.lteq(mn, v) && o.gteq(mx, v), ord)
+        })
+      }
+
+    def walk(e: Expression): Option[Set[Int]] = e match {
+      case And(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b) // None = all files: ∩ identity
+      }
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        for (a <- walk(l); b <- walk(r)) yield a union b
       case cmp @ (_: GreaterThanOrEqual | _: GreaterThan |
           _: LessThanOrEqual | _: LessThan | _: EqualTo) =>
-        (cmp.asInstanceOf[Expression].children: @unchecked) match {
-          case Seq(a: AttributeReference, Literal(v, dt))
-              if tracked(a.name) && v != null && orderable(dt) =>
-            val ord = PlanBridge.interpretedOrdering(dt)
-            cmp match {
-              case _: GreaterThanOrEqual | _: GreaterThan =>
-                tight(a.name, Some(v), None, ord)
-              case _: LessThanOrEqual | _: LessThan =>
-                tight(a.name, None, Some(v), ord)
-              case _: EqualTo => tight(a.name, Some(v), Some(v), ord)
+        cmp.children match {
+          case Seq(a: AttributeReference, Literal(v, dt)) =>
+            cmpSet(a.name, dt, v, cmp)
+          case Seq(Literal(v, dt), a: AttributeReference) =>
+            // mirrored operand order flips the comparison side
+            val flipped = cmp match {
+              case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
+              case GreaterThan(l, r) => LessThan(r, l)
+              case LessThanOrEqual(l, r) => GreaterThanOrEqual(r, l)
+              case LessThan(l, r) => GreaterThan(r, l)
+              case eq: EqualTo => eq
             }
-          case Seq(Literal(v, dt), a: AttributeReference)
-              if tracked(a.name) && v != null && orderable(dt) =>
-            val ord = PlanBridge.interpretedOrdering(dt)
-            cmp match { // mirrored operand order flips the bound side
-              case _: GreaterThanOrEqual | _: GreaterThan =>
-                tight(a.name, None, Some(v), ord)
-              case _: LessThanOrEqual | _: LessThan =>
-                tight(a.name, Some(v), None, ord)
-              case _: EqualTo => tight(a.name, Some(v), Some(v), ord)
-            }
-          case _ => ()
+            cmpSet(a.name, dt, v, flipped)
+          case _ => None
         }
-      // IN-list: widened to the single interval [min(values),
-      // max(values)] — conservative (a superset of the exact
-      // multi-interval survivors), which is the safe direction
+      // IN-list: exact union of the per-value point tests
       case In(a: AttributeReference, vs)
           if tracked(a.name) && vs.nonEmpty &&
             vs.forall(v => v.isInstanceOf[Literal] &&
               v.asInstanceOf[Literal].value != null) &&
             orderable(a.dataType) =>
         val ord = PlanBridge.interpretedOrdering(a.dataType)
-        val vals = vs.map(_.asInstanceOf[Literal].value)
-        tight(a.name, Some(vals.min(ord)), Some(vals.max(ord)), ord)
-      case _ => ()
+        Some(vs.map(_.asInstanceOf[Literal].value).map { v =>
+          files(a.name)((mn, mx, o) => o.lteq(mn, v) && o.gteq(mx, v), ord)
+        }.reduce(_ union _))
+      case _ => None
     }
-    m
-  }
-
-  /** Files that MAY satisfy the bounds (per the cached catalog).
-    * A file missing min/max for a bounded column (all-null there) can
-    * never match a range predicate on it and drops out. */
-  private def survivors(reg: Registered, attrs: Seq[Attribute],
-      bs: Map[String, (Option[Any], Option[Any])]): Option[Seq[String]] = {
-    val active = bs.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
-    if (active.isEmpty) None
-    else Some(reg.rows.collect {
-      case (file, mm) if active.forall { case (c, (lo, hi)) =>
-        mm.get(c).exists { case (mn, mx) =>
-          val dt = attrs.find(_.name == c).get.dataType
-          val ord = PlanBridge.interpretedOrdering(dt)
-          lo.forall(l => ord.gteq(mx, l)) && hi.forall(h => ord.lteq(mn, h))
-        }
-      } => file
-    })
+    walk(cond).filter(_ != all)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -209,8 +209,9 @@ object ZoneMapRule extends Rule[LogicalPlan] {
         }
         if (latestMtime(new java.io.File(root)) > reg.statsMtime) f
         else {
-          survivors(reg, lr.output, bounds(cond, reg.cols.toSet)) match {
-            case Some(files) if files.length < reg.rows.length =>
+          survivorIdx(reg, cond) match {
+            case Some(idxs) if idxs.size < reg.rows.length =>
+              val files = idxs.toSeq.sorted.map(i => reg.rows(i)._1)
               val idx = new InMemoryFileIndex(spark,
                 files.map(new Path(_)), Map.empty, Some(h.dataSchema))
               val pruned = h.copy(location = idx,

@@ -70,6 +70,21 @@ class ZoneMapRuleSpec extends SparkSpec {
         Seq(210L, 215L, 230L))
       assert(scannedFiles(in) <= 2L)
 
+      // DISJOINT disjuncts prune exactly (union of the two ends —
+      // an interval hull would widen to no constraint and scan all 8)
+      val tails = spark.read.parquet(s"$base/data")
+        .filter(col("k") < 60L || col("k") > 940L)
+      assert(tails.count() === 119L)
+      assert(scannedFiles(tails) === 2L)
+
+      // OR mixing a readable and an unreadable side declines (the
+      // unreadable disjunct could match anywhere)
+      val mixedOr = spark.read.parquet(s"$base/data")
+        .filter(col("k") < 60L || col("g") === 3L)
+      assert(scannedFiles(mixedOr) === 8L)
+      assert(mixedOr.count() ===
+        (0L until 1000L).count(i => i < 60 || i % 7 == 3).toLong)
+
       // a filter on an untracked column must keep the full scan
       val untracked = spark.read.parquet(s"$base/data")
         .filter(col("g") === 3L)
