@@ -38,7 +38,12 @@ class AnsiInvarianceSpec extends SparkSpec {
     // round-9: the quantile family's integer certificate arithmetic
     // (err² · m vs 25·φ(10⁴−φ)·n² products) runs in DECIMAL(38,0) —
     // ANSI must not change any product or the position div math
-    "q_quantile_sketch", "q_histogram_sketch", "q_group_quantiles")
+    "q_quantile_sketch", "q_histogram_sketch", "q_group_quantiles",
+    // round-9 storage wave: the 60-bit conv() id checksums, soft
+    // dedup's floor(sqrt) quota, and the version-diff anti-join
+    // arithmetic must not rely on silent wrap anywhere
+    "q_soft_dedup", "q_delete_ledger", "q_version_diff",
+    "q_zonemap_pruned", "q_zorder_box")
 
   private def run(name: String, ansi: Boolean): Seq[String] = {
     val prior = spark.conf.get("spark.sql.ansi.enabled")
