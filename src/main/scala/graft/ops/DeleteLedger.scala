@@ -54,6 +54,14 @@ object DeleteLedger {
     * comfortable broadcast. */
   val BroadcastDeleteRows: Long = 4L * 1024 * 1024
 
+  /** Canonical ledger key column. Every delete batch writes its key
+    * under this ONE name whatever the caller's frame called it —
+    * batch [[delete]] with a `doc_id` column and the streaming
+    * [[start]] feed must land in the same schema, or a later
+    * non-merged parquet read would pick one era's column and silently
+    * null the other era's keys out of the reconcile anti-join. */
+  private val LedgerKeyCol = "pk"
+
   private def versionFile(base: String) = Paths.get(base, "VERSION")
   private def deletesDir(base: String) = s"$base/deletes"
 
@@ -94,7 +102,7 @@ object DeleteLedger {
     require(batchId.nonEmpty, "empty batchId")
     require(keys.columns.length == 1,
       s"keys must be a single pk column, got ${keys.columns.mkString(",")}")
-    keys.withColumn("batch_id", lit(batchId))
+    keys.toDF(LedgerKeyCol).withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
@@ -109,9 +117,19 @@ object DeleteLedger {
     if (!Fs.hasCommittedParquet(dir))
       spark.range(0).select(col("id").as(pk)).filter(lit(false))
     else {
-      val raw = spark.read.parquet(deletesDir(base))
-      val keyCol = raw.columns.filterNot(_ == "batch_id").head
-      raw.select(col(keyCol).as(pk)).distinct()
+      // mergeSchema: see every partition's columns even if a pre-
+      // normalization ledger mixed key names; one key column is the
+      // contract — more than one means two eras' partitions each
+      // carry half the deletes under different names, and silently
+      // picking one would drop the other half from the reconcile
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(deletesDir(base))
+      val keyCols = raw.columns.filterNot(_ == "batch_id")
+      require(keyCols.length == 1,
+        s"delete ledger at ${deletesDir(base)} has mixed key columns " +
+          s"${keyCols.mkString(",")} — partitions written under " +
+          "different schemas; re-write the ledger with one key name")
+      raw.select(col(keyCols.head).as(pk)).distinct()
     }
   }
 

@@ -119,9 +119,32 @@ object ScaleJoins {
   def bloomReducedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, nItems: Long = 1L << 20,
       nBits: Long = 1L << 23): DataFrame = {
+    // both sides must hash the SAME representation: xxhash64 over an
+    // int and over the equal bigint differ, so a type-mismatched pair
+    // would produce bloom FALSE NEGATIVES — matching fact rows
+    // silently dropped. Join-compatible integral pairs widen to long
+    // (lossless, so a fact value equal to any dim value hashes
+    // identically); anything else must already share a type — failing
+    // loudly beats a join that quietly loses rows.
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (ft, dt) =
+      (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    val hashType =
+      if (ft == dt) ft
+      else {
+        require(integral(ft) && integral(dt),
+          s"bloomReducedJoin: key types must match or both be integral " +
+            s"(got $factKey: $ft vs $dimKey: $dt)")
+        LongType
+      }
     val blob = dim
       .agg(graft.functions.BloomSketch
-        .bloomAgg(xxhash64(col(dimKey)), nItems, nBits).as("bf"))
+        .bloomAgg(xxhash64(col(dimKey).cast(hashType)), nItems, nBits)
+        .as("bf"))
       .head().getAs[Array[Byte]](0)
     // an empty dim aggregates to a null sketch; the join result is
     // empty either way — keep the pre-filter total so the plan shape
@@ -129,7 +152,7 @@ object ScaleJoins {
     val pre =
       if (blob == null) fact.filter(lit(false))
       else fact.filter(graft.functions.BloomSketch
-        .mightContain(lit(blob), xxhash64(col(factKey))))
+        .mightContain(lit(blob), xxhash64(col(factKey).cast(hashType))))
     pre.join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -162,8 +162,24 @@ object ZoneMap {
     val keep = preds.map { case (c, lo, hi) =>
       col(s"min_$c") <= hi && col(s"max_$c") >= lo
     }.reduce(_ && _)
-    val files = stats.filter(keep).select("file")
-      .collect().map(_.getString(0)).toSeq
+    // one driver-bounded pass carries BOTH the survival verdict and
+    // the catalog's full file set (null stats coalesce to not-kept —
+    // an all-null file can't match a range)
+    val catRows = stats
+      .select(col("file"), coalesce(keep, lit(false)).as("keep"))
+      .collect()
+    val cataloged = catRows.map(r => pathKey(r.getString(0))).toSet
+    val surviving = catRows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    // COMPLETENESS gate: a data file the catalog has never seen (an
+    // append after the last build/update) carries no stats and must
+    // not be pruned — scan it unpruned, so `pruned ≡ plain filter`
+    // holds for ANY catalog state, not just a fully-covering one
+    // (the explicit-path twin of ZoneMapRule's freshness gate; the
+    // listing is the same driver-side file-count-bounded class as
+    // the catalog itself)
+    val uncataloged = listDataFiles(spark, dataDir)
+      .filterNot(f => cataloged.contains(pathKey(f)))
+    val files = surviving ++ uncataloged
     val residual = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)

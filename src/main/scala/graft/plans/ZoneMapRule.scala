@@ -58,12 +58,27 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     if (p.contains(":")) java.net.URI.create(p.replace(" ", "%20")).getPath
     else p
 
-  private def latestMtime(f: java.io.File): Long =
-    if (f.isDirectory) {
-      val kids = f.listFiles()
-      if (kids == null || kids.isEmpty) f.lastModified()
-      else kids.map(latestMtime).max
-    } else f.lastModified()
+  /** Newest modification time under `dir`, resolved through the
+    * Hadoop FileSystem for the path's scheme — java.io.File returns 0
+    * for any non-local path (hdfs://, s3a://), which would make both
+    * sides of the freshness gate read 0 and an un-cataloged append
+    * silently pruned away. Every DIRECTORY's own mtime rides the max
+    * too: a deleted data file bumps its parent dir but leaves no file
+    * newer than the catalog, so without the dir term the gate would
+    * never disarm and the cached pruned index could point at missing
+    * files. A vanished path reads Long.MaxValue — "always stale"
+    * declines the rewrite rather than pruning against ghosts. */
+  private def latestMtime(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val kids = fs.listStatus(st.getPath)
+        (st.getModificationTime +: kids.map(walk).toSeq).max
+      }
+    if (!fs.exists(p)) Long.MaxValue else walk(fs.getFileStatus(p))
+  }
 
   /** Load + cache the catalog for `dataDir`. Values are converted to
     * Catalyst-internal form ONCE here, so `apply` compares against
@@ -85,8 +100,8 @@ object ZoneMapRule extends Rule[LogicalPlan] {
       (r.getAs[String]("file"), mm)
     }.toSeq
     Registered(statsDir, cols, rows,
-      latestMtime(new java.io.File(statsDir)),
-      latestMtime(new java.io.File(norm(dataDir))))
+      latestMtime(spark, statsDir),
+      latestMtime(spark, dataDir))
   }
 
   /** Register `dataDir`'s zone map for automatic pruning. */
@@ -197,17 +212,27 @@ object ZoneMapRule extends Rule[LogicalPlan] {
               tables.contains(norm(h.location.rootPaths.head.toString))
           } =>
         val h = lr.relation.asInstanceOf[HadoopFsRelation]
-        val root = norm(h.location.rootPaths.head.toString)
+        val rawRoot = h.location.rootPaths.head.toString
+        val root = norm(rawRoot)
         val spark = SparkSession.active
         var reg = tables(root)
-        val dataM = latestMtime(new java.io.File(root))
+        val dataM = latestMtime(spark, rawRoot)
+        var usable = true
         if (dataM > reg.dataMtime ||
-          latestMtime(new java.io.File(reg.statsDir)) > reg.statsMtime) {
-          // something moved: reload the catalog once, then re-gate
-          reg = load(spark, root, reg.statsDir, reg.cols)
-          tables.update(root, reg)
+          latestMtime(spark, reg.statsDir) > reg.statsMtime) {
+          // something moved: reload the catalog once, then re-gate —
+          // and if the catalog itself is gone, deregister rather than
+          // throw from inside the optimizer
+          try {
+            reg = load(spark, rawRoot, reg.statsDir, reg.cols)
+            tables.update(root, reg)
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              tables.remove(root)
+              usable = false
+          }
         }
-        if (latestMtime(new java.io.File(root)) > reg.statsMtime) f
+        if (!usable || latestMtime(spark, rawRoot) > reg.statsMtime) f
         else {
           survivorIdx(reg, cond) match {
             case Some(idxs) if idxs.size < reg.rows.length =>

@@ -149,6 +149,24 @@ class DeleteLedgerSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  test("batch and streamed deletes share one ledger schema: neither era's keys are lost") {
+    val (base, df) = freshTable()
+    // batch delete under a CALLER-NAMED key column …
+    DeleteLedger.delete(spark, base,
+      df.filter(col("pk") < 100L).select(col("pk").as("doc_id")), "batch1")
+    // … then a streamed feed (which always lands as 'pk'): before key
+    // normalization these were two different partition schemas and a
+    // non-merged read nulled one era's keys out of the reconcile
+    val feed = Files.createTempDirectory("dl_mixed_feed").toString
+    (500L until 600L).toDF("user_pk").coalesce(1)
+      .write.mode("append").parquet(feed)
+    DeleteLedger.start(spark, feed, base, "user_pk").awaitTermination()
+
+    assert(liveSet(base) ===
+      df.filter(col("pk") >= 100L && !(col("pk") >= 500L && col("pk") < 600L))
+        .collect().toSet)
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

@@ -118,4 +118,24 @@ class ScaleJoinsSpec extends SparkSpec {
     val dim = Seq.empty[(Long, String)].toDF("dk", "name")
     assert(ScaleJoins.bloomReducedJoin(fact, dim, "fk", "dk").count() === 0L)
   }
+
+  test("bloomReducedJoin with int-vs-bigint keys loses no rows; disjoint types fail loudly") {
+    // int fact key, bigint dim key: hashing each side in its own type
+    // would make every bloom probe a false negative and the 'identical
+    // to the plain join' contract silently break — the integral pair
+    // must widen to one hash representation
+    val fact = (0 until 1000).map(i => (i % 100, i)).toDF("fk", "row_id")
+    val dim = (0L until 100L by 10).map(k => (k, s"d$k")).toDF("dk", "name")
+    assert(fact.schema("fk").dataType !== dim.schema("dk").dataType)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    val reduced = ScaleJoins.bloomReducedJoin(fact, dim, "fk", "dk")
+    assert(reduced.count() === plain.count() && plain.count() === 100L)
+    assert(reduced.except(plain).isEmpty && plain.except(reduced).isEmpty)
+
+    // non-integral mismatch (string vs bigint) cannot widen losslessly
+    val sdim = Seq(("5", "x")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      ScaleJoins.bloomReducedJoin(fact, sdim, "fk", "dk")
+    }
+  }
 }

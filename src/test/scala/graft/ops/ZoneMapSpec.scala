@@ -136,6 +136,32 @@ class ZoneMapSpec extends SparkSpec {
       s"box ($boxFiles) must beat single dims (a=$aOnly, b=$bOnly)")
   }
 
+  test("a file appended after the catalog build is scanned, never silently pruned") {
+    val base = tempDir("zm_stale")
+    (0L until 100L).map(i => (i, s"a$i")).toDF("k", "payload")
+      .coalesce(1).write.parquet(s"$base/data")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    // post-build append INSIDE the probed range: a catalog-only prune
+    // would silently lose these rows — the completeness gate must
+    // scan the uncataloged file unpruned
+    (100L until 110L).map(i => (i, s"b$i")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    val stats = ZoneMap.read(spark, s"$base/zm")
+
+    val pruned = ZoneMap.pruneRange(spark, s"$base/data", stats,
+      "k", lit(90L), lit(200L))
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("k") >= 90L && col("k") <= 200L)
+    assert(pruned.collect().toSet === full.collect().toSet)
+    assert(pruned.count() === 20L) // 90..99 cataloged + 100..109 fresh
+
+    // an update re-catalogs the rider; pruning resumes losslessly
+    assert(ZoneMap.update(spark, s"$base/data", s"$base/zm", Seq("k")) === 1)
+    val pruned2 = ZoneMap.pruneRange(spark, s"$base/data",
+      ZoneMap.read(spark, s"$base/zm"), "k", lit(90L), lit(200L))
+    assert(pruned2.collect().toSet === full.collect().toSet)
+  }
+
   test("empty survivor set returns an empty frame with the table schema") {
     val base = tempDir("zm_empty")
     val df = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")

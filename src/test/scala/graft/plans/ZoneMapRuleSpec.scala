@@ -120,4 +120,33 @@ class ZoneMapRuleSpec extends SparkSpec {
       assert(scannedFiles(rearmed) <= 3L, "update did not re-arm pruning")
     } finally ZoneMapRule.deregister(s"$base/data")
   }
+
+  test("freshness: a DELETED data file disarms the rule; a catalog rebuild re-arms it") {
+    val base = mkTable()
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, s"$base/data", s"$base/zm", Seq("k"))
+    try {
+      assert(scannedFiles(query(base)) <= 2L)
+
+      // remove a data file OUTSIDE the probed range: no file is newer
+      // than the catalog afterwards, so a file-only mtime walk would
+      // never notice — the parent dir's own mtime must trip the gate,
+      // else the cached pruned index may point at missing files
+      Thread.sleep(20)
+      val victim = new java.io.File(s"$base/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      assert(victim.delete())
+      val afterDelete = query(base)
+      assert(scannedFiles(afterDelete) === 7L,
+        "deletion did not disarm the rule")
+      afterDelete.collect() // and the full scan executes fine
+
+      // full catalog rebuild over the shrunken table re-arms pruning
+      Thread.sleep(20)
+      ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+      val rearmed = query(base)
+      assert(scannedFiles(rearmed) <= 2L, "rebuild did not re-arm")
+      rearmed.collect()
+    } finally ZoneMapRule.deregister(s"$base/data")
+  }
 }
