@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   - `VERSION`     one-line pointer to the current N — the
   *                   manifest-last commit (the O-24 pattern): a data
   *                   rewrite is invisible until this file flips
+  *   - `LAYOUT`      optional declared clustering ([[Layout.Spec]]);
+  *                   every rewrite (create, compact) reproduces it,
+  *                   so zone-map pruning survives maintenance
   *   - `deletes/`    the ledger, hive-partitioned by `batch_id`
   *
   * Correctness contracts:
@@ -84,11 +87,52 @@ object DeleteLedger {
     ()
   }
 
+  // -----------------------------------------------------------------
+  // Declared layout: a TABLE PROPERTY (`LAYOUT` file beside VERSION),
+  // not a call-site argument. The round-9 failure mode this retires:
+  // compact wrote each new version as a plain parquet dump, so the
+  // first maintenance cycle silently destroyed the range/Z-order
+  // clustering the zone map prunes on — every post-compaction file
+  // spanned the whole key domain and file skipping dropped to ~zero
+  // with no error anywhere. With the layout declared ON THE TABLE,
+  // every rewrite path (create, compact, any future re-layout job)
+  // reproduces the clustering; no maintenance caller can forget it.
+  // -----------------------------------------------------------------
+
+  private def layoutFile(base: String) = Paths.get(base, "LAYOUT")
+
+  /** Declare (or replace) the table's clustering; the NEXT rewrite
+    * applies it. Same atomic tmp+rename as the version pointer. */
+  def setLayout(base: String, spec: Layout.Spec): Unit = {
+    val tmp = Paths.get(base, ".LAYOUT.tmp")
+    Files.write(tmp, spec.serialized.getBytes("UTF-8"))
+    Files.move(tmp, layoutFile(base), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The declared clustering, if any. Parse failures are LOUD — a
+    * corrupt property must never demote a clustered table to plain
+    * rewrites silently. */
+  def declaredLayout(base: String): Option[Layout.Spec] = {
+    val p = layoutFile(base)
+    if (!Files.exists(p)) None
+    else Some(Layout.parseSpec(new String(Files.readAllBytes(p), "UTF-8")))
+  }
+
   /** Bootstrap the table: write `df` as version 0, commit the pointer
-    * last. */
-  def create(spark: SparkSession, base: String, df: DataFrame): Unit = {
+    * last. A declared `layout` clusters v0 AND is persisted as the
+    * table property every later [[compact]] preserves. */
+  def create(spark: SparkSession, base: String, df: DataFrame,
+      layout: Option[Layout.Spec] = None): Unit = {
     new File(base).mkdirs()
-    df.write.mode(SaveMode.Overwrite).parquet(s"$base/data_v0")
+    layout match {
+      case Some(spec) =>
+        Layout.write(df, s"$base/data_v0", spec)
+        setLayout(base, spec)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$base/data_v0")
+    }
     writeVersion(base, 0)
   }
 
@@ -151,11 +195,32 @@ object DeleteLedger {
   }
 
   /** Fold the ledger into a new data version. Order is load-bearing —
-    * see the object doc's crash analysis. Returns the new version. */
-  def compact(spark: SparkSession, base: String, pk: String): Int = {
+    * see the object doc's crash analysis. Returns the new version.
+    *
+    * LAYOUT-PRESERVING: the rewrite routes through the table's
+    * declared [[Layout.Spec]] (or an explicit `layout` override), so
+    * the clustering that makes the table's zone map prune survives
+    * every compaction — a plain dump here would quietly reset file
+    * skipping to zero at the first maintenance cycle. (The collapse
+    * is regime-dependent — a BROADCAST reconcile happens to preserve
+    * per-scan-partition locality, but the shuffle regime any 100 TB
+    * ledger lands in hash-scatters every file across the whole
+    * domain — so the declared layout is what makes pruning survival
+    * a guarantee instead of a broadcast-gate accident.) The extra
+    * cost over a plain write is one range shuffle of exactly the
+    * rows being rewritten anyway, amortized over every read after.
+    * `maxBroadcast` mirrors [[read]]'s knob so specs can pin BOTH
+    * reconcile regimes; production callers take the default. */
+  def compact(spark: SparkSession, base: String, pk: String,
+      layout: Option[Layout.Spec] = None,
+      maxBroadcast: Long = BroadcastDeleteRows): Int = {
     val next = currentVersion(base) + 1
-    read(spark, base, pk).write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/data_v$next")
+    val live = read(spark, base, pk, maxBroadcast)
+    layout.orElse(declaredLayout(base)) match {
+      case Some(spec) => Layout.write(live, s"$base/data_v$next", spec)
+      case None => live.write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/data_v$next")
+    }
     writeVersion(base, next)
     Fs.deleteRecursively(new File(deletesDir(base)))
     next

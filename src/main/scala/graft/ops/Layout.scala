@@ -28,6 +28,59 @@ import org.apache.spark.sql.functions.{col, concat, lit, raise_error, shiftleft,
   */
 object Layout {
 
+  /** A DECLARED clustering — the persistable description of how a
+    * managed table's data files should be written, so that every
+    * rewrite (initial load, compaction, re-layout) reproduces the
+    * same file-level locality. Without a declared spec, the first
+    * maintenance rewrite silently destroys the clustering a zone map
+    * depends on: a compacted version written as a plain parquet dump
+    * has every file spanning the whole key domain, and file pruning
+    * drops to zero with no failure anywhere. The spec is the fix —
+    * a table property, not a call-site argument, so no maintenance
+    * path can forget it. */
+  sealed trait Spec {
+    /** One-line serialized form for the table-property file. */
+    def serialized: String
+  }
+
+  /** Range-cluster on `sortCols` into `numFiles` files —
+    * [[writeRangeLayout]] as a property. */
+  final case class RangeSpec(numFiles: Int, sortCols: Seq[String])
+      extends Spec {
+    require(numFiles > 0 && sortCols.nonEmpty, s"bad range spec")
+    require(sortCols.forall(c => !c.contains(",") && !c.contains(":")),
+      "sort column names must not contain ',' or ':'")
+    def serialized: String = s"range:$numFiles:${sortCols.mkString(",")}"
+  }
+
+  /** Z-order-cluster on (colA, colB) — [[writeZOrderLayout]] as a
+    * property. */
+  final case class ZOrderSpec(numFiles: Int, colA: String, colB: String,
+      bits: Int = 16) extends Spec {
+    require(numFiles > 0 && bits > 0 && bits <= 31, s"bad zorder spec")
+    require(!colA.contains(":") && !colB.contains(":"),
+      "z-order column names must not contain ':'")
+    def serialized: String = s"zorder:$numFiles:$colA:$colB:$bits"
+  }
+
+  /** Parse [[Spec.serialized]]; loud on anything unrecognized (a
+    * corrupt property file must never silently fall back to an
+    * unclustered rewrite — that is the exact failure the property
+    * exists to prevent). */
+  def parseSpec(s: String): Spec = s.trim.split(":", -1) match {
+    case Array("range", n, cols) if cols.nonEmpty =>
+      RangeSpec(n.toInt, cols.split(",").toSeq)
+    case Array("zorder", n, a, b, bits) =>
+      ZOrderSpec(n.toInt, a, b, bits.toInt)
+    case _ => throw new IllegalArgumentException(s"unparseable layout spec: $s")
+  }
+
+  /** Write `df` at `path` under the declared clustering. */
+  def write(df: DataFrame, path: String, spec: Spec): Unit = spec match {
+    case RangeSpec(n, cols) => writeRangeLayout(df, path, n, cols: _*)
+    case ZOrderSpec(n, a, b, bits) => writeZOrderLayout(df, path, n, a, b, bits)
+  }
+
   /** Rewrite `df` into `numFiles` range-disjoint, internally-sorted
     * parquet files at `path`. */
   def writeRangeLayout(df: DataFrame, path: String, numFiles: Int,

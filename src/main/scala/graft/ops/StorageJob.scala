@@ -13,8 +13,12 @@ import org.apache.spark.sql.SparkSession
   *     at-least-once delivery × self-replacing batch overwrite);
   *  2. compact when the ledger has grown past `compactAtRows` —
   *     [[DeleteLedger.compact]] folds deletes into a new data
-  *     version (reads stop paying the anti-join), then
-  *     [[DeleteLedger.vacuum]] bounds time-travel history;
+  *     version (reads stop paying the anti-join), REPRODUCING the
+  *     table's declared [[Layout.Spec]] so the clustering the
+  *     zone-map catalog prunes on survives the rewrite (without the
+  *     declared layout a compaction would silently reset file
+  *     skipping to ~zero), then [[DeleteLedger.vacuum]] bounds
+  *     time-travel history;
   *  3. refresh the zone-map catalog — [[ZoneMap.update]] stats ONLY
   *     the files new since the last slot, which is what re-arms
   *     [[graft.plans.ZoneMapRule]]'s automatic scan pruning after

@@ -78,6 +78,54 @@ object StorageQueries extends QueryModule {
       base
     }
 
+  private val compactedMemo = BuildOnce.memo[String, String]()
+
+  /** Events slice behind a DeleteLedger with a DECLARED range layout:
+    * a sparse delete batch is folded by a SHUFFLE-regime compaction
+    * (maxBroadcast=0 — the regime any 100 TB ledger lands in, and the
+    * one whose hash partitioning destroys an undeclared layout), then
+    * the zone map is built over the compacted version. The artifact
+    * `q_zonemap_compacted` reads — proving pruning survives the
+    * maintenance cycle end-to-end. */
+  private[graft] def compactedTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(compactedMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zm_compacted").toString
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      DeleteLedger.create(spark, base, events,
+        Some(Layout.RangeSpec(8, Seq("user_id"))))
+      DeleteLedger.delete(spark, base,
+        events.filter(col("event_id") % 17 === 4).select("event_id"), "b1")
+      DeleteLedger.compact(spark, base, "event_id", maxBroadcast = 0L)
+      ZoneMap.write(spark, DeleteLedger.dataDir(base), s"$base/zm",
+        Seq("user_id"))
+      base
+    }
+
+  private val liveMemo = BuildOnce.memo[String, String]()
+
+  /** Events slice behind a LIVE DeleteLedger (deletes still in the
+    * ledger, nothing compacted), range-layouted v0 with its zone map
+    * — the artifact `q_zonemap_live` reads through ZoneMapRule: the
+    * pruning rule must fire on the data-side scan UNDER the
+    * reconcile anti-join, so compliance-deleted tables keep file
+    * skipping. */
+  private[graft] def liveTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(liveMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zm_live").toString
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      DeleteLedger.create(spark, base, events,
+        Some(Layout.RangeSpec(8, Seq("user_id"))))
+      DeleteLedger.delete(spark, base,
+        events.filter(col("event_id") % 13 === 2).select("event_id"), "b1")
+      ZoneMap.write(spark, DeleteLedger.dataDir(base), s"$base/zm",
+        Seq("user_id"))
+      base
+    }
+
   private val cdfMemo = BuildOnce.memo[String, String]()
 
   /** Documents table with a COMPACTION BOUNDARY in its history:
@@ -248,6 +296,78 @@ object StorageQueries extends QueryModule {
         |    AS BIGINT)) AS ids_xor60,
         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
         |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- LAYOUT-PRESERVING COMPACTION end-to-end: the table's
+    // declared range layout routes the compaction rewrite, so the
+    // zone map built over the COMPACTED version still prunes (the
+    // round-9 gap: a plain compact rewrote versions unclustered and
+    // file skipping silently died at the first maintenance cycle).
+    // The compaction here runs the SHUFFLE reconcile regime — the
+    // one whose hash partitioning scatters an undeclared layout —
+    // and the oracle replays the logical delete + filter over raw
+    // events, so the hash gate proves the whole maintenance cycle
+    // (delete -> shuffle compact -> re-cluster -> zone-map refresh ->
+    // pruned read) loses and invents nothing.
+    "q_zonemap_compacted" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = compactedTableFor(spark, dir)
+        val stats = ZoneMap.read(spark, s"$base/zm")
+        ZoneMap.pruneRange(spark, DeleteLedger.dataDir(base), stats,
+          "user_id", lit(3L), lit(7L))
+          .withColumn("__h60",
+            conv(md5(col("event_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |  AND NOT event_id % 17 = 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      bench = true),
+
+    // ---- ZoneMapRule x DeleteLedger composition: the user writes a
+    // PLAIN DeleteLedger.read(...).filter(range) — Catalyst pushes
+    // the range filter below the reconcile anti-join onto the
+    // data-side scan, where the registered zone map prunes its file
+    // list. Compliance-deleted tables keep file skipping with no
+    // pruned-read API call. Oracle = the logical deletes + filter
+    // over raw events (ZoneMapRuleSpec pins the plan shape: pruned
+    // file index UNDER the anti-join).
+    "q_zonemap_live" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = liveTableFor(spark, dir)
+        graft.plans.ZoneMapRule.install(spark)
+        graft.plans.ZoneMapRule.register(spark, DeleteLedger.dataDir(base),
+          s"$base/zm", Seq("user_id"))
+        DeleteLedger.read(spark, base, "event_id")
+          .filter(col("user_id") >= 3L && col("user_id") <= 7L)
+          .withColumn("__h60",
+            conv(md5(col("event_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |  AND NOT event_id % 13 = 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- Merge-on-read delete ledger (ops/DeleteLedger): documents

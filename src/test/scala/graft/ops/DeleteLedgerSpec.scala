@@ -167,6 +167,87 @@ class DeleteLedgerSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  /** Zone-map survivors / total files for a 10% pk band over the
+    * CURRENT data version — the pruning-health probe the layout
+    * tests pin. */
+  private def pruneRatio(base: String): (Long, Long) = {
+    val zm = Files.createTempDirectory("dl_zm_probe").toString
+    ZoneMap.write(spark, DeleteLedger.dataDir(base), zm, Seq("pk"))
+    val stats = ZoneMap.read(spark, zm)
+    (ZoneMap.survivingFiles(stats, "pk", lit(100L), lit(199L)).length.toLong,
+      stats.count())
+  }
+
+  test("compact preserves the declared range layout: zone-map pruning survives maintenance") {
+    val base = Files.createTempDirectory("dl_layout").toString
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("pk", "payload")
+    DeleteLedger.create(spark, base, df, Some(Layout.RangeSpec(8, Seq("pk"))))
+
+    val (beforeSurv, beforeTotal) = pruneRatio(base)
+    assert(beforeTotal === 8L && beforeSurv <= 2L,
+      s"v0 not clustered: $beforeSurv/$beforeTotal")
+
+    DeleteLedger.delete(spark, base, (0L until 1000L by 5).toDF("pk"), "b1")
+    val expected = liveSet(base)
+    // maxBroadcast=0 forces the SHUFFLE reconcile — the regime any
+    // 100 TB ledger lands in, and the one whose hash partitioning
+    // would scatter an undeclared layout (see the negative control)
+    DeleteLedger.compact(spark, base, "pk", maxBroadcast = 0L)
+    assert(liveSet(base) === expected)
+
+    // the compacted version prunes as well as v0 did — the property
+    // the zone-map story depends on across maintenance cycles
+    val (afterSurv, afterTotal) = pruneRatio(base)
+    assert(afterTotal === 8L && afterSurv <= beforeSurv,
+      s"compaction destroyed the layout: $afterSurv/$afterTotal files " +
+        s"survive a 10% band (v0: $beforeSurv/$beforeTotal)")
+  }
+
+  test("negative control: an UNDECLARED layout is lost at the first shuffle-regime compaction") {
+    val base = Files.createTempDirectory("dl_nolayout").toString
+    // v0 range-clustered by WRITE ORDER only, nothing declared
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("pk", "payload")
+    DeleteLedger.create(spark, base, df.repartitionByRange(8, col("pk")))
+    val (beforeSurv, _) = pruneRatio(base)
+    assert(beforeSurv <= 2L)
+
+    DeleteLedger.delete(spark, base, (0L until 1000L by 5).toDF("pk"), "b1")
+    DeleteLedger.compact(spark, base, "pk", maxBroadcast = 0L)
+    // the shuffle anti-join's hash partitioning spreads every output
+    // file across the whole key domain: pruning silently collapses —
+    // exactly the failure mode the declared-layout property retires
+    val (afterSurv, afterTotal) = pruneRatio(base)
+    assert(afterSurv === afterTotal && afterTotal >= 2L,
+      s"expected pruning to collapse without a declared layout, " +
+        s"got $afterSurv/$afterTotal")
+  }
+
+  test("declared z-order layout round-trips the property file and survives compaction") {
+    val base = Files.createTempDirectory("dl_zorder").toString
+    val df = (0L until 4096L).map(i => (i, i % 64, i / 64, s"p$i"))
+      .toDF("pk", "a", "b", "payload")
+    DeleteLedger.create(spark, base, df,
+      Some(Layout.ZOrderSpec(16, "a", "b", bits = 8)))
+    assert(DeleteLedger.declaredLayout(base) ===
+      Some(Layout.ZOrderSpec(16, "a", "b", 8)))
+
+    def boxFiles(): Long = {
+      val zm = Files.createTempDirectory("dl_zorder_zm").toString
+      ZoneMap.write(spark, DeleteLedger.dataDir(base), zm, Seq("a", "b"))
+      ZoneMap.survivingBoxFiles(ZoneMap.read(spark, zm),
+        Seq(("a", lit(10L), lit(20L)), ("b", lit(10L), lit(20L))))
+    }
+    val before = boxFiles()
+    assert(before < 16L, s"v0 z-order not clustered: $before/16")
+
+    DeleteLedger.delete(spark, base, (0L until 4096L by 7).toDF("pk"), "b1")
+    val expected = liveSet(base)
+    DeleteLedger.compact(spark, base, "pk", maxBroadcast = 0L)
+    assert(liveSet(base) === expected)
+    assert(boxFiles() <= before,
+      s"compaction destroyed the z-order layout: ${boxFiles()}/16")
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

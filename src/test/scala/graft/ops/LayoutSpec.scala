@@ -147,4 +147,22 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("layout specs round-trip their serialized property form; corruption is loud") {
+    val specs = Seq(
+      Layout.RangeSpec(8, Seq("k")),
+      Layout.RangeSpec(16, Seq("a", "b")),
+      Layout.ZOrderSpec(16, "x", "y", 30))
+    specs.foreach { s =>
+      assert(Layout.parseSpec(s.serialized) === s, s.serialized)
+    }
+    // a corrupt property must fail loudly, never silently demote the
+    // table to unclustered rewrites
+    intercept[IllegalArgumentException](Layout.parseSpec("garbage"))
+    intercept[IllegalArgumentException](Layout.parseSpec("range:8:"))
+    intercept[IllegalArgumentException](Layout.parseSpec("zorder:8:a:b"))
+    // and column names that would break the wire format are rejected
+    // at construction, not at some later parse
+    intercept[IllegalArgumentException](Layout.RangeSpec(8, Seq("a:b")))
+  }
 }

@@ -55,6 +55,43 @@ class StorageJobSpec extends SparkSpec {
     assert(stats.agg(sum("n_rows")).head().getLong(0) === 299L)
   }
 
+  test("maintenance slot preserves a declared layout: the v1 catalog still prunes") {
+    val base = Files.createTempDirectory("sj_layout").toString
+    val feed = Files.createTempDirectory("sj_layout_feed").toString
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("pk", "payload")
+    // the layout is declared ON THE TABLE — the maintenance job has
+    // no layout argument to remember, which is the point
+    DeleteLedger.create(spark, base, df, Some(Layout.RangeSpec(8, Seq("pk"))))
+
+    def surviving(): (Long, Long) = {
+      val stats = ZoneMap.read(spark, StorageJob.zonemapDir(base))
+      (ZoneMap.survivingFiles(stats, "pk", lit(100L), lit(199L)).length.toLong,
+        stats.count())
+    }
+
+    // slot 1 below threshold: catalogs v0; a 10% band prunes hard
+    StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 500L, zonemapCols = Seq("pk"))
+    val (s0, t0) = surviving()
+    assert(t0 === 8L && s0 <= 2L, s"v0 catalog not pruning: $s0/$t0")
+
+    // slot 2 past threshold: compaction rewrites v1 THROUGH the
+    // declared layout; the refreshed per-version catalog must prune
+    // the same band just as hard — before the declared-layout
+    // property, this is where file skipping silently died. The
+    // deletes are SPARSE (every even key) so the probed band is
+    // still populated and the pruning assert stays meaningful.
+    (0L until 1002L by 2).toDF("user_pk").coalesce(1)
+      .write.mode("append").parquet(feed)
+    val s2 = StorageJob.run(spark, base, feed, "pk",
+      compactAtRows = 500L, zonemapCols = Seq("pk"), feedKeyExpr = "user_pk")
+    assert(s2("version") === 1L)
+    val (s1, t1) = surviving()
+    assert(t1 === 8L && s1 >= 1L && s1 <= s0,
+      s"compaction slot destroyed pruning: $s1/$t1 (v0: $s0/$t0)")
+    assert(DeleteLedger.read(spark, base, "pk").count() === 500L)
+  }
+
   test("ZoneMapRule stays armed across maintenance slots (end-to-end)") {
     val base = Files.createTempDirectory("sj_rule").toString
     val feed = Files.createTempDirectory("sj_rule_feed").toString

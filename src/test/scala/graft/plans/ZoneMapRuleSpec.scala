@@ -121,6 +121,48 @@ class ZoneMapRuleSpec extends SparkSpec {
     } finally ZoneMapRule.deregister(s"$base/data")
   }
 
+  test("the rule prunes the data-side scan UNDER a DeleteLedger reconcile anti-join") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zmr_live").toString
+    val df = (0L until 1000L).map(i => (i, i % 7, s"p$i")).toDF("k", "g", "payload")
+    graft.ops.DeleteLedger.create(spark, base, df,
+      Some(graft.ops.Layout.RangeSpec(8, Seq("k"))))
+    graft.ops.DeleteLedger.delete(spark, base,
+      (0L until 1000L by 9).toDF("k"), "b1")
+    val dataDir = graft.ops.DeleteLedger.dataDir(base)
+    ZoneMap.write(spark, dataDir, s"$base/zm", Seq("k"))
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, dataDir, s"$base/zm", Seq("k"))
+    try {
+      // a PLAIN filtered read of the live view: Catalyst pushes the
+      // range filter below the anti-join onto the data-side scan,
+      // where the rule swaps in the pruned file index — compliance-
+      // deleted tables keep file skipping with no special API
+      val live = graft.ops.DeleteLedger.read(spark, base, "k")
+        .filter(col("k") >= 100L && col("k") <= 199L)
+      val expected = (100L to 199L).filterNot(_ % 9 == 0).toSet
+      assert(live.collect().map(_.getLong(0)).toSet === expected)
+
+      val plan = live.queryExecution.optimizedPlan
+      // the reconcile anti-join is still in the plan …
+      assert(plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, "anti-join folded away")
+      // … and the data-side relation beneath it reads a PRUNED index
+      val dataScanFiles = plan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.exists(_.contains("data_v0")) =>
+          lr.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }
+      assert(dataScanFiles.nonEmpty && dataScanFiles.head <= 2,
+        s"data-side scan not pruned under the anti-join: $dataScanFiles")
+    } finally ZoneMapRule.deregister(dataDir)
+  }
+
   test("freshness: a DELETED data file disarms the rule; a catalog rebuild re-arms it") {
     val base = mkTable()
     ZoneMapRule.install(spark)
