@@ -73,4 +73,123 @@ object TableStats {
     else if (ln < rn && ln <= maxBroadcastRows) broadcast(left).join(right, on)
     else left.join(right, on)
   }
+
+  // -----------------------------------------------------------------
+  // Cost-based MULTI-join ordering: [[statsJoin]] picks the broadcast
+  // side of ONE join from measured counts; a 3+ table query written
+  // in a bad order still joins big-with-big first, and at 100 TB a
+  // bad user-written order is a full-fact shuffle that stats already
+  // on disk could avoid. statsMultiJoin is the System-R answer at the
+  // library level: greedy left-deep ordering from MEASURED row counts
+  // + HLL NDVs (the Selinger '79 containment estimate,
+  // |A ⋈ B| ≈ |A||B| / max(ndv_A(k), ndv_B(k)) ), with every step's
+  // broadcast decision gated on the joining side's measured size.
+  // Inner equi-joins are freely reorderable, so any order returns the
+  // same rows — the estimates steer only COST (q_join_reorder's
+  // oracle replays the join in the written order as the proof).
+  // -----------------------------------------------------------------
+
+  /** One relation in a multi-join: its frame and its [[collect]]
+    * stats — computed on the SAME frame, filters already applied, so
+    * counts are EFFECTIVE sizes (the thing Spark's file-size cost
+    * model loses the moment a selective filter intervenes). Column
+    * names must be distinct across the joined relations (the TPC-H
+    * prefix convention). */
+  final case class Rel(name: String, df: DataFrame, stats: DataFrame)
+
+  /** Equi-join edge between two named relations, as (aCol, bCol)
+    * key pairs. */
+  final case class JoinEdge(a: String, b: String, keys: Seq[(String, String)])
+
+  /** The greedy order (for specs/monitoring) plus the joined frame.
+    * Starts from the cheapest-estimated edge, then repeatedly joins
+    * the connected relation minimizing the estimated intermediate
+    * size. A relation the edge graph never connects to the running
+    * composite is a require-failure — a silent cross join at 100 TB
+    * is never what anyone wanted. */
+  def statsMultiJoinOrdered(rels: Seq[Rel], edges: Seq[JoinEdge],
+      maxBroadcastRows: Long = 1000000L): (DataFrame, Seq[String]) = {
+    require(rels.size >= 2, "need at least two relations")
+    val byName = rels.map(r => r.name -> r).toMap
+    require(byName.size == rels.size, "duplicate relation names")
+    edges.foreach { e =>
+      require(byName.contains(e.a) && byName.contains(e.b) && e.keys.nonEmpty,
+        s"edge $e references unknown relations or has no keys")
+    }
+    // driver-side measured stats: rows + per-column NDV (stats frames
+    // are column-count-sized — the bounded sketch-row class)
+    def measured(r: Rel): (Long, Map[String, Long]) = {
+      val rows = r.stats.collect()
+      val n = rows.map(_.getAs[Long]("n_rows")).max
+      (n, rows.map(x => x.getAs[String]("column") -> x.getAs[Long]("ndv")).toMap)
+    }
+    val m = rels.map(r => r.name -> measured(r)).toMap
+
+    // Selinger containment estimate for joining a composite (estRows,
+    // ndvs) with relation `b` over `keys`; every key pair divides
+    // (independence), floored at 1
+    def est(aRows: Double, aNdv: Map[String, Long], b: String,
+        keys: Seq[(String, String)]): Double = {
+      val (bRows, bNdv) = m(b)
+      keys.foldLeft(aRows * bRows) { case (acc, (ka, kb)) =>
+        val d = math.max(aNdv.getOrElse(ka, 1L), bNdv.getOrElse(kb, 1L))
+        math.max(acc / math.max(d, 1L), 1.0)
+      }
+    }
+
+    // connecting key pairs between the joined set and a candidate,
+    // oriented (joinedCol, candidateCol)
+    def connecting(joined: Set[String], cand: String): Seq[(String, String)] =
+      edges.flatMap {
+        case JoinEdge(a, b, ks) if joined.contains(a) && b == cand => ks
+        case JoinEdge(a, b, ks) if joined.contains(b) && a == cand =>
+          ks.map(_.swap)
+        case _ => Nil
+      }
+
+    // seed: the cheapest-estimated single edge
+    val seed = edges.minBy { e =>
+      val (aRows, aNdv) = m(e.a)
+      est(aRows.toDouble, aNdv, e.b, e.keys)
+    }
+    def bcast(name: String, df: DataFrame): DataFrame =
+      if (m(name)._1 <= maxBroadcastRows) broadcast(df) else df
+    val (seedSmall, seedBig) =
+      if (m(seed.a)._1 <= m(seed.b)._1) (seed.a, seed.b) else (seed.b, seed.a)
+
+    var joinedNames = Set(seed.a, seed.b)
+    var order = Vector(seedBig, seedSmall)
+    var df = byName(seedBig).df.join(bcast(seedSmall, byName(seedSmall).df),
+      seed.keys.map { case (ka, kb) => col(ka) === col(kb) }.reduce(_ && _))
+    var curRows = est(m(seed.a)._1.toDouble, m(seed.a)._2, seed.b, seed.keys)
+    var curNdv: Map[String, Long] =
+      (m(seed.a)._2 ++ m(seed.b)._2).view
+        .mapValues(v => math.min(v, math.max(curRows.toLong, 1L))).toMap
+
+    while (joinedNames.size < rels.size) {
+      val candidates = rels.map(_.name).filterNot(joinedNames.contains)
+        .flatMap { c =>
+          val ks = connecting(joinedNames, c)
+          if (ks.isEmpty) None else Some((c, ks, est(curRows, curNdv, c, ks)))
+        }
+      require(candidates.nonEmpty,
+        s"join graph disconnects ${rels.map(_.name).filterNot(joinedNames)} " +
+          s"from ${joinedNames.mkString(",")} — refusing a cross join")
+      val (next, ks, nextRows) = candidates.minBy(_._3)
+      df = df.join(bcast(next, byName(next).df),
+        ks.map { case (ka, kb) => col(ka) === col(kb) }.reduce(_ && _))
+      joinedNames += next
+      order :+= next
+      curRows = nextRows
+      curNdv = (curNdv ++ m(next)._2).view
+        .mapValues(v => math.min(v, math.max(curRows.toLong, 1L))).toMap
+    }
+    (df, order.toSeq)
+  }
+
+  /** Inner equi-join of 3+ relations in a measured-cost order — see
+    * [[statsMultiJoinOrdered]]. */
+  def statsMultiJoin(rels: Seq[Rel], edges: Seq[JoinEdge],
+      maxBroadcastRows: Long = 1000000L): DataFrame =
+    statsMultiJoinOrdered(rels, edges, maxBroadcastRows)._1
 }

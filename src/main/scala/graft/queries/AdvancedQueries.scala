@@ -1400,6 +1400,62 @@ object AdvancedQueries extends QueryModule {
         |      FROM documents GROUP BY lang) l USING (lang)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- Cost-based multi-join ordering (TableStats.statsMultiJoin):
+    // a 4-table star handed over as an unordered relation set — the
+    // greedy planner seeds from the cheapest measured edge
+    // (customer ⋈ filtered-nation), so the fact table joins LAST
+    // against already-reduced sides instead of first against
+    // everything (the written-order plan a user would get). Inner
+    // equi-joins are order-independent, so the oracle replays the
+    // join in the naive written order — the hash match proves the
+    // reordering changes cost only, never rows. Stats are measured
+    // on the FILTERED frames (one aggregate pass each, the ANALYZE
+    // price), which is what Spark's file-size cost model loses the
+    // moment a selective filter intervenes.
+    "q_join_reorder" -> QueryDef(
+      fn = (spark, dir) => {
+        import graft.ops.TableStats.{JoinEdge, Rel}
+        def rel(n: String, df: org.apache.spark.sql.DataFrame) =
+          Rel(n, df, graft.ops.TableStats.collect(df))
+        val li = Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val ord = Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+        val cust = Tables(spark, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        val nat = Tables(spark, dir, "nation")
+          .filter(col("n_nationkey") < 5)
+          .select("n_nationkey", "n_name")
+        graft.ops.TableStats.statsMultiJoin(
+          Seq(rel("lineitem", li), rel("orders", ord),
+            rel("customer", cust), rel("nation", nat)),
+          Seq(
+            JoinEdge("lineitem", "orders", Seq(("l_orderkey", "o_orderkey"))),
+            JoinEdge("orders", "customer", Seq(("o_custkey", "c_custkey"))),
+            JoinEdge("customer", "nation", Seq(("c_nationkey", "n_nationkey")))))
+          .withColumn("__h60",
+            conv(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            expr("bit_xor(__h60)").as("ids_xor60"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        |SELECT n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |    || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)) AS ids_xor60
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_nationkey < 5
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true),
+
     // ---- Map-type scalar surface: construct, extract, count, and
     // enumerate keys (scalar outputs only — map columns themselves
     // don't survive the driver's column-wise hash compare).

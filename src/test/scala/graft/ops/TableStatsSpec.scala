@@ -67,4 +67,50 @@ class TableStatsSpec extends SparkSpec {
     assert(!noHint.contains("UnresolvedHint") && !noHint.contains("ResolvedHint"),
       noHint)
   }
+
+  test("statsMultiJoin orders by estimated size, not written order; rows == any-order join") {
+    // crafted skew: two BIG relations joined to each other AND to a
+    // tiny dim. Written order (bigA, bigB, dim) would do the big-big
+    // join first; measured stats must start from the cheap
+    // (bigB ⋈ dim) edge — dim membership is selective (10 of 1000
+    // groups), so the big-big join runs over the reduced side.
+    val bigA = (0L until 20000L).map(i => (i % 1000, i)).toDF("a_k", "a_id")
+    val bigB = (0L until 20000L).map(i => (i % 1000, i, i % 50))
+      .toDF("b_k", "b_id", "b_g")
+    val dim = (0L until 1000L by 100).map(k => (k, s"d$k")).toDF("d_k", "d_name")
+
+    def rel(n: String, df: org.apache.spark.sql.DataFrame) =
+      TableStats.Rel(n, df, TableStats.collect(df))
+    val rels = Seq(rel("bigA", bigA), rel("bigB", bigB), rel("dim", dim))
+    val edges = Seq(
+      TableStats.JoinEdge("bigA", "bigB", Seq(("a_k", "b_k"))),
+      TableStats.JoinEdge("bigB", "dim", Seq(("b_k", "d_k"))))
+
+    val (joined, order) = TableStats.statsMultiJoinOrdered(rels, edges,
+      maxBroadcastRows = 1000L)
+    // the cheap edge seeds the order; bigA joins LAST
+    assert(order.last === "bigA", s"order was $order")
+    assert(order.toSet === Set("bigA", "bigB", "dim"))
+
+    val plain = bigA
+      .join(bigB, col("a_k") === col("b_k"))
+      .join(dim, col("b_k") === col("d_k"))
+    // column ORDER differs with the join order — align before except
+    val cols = plain.columns.sorted.map(col).toSeq
+    assert(joined.count() === plain.count())
+    assert(joined.select(cols: _*).except(plain.select(cols: _*)).isEmpty &&
+      plain.select(cols: _*).except(joined.select(cols: _*)).isEmpty)
+
+    // broadcast gate: the tiny dim (10 rows <= 1000) is hinted; the
+    // 20k-row sides are not
+    val analyzed = joined.queryExecution.analyzed.toString()
+    assert(analyzed.contains("ResolvedHint") ||
+      analyzed.contains("UnresolvedHint"), analyzed)
+
+    // a disconnected relation refuses loudly instead of cross-joining
+    val lonely = rel("lonely", Seq((1L, "x")).toDF("l_k", "l_v"))
+    intercept[IllegalArgumentException] {
+      TableStats.statsMultiJoinOrdered(rels :+ lonely, edges)
+    }
+  }
 }
