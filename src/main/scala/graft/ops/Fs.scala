@@ -2,11 +2,36 @@ package graft.ops
 
 import java.io.File
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Shared local-FS helpers for the sinks and pipelines that manage
   * their own directories (staged commits, batch-keyed publishes,
   * store bootstraps). One implementation — the sinks previously each
   * carried a private copy of the recursive delete. */
 object Fs {
+
+  /** THE store-read convention (schema evolution contract for every
+    * self-managed parquet store — CDC, quantile/histogram/CMS/HLL
+    * sketch stores, roll-ups, delete ledgers, zone-map catalogs,
+    * ingest ledgers):
+    *
+    *   - stores are append-only directories of immutable parquet
+    *     partitions; SCHEMA EVOLUTION means adding nullable columns
+    *     in new partitions, never renaming/retyping existing ones;
+    *   - every reader goes through this helper, which merges the
+    *     schemas of ALL partitions — a plain read samples one footer
+    *     and would silently DROP a column present only in the other
+    *     era's partitions (the VectorIngest mixed-era ledger bug,
+    *     round 8: the replay guard read zero admitted docs and
+    *     re-admitted duplicates);
+    *   - a column missing in an old partition reads as NULL there;
+    *     each store declares its null semantics at the call site
+    *     (typically coalesce(col, bootstrap-default)).
+    *
+    * The merge is a footer-only operation (one small read per file —
+    * store file counts are bounded by construction), not a data scan. */
+  def readStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
 
   def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -73,16 +73,32 @@ object ZoneMap {
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
 
   def read(spark: SparkSession, statsDir: String): DataFrame =
-    spark.read.parquet(statsDir)
+    Fs.readStore(spark, statsDir)
+
+  /** Survival test for one range predicate, with the catalog's
+    * NULL-semantics tri-state spelled out (the schema-evolution
+    * contract: tracked columns may be WIDENED over a live catalog,
+    * so merged-in old rows read null for the new column's stats):
+    *   - `nn_c` NULL    -> the file predates tracking of `c`: its
+    *                       stats are simply ABSENT, pruning on `c`
+    *                       must keep it (dropping it would lose rows);
+    *   - `nn_c` = 0     -> the column is genuinely ALL NULL in the
+    *                       file: a range predicate can never match,
+    *                       skip it (min/max are null, the otherwise
+    *                       branch coalesces to false);
+    *   - real min/max   -> keep iff [min,max] intersects [lo,hi]. */
+  private def keepPred(c: String, lo: Column, hi: Column): Column =
+    when(col(s"nn_$c").isNull, lit(true))
+      .otherwise(coalesce(col(s"min_$c") <= hi && col(s"max_$c") >= lo,
+        lit(false)))
 
   /** The files whose [min,max] MAY intersect [lo, hi] on `column`.
     * Distributed filter on the stats frame; only survivors reach the
-    * driver. Null-stats files (all-null column) drop out because
-    * `null <= hi` is not true. private[graft] so the spec can assert
-    * the pruning ratio directly. */
+    * driver. private[graft] so the spec can assert the pruning ratio
+    * directly. */
   private[graft] def survivingFiles(stats: DataFrame, column: String,
       lo: Column, hi: Column): Seq[String] =
-    stats.filter(col(s"min_$column") <= hi && col(s"max_$column") >= lo)
+    stats.filter(keepPred(column, lo, hi))
       .select("file").collect().map(_.getString(0)).toSeq
 
   /** URI-scheme-insensitive path key: `_metadata.file_path` renders as
@@ -159,14 +175,13 @@ object ZoneMap {
   def pruneBox(spark: SparkSession, dataDir: String, stats: DataFrame,
       preds: Seq[(String, Column, Column)]): DataFrame = {
     require(preds.nonEmpty, "at least one range predicate")
-    val keep = preds.map { case (c, lo, hi) =>
-      col(s"min_$c") <= hi && col(s"max_$c") >= lo
-    }.reduce(_ && _)
+    val keep = preds.map { case (c, lo, hi) => keepPred(c, lo, hi) }
+      .reduce(_ && _)
     // one driver-bounded pass carries BOTH the survival verdict and
-    // the catalog's full file set (null stats coalesce to not-kept —
-    // an all-null file can't match a range)
+    // the catalog's full file set (keepPred already encodes the
+    // era-absent / all-null / real-range tri-state, never null)
     val catRows = stats
-      .select(col("file"), coalesce(keep, lit(false)).as("keep"))
+      .select(col("file"), keep.as("keep"))
       .collect()
     val cataloged = catRows.map(r => pathKey(r.getString(0))).toSet
     val surviving = catRows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
@@ -189,10 +204,7 @@ object ZoneMap {
 
   /** Surviving-file count for a box (the spec/monitoring probe). */
   private[graft] def survivingBoxFiles(stats: DataFrame,
-      preds: Seq[(String, Column, Column)]): Long = {
-    val keep = preds.map { case (c, lo, hi) =>
-      col(s"min_$c") <= hi && col(s"max_$c") >= lo
-    }.reduce(_ && _)
-    stats.filter(keep).count()
-  }
+      preds: Seq[(String, Column, Column)]): Long =
+    stats.filter(preds.map { case (c, lo, hi) => keepPred(c, lo, hi) }
+      .reduce(_ && _)).count()
 }

@@ -42,11 +42,18 @@ object ZoneMapRule extends Rule[LogicalPlan] {
 
   /** One registered catalog: tracked columns, the cached stats rows
     * (file path, per-column min/max as CATALYST-internal values), and
-    * the mtimes the freshness gate pins. */
+    * the mtimes the freshness gate pins. Per-column entry tri-state
+    * (the catalog schema-evolution contract — tracked columns may be
+    * widened over a live catalog, so merged-in old rows carry null
+    * stats for the new column): key ABSENT = stats predate tracking
+    * of the column (file always survives — pruning on absent stats
+    * would lose rows); Some(None) = column genuinely all-null in the
+    * file (a range can never match); Some(Some((lo,hi))) = real
+    * range. */
   private final case class Registered(
       statsDir: String,
       cols: Seq[String],
-      rows: Seq[(String, Map[String, (Any, Any)])],
+      rows: Seq[(String, Map[String, Option[(Any, Any)]])],
       statsMtime: Long,
       dataMtime: Long)
 
@@ -92,10 +99,13 @@ object ZoneMapRule extends Rule[LogicalPlan] {
         schema(s"min_$c").dataType)
     }.toMap
     val rows = stats.collect().map { r =>
-      val mm = cols.flatMap { c =>
-        val (lo, hi) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
-        if (lo == null || hi == null) None // all-null file: no range
-        else Some(c -> (conv(c)(lo), conv(c)(hi)))
+      val mm: Map[String, Option[(Any, Any)]] = cols.flatMap { c =>
+        if (r.getAs[Any](s"nn_$c") == null) None // era-absent: no entry
+        else {
+          val (lo, hi) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+          if (lo == null || hi == null) Some(c -> None) // all-null file
+          else Some(c -> Some((conv(c)(lo), conv(c)(hi))))
+        }
       }.toMap
       (r.getAs[String]("file"), mm)
     }.toSeq
@@ -137,13 +147,16 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     val tracked = reg.cols.toSet
     val all = reg.rows.indices.toSet
 
-    // files whose [mn, mx] may intersect the test; a file with no
-    // stats for the column (all-null there) can never match
+    // files whose [mn, mx] may intersect the test — the Registered
+    // tri-state: era-absent stats always survive, an all-null column
+    // never matches a range, a real range runs the comparison
     def files(c: String)(keep: (Any, Any, Ordering[Any]) => Boolean,
         ord: Ordering[Any]): Set[Int] =
       reg.rows.indices.filter { i =>
-        reg.rows(i)._2.get(c).exists { case (mn, mx) =>
-          keep(mn, mx, ord)
+        reg.rows(i)._2.get(c) match {
+          case None => true
+          case Some(None) => false
+          case Some(Some((mn, mx))) => keep(mn, mx, ord)
         }
       }.toSet
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained CDC state (the streaming twin of
   * [[graft.pipeline.CdcMerge]]): a keyed latest-state table kept
   * up-to-date by folding each changelog micro-batch into a
@@ -98,7 +100,7 @@ object CdcMaintenance {
       .persist()
     try {
       val affected = delta.select("bucket").distinct()
-      val base = spark.read.parquet(storeDir)
+      val base = Fs.readStore(spark, storeDir)
         .join(affected, Seq("bucket"), "left_semi")
         .select((keys :+ "bucket").map(col) ++
           (Meta ++ payload).map(c => col(c).as(s"__b_$c")): _*)
@@ -141,7 +143,7 @@ object CdcMaintenance {
   /** Current state: tombstones filtered, internals dropped. */
   def read(spark: SparkSession, storeDir: String,
       keys: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(storeDir)
+    val raw = Fs.readStore(spark, storeDir)
     raw.filter(col("op") =!= "D")
       .select((keys ++ payloadCols(raw, keys)).map(col): _*)
   }
@@ -177,7 +179,7 @@ object CdcMaintenance {
     * sits under the aggregation). */
   def asOfSeq(spark: SparkSession, storeDir: String, log: DataFrame,
       keys: Seq[String], asOf: Long): DataFrame = {
-    val raw = spark.read.parquet(storeDir)
+    val raw = Fs.readStore(spark, storeDir)
     val payload = payloadCols(raw, keys)
     val cols = (keys ++ Meta ++ payload).map(col)
     val combined = raw.filter(col("seq") <= asOf).select(cols: _*)
@@ -197,7 +199,7 @@ object CdcMaintenance {
     * a GC pass over a mostly-live store writes almost nothing. */
   def gcTombstones(spark: SparkSession, storeDir: String,
       horizon: Long): Unit = {
-    val raw = spark.read.parquet(storeDir)
+    val raw = Fs.readStore(spark, storeDir)
     val expired = col("op") === "D" && col("seq") <= horizon
     // bounded driver state: bucket ids, never rows (partition-column
     // type is inference-dependent — int from a hive dir read — so go

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained table fingerprint: the streaming twin of
   * `q_checksum_delta`. The fingerprint is (row count, bit_xor of the
   * 60-bit md5-prefix row hash) — and because XOR is a commutative
@@ -50,7 +52,7 @@ object ChecksumMaintenance {
       cols: Seq[Column], batchId: String, sign: Int = 1): Unit = {
     require(batchId.nonEmpty && batchId != "__init", s"bad batchId $batchId")
     require(sign == 1 || sign == -1, s"bad sign $sign")
-    val base = spark.read.parquet(storeDir)
+    val base = Fs.readStore(spark, storeDir)
       .select(col("n_rows").as("b_n"), col("xor60").as("b_x"),
         col("last_batch"))
     val d = fingerprint(delta, cols)
@@ -93,5 +95,5 @@ object ChecksumMaintenance {
   }
 
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir).select("n_rows", "xor60", "last_batch")
+    Fs.readStore(spark, storeDir).select("n_rows", "xor60", "last_batch")
 }

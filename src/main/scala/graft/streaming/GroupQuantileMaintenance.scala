@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.QuantileSketch
+import graft.ops.{Fs, QuantileSketch}
 import graft.ops.QuantileSketch.QSketch
 
 /** Per-GROUP incrementally-maintained quantile store — the grouped
@@ -56,7 +56,7 @@ object GroupQuantileMaintenance {
   /** Read the store back: per-group sketches + the idempotency stamp. */
   def readSketches(spark: SparkSession, storeDir: String,
       k: Int = QuantileSketch.DefaultK): (Map[String, QSketch], String) = {
-    val rows = spark.read.parquet(storeDir)
+    val rows = Fs.readStore(spark, storeDir)
       .select("g", "h", "v", "total", "last_batch").collect()
     val stamp = rows.head.getString(4)
     val byG = rows.filterNot(_.getString(0) == StampG)
@@ -137,7 +137,7 @@ object GroupQuantileMaintenance {
     require(buckets >= 1, s"buckets $buckets")
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val store = spark.read.parquet(storeDir)
+    val store = Fs.readStore(spark, storeDir)
       .filter(col("g") =!= StampG)
     val meta = store.filter(col("h") === MetaH)
       .select(col("g"), col("v").as("lstar"), col("total").as("n"))

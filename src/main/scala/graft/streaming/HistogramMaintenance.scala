@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained EQUI-WIDTH histogram — the streaming twin
   * of `ops/Histogram`'s equi-depth statistic, completing the stats
   * story the way [[SketchMaintenance]] (CMS) twins `q_countmin_heavy`:
@@ -77,7 +79,7 @@ object HistogramMaintenance {
       batchId: String, sign: Int = 1): Unit = {
     require(batchId.nonEmpty && batchId != "__init", s"bad batchId $batchId")
     require(sign == 1 || sign == -1, s"bad sign $sign")
-    val base = spark.read.parquet(storeDir)
+    val base = Fs.readStore(spark, storeDir)
     val d = sparseCounts(delta, v, lo, width, buckets)
       .select(col("bucket"), col("c").as("dc"))
     val merged = base.join(broadcast(d), Seq("bucket"), "left")
@@ -110,7 +112,7 @@ object HistogramMaintenance {
       lo: Long, width: Long, buckets: Int): (Long, Long) = {
     // bucket b covers [lo + b·width, lo + (b+1)·width); wholly ≤ x
     // iff its upper edge − 1 ≤ x
-    val r = spark.read.parquet(storeDir)
+    val r = Fs.readStore(spark, storeDir)
       .agg(
         sum(when(col("bucket") < (buckets - 1) &&
           lit(lo) + (col("bucket") + 1) * width - 1 <= x, col("c"))
@@ -123,7 +125,7 @@ object HistogramMaintenance {
   }
 
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
+    Fs.readStore(spark, storeDir)
 
   /** Maintain `storeDir` from the parquet stream at `sourceDir`. */
   def start(spark: SparkSession, sourceDir: String, storeDir: String,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained per-group HyperLogLog register store —
   * the CARDINALITY twin of [[SketchMaintenance]]'s frequency CMS:
   * together they are the always-fresh sketch services a curation
@@ -77,7 +79,7 @@ object HllMaintenance {
     * first seen in this delta is densified to its full 64 rows. */
   def mergeDelta(spark: SparkSession, storeDir: String, delta: DataFrame,
       grp: Column, key: Column, batchId: String): Unit = {
-    val base = spark.read.parquet(storeDir).select("grp", "bucket", "reg")
+    val base = Fs.readStore(spark, storeDir).select("grp", "bucket", "reg")
     val d = registers(delta, grp, key)
       .select(col("grp"), col("bucket"), col("reg").as("dreg"))
     val grps = base.select("grp").unionByName(d.select("grp")).distinct()
@@ -118,13 +120,13 @@ object HllMaintenance {
   }
 
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir).select("grp", "bucket", "reg", "last_batch")
+    Fs.readStore(spark, storeDir).select("grp", "bucket", "reg", "last_batch")
 
   /** Per-group distinct estimate from the dense store — the raw-HLL
     * form q_hll_distinct outputs (no small-range correction: that
     * needs a transcendental ln; the registers ARE the sketch). */
   def estimate(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
+    Fs.readStore(spark, storeDir)
       .groupBy("grp")
       .agg(sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("n_hit"),
         max(col("reg")).as("max_reg"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.QuantileSketch
+import graft.ops.{Fs, QuantileSketch}
 import graft.ops.QuantileSketch.QSketch
 
 /** Incrementally-maintained quantile store: the streaming twin of the
@@ -49,7 +49,7 @@ object QuantileMaintenance {
   /** Read the store back as a sketch value (+ its stamp). */
   def readSketch(spark: SparkSession, storeDir: String,
       k: Int = QuantileSketch.DefaultK): (QSketch, String) = {
-    val rows = spark.read.parquet(storeDir)
+    val rows = Fs.readStore(spark, storeDir)
       .select("h", "v", "total", "last_batch").collect()
     val stamp = rows.head.getString(3)
     val meta = rows.find(_.getLong(0) == MetaH)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained rollup (streaming materialized view): the
   * hourly event rollup of [[EventsStream.hourlyRollup]] kept
   * up-to-date by a streaming query, so dashboard reads hit a tiny
@@ -105,7 +107,7 @@ object RollupMaintenance {
     val d = rollupShape(delta).persist()
     try {
       val affected = d.select("hour", "event_type").distinct()
-      val base = spark.read.parquet(storeDir)
+      val base = Fs.readStore(spark, storeDir)
         .join(affected, Seq("hour", "event_type"), "left_semi")
         .select(col("hour"), col("event_type"),
           col("n_events").as("b_n"), col("total_value").as("b_t"),
@@ -159,7 +161,7 @@ object RollupMaintenance {
 
   /** The store read back in [[EventsStream.hourlyRollup]]'s shape. */
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
+    Fs.readStore(spark, storeDir)
       .select(concat(
           regexp_replace(col("hour"), "-(\\d\\d)$", " $1"), lit(":00:00"))
         .as("hour_start"),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.ops.Fs
+
 /** Incrementally-maintained Count-Min sketch: the streaming twin of
   * `q_countmin_heavy`. CMS is a LINEAR sketch — cell(corpus ∪ delta)
   * = cell(corpus) + cell(delta) — so an append-only stream maintains
@@ -73,7 +75,7 @@ object SketchMaintenance {
       key: Column, batchId: String, sign: Int = 1): Unit = {
     require(batchId.nonEmpty && batchId != "__init", s"bad batchId $batchId")
     require(sign == 1 || sign == -1, s"bad sign $sign")
-    val base = spark.read.parquet(storeDir)
+    val base = Fs.readStore(spark, storeDir)
     val d = sparseCells(delta, key)
       .select(col("i"), col("b"), col("c").as("dc"))
     // dense store ⟕ sparse delta: ≤ d·w rows each side, broadcast
@@ -110,14 +112,14 @@ object SketchMaintenance {
   }
 
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir).select("i", "b", "c", "last_batch")
+    Fs.readStore(spark, storeDir).select("i", "b", "c", "last_batch")
 
   /** Estimated count per probe key: min over the key's d cells —
     * probe keys fan out to d coordinate rows and join the 1024-row
     * store (broadcast); estimates never undershoot the true count. */
   def probe(spark: SparkSession, storeDir: String, keys: DataFrame,
       key: Column): DataFrame = {
-    val cells = spark.read.parquet(storeDir).select("i", "b", "c")
+    val cells = Fs.readStore(spark, storeDir).select("i", "b", "c")
     keys.select(key.as("key"), explode(coords(key)).as("ib"))
       .select(col("key"), col("ib.i").as("i"), col("ib.b").as("b"))
       .join(broadcast(cells), Seq("i", "b"))
