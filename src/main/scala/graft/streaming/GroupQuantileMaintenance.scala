@@ -94,19 +94,107 @@ object GroupQuantileMaintenance {
       k: Int = QuantileSketch.DefaultK, stamp: String = "__init"): Unit =
     writeStore(rows.sparkSession, sketchesOf(rows, k), storeDir, stamp)
 
+  /** Bounded-registry ceiling for the DRIVER-side fold: at or below
+    * it the per-group merge collects groups × k pairs (sources,
+    * langs, shards — the store's original contract); past it the
+    * fold runs DISTRIBUTED — one exchange on the group key, each
+    * group rebuilt and merged in ≤2(k+1)-row bounded memory — so an
+    * unbounded group domain (per-user, per-document) never turns the
+    * maintenance loop into a driver collect. The measured-gate
+    * pattern of [[graft.ops.TableStats.statsJoin]]: the regime is
+    * chosen from counted groups, never from hope. Both regimes are
+    * spec-pinned bit-equal. */
+  val MaxDriverGroups: Long = 8192L
+
+  /** The store's idempotency stamp alone — one filtered head, no
+    * group-domain-sized collect (the regime gate must not pay the
+    * collect it exists to avoid). */
+  private def readStamp(spark: SparkSession, storeDir: String): String =
+    Fs.readStore(spark, storeDir).filter(col("g") === lit(StampG))
+      .select("last_batch").head().getString(0)
+
+  /** The distributed fold as a frame of store rows (g, h, v, total):
+    * stored rows ⊎ the delta's distributed per-group sketch rows,
+    * one groupByKey on g, per-group imperative rebuild + the SAME
+    * QSketch.merge the driver regime runs — bit-identical output by
+    * construction. private[graft] so the spec can plan-assert the
+    * exchange + mapGroups shape. */
+  private[graft] def mergedRowsDistributed(spark: SparkSession,
+      storeDir: String, delta: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val stored = Fs.readStore(spark, storeDir)
+      .filter(col("g") =!= lit(StampG))
+      .select(col("g"), col("h"), col("v"), col("total"),
+        lit(0).as("side"))
+    val agg = new QuantileSketch.QuantileSketchAgg(k)
+    val fresh = delta.select(col("g").cast("string"), col("h").cast("long"),
+        col("v").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn.name("sk"))
+      .flatMap { case (g, sk) =>
+        (g, MetaH, sk.level.toLong, sk.total, 1) +:
+          sk.canonical.map { case (h, v) => (g, h, v, 0L, 1) }
+      }
+      .toDF("g", "h", "v", "total", "side")
+    stored.union(fresh)
+      .as[(String, Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toVector
+        def rebuild(side: Int): QSketch = {
+          val rs = rows.filter(_._5 == side)
+          if (rs.isEmpty) QSketch.empty(k)
+          else {
+            val meta = rs.find(_._2 == MetaH).getOrElse(
+              sys.error(s"group $g side $side has no meta row"))
+            QSketch(k, meta._3.toInt, meta._4,
+              rs.filter(_._2 != MetaH).map(r => (r._2, r._3)))
+          }
+        }
+        val merged = rebuild(0).merge(rebuild(1))
+        ((g, MetaH, merged.level.toLong, merged.total) +:
+          merged.canonical.map { case (h, v) => (g, h, v, 0L) }).iterator
+      }
+      .toDF("g", "h", "v", "total")
+  }
+
   /** Fold one batch of (g, h, v) rows into the store — idempotent per
-    * batchId; a group unseen so far merges from the empty sketch. */
+    * batchId; a group unseen so far merges from the empty sketch.
+    * Regime is gated on the MEASURED group count (stored meta rows +
+    * delta distinct groups — an upper bound on the union): at or
+    * under `maxDriverGroups` the original driver fold runs; above it
+    * the distributed fold (same rows, spec-pinned). */
   def mergeDelta(spark: SparkSession, storeDir: String, delta: DataFrame,
-      batchId: String, k: Int = QuantileSketch.DefaultK): Unit = {
+      batchId: String, k: Int = QuantileSketch.DefaultK,
+      maxDriverGroups: Long = MaxDriverGroups): Unit = {
     require(batchId.nonEmpty && batchId != "__init", s"bad batchId $batchId")
-    val (stored, stamp) = readSketches(spark, storeDir, k)
-    if (stamp != batchId) {
+    if (readStamp(spark, storeDir) == batchId) return
+    val storedGroups = Fs.readStore(spark, storeDir)
+      .filter(col("g") =!= lit(StampG) && col("h") === lit(MetaH)).count()
+    val deltaGroups = delta.select(col("g")).distinct().count()
+    if (storedGroups + deltaGroups <= maxDriverGroups) {
+      val (stored, _) = readSketches(spark, storeDir, k)
       val fresh = sketchesOf(delta, k)
       val merged = (stored.keySet ++ fresh.keySet).map { g =>
         g -> stored.getOrElse(g, QSketch.empty(k))
           .merge(fresh.getOrElse(g, QSketch.empty(k)))
       }.toMap
       writeStore(spark, merged, storeDir, batchId)
+    } else {
+      import spark.implicits._
+      val stampRow = Seq((StampG, MetaH, 0L, 0L))
+        .toDF("g", "h", "v", "total")
+      // localCheckpoint before the overwrite: the plan reads the very
+      // dir it replaces (the self-overwrite hazard), and the store
+      // must never be clobbered by a plan that still needs it
+      val out = mergedRowsDistributed(spark, storeDir, delta, k)
+        .union(stampRow)
+        .withColumn("last_batch", lit(batchId))
+        .localCheckpoint(true)
+      out.write.mode(SaveMode.Overwrite).parquet(storeDir)
+      out.unpersist()
     }
   }
 
