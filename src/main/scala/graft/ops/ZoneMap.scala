@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
   * Null semantics: a range predicate `col BETWEEN lo AND hi` never
   * matches NULL, so a file whose tracked column is entirely null
   * (min/max both null) is correctly skipped; files with SOME nulls
-  * keep their non-null min/max and survive on those. IS NULL probes
-  * are out of scope here — track `n_nonnull` vs `n_rows` if needed.
+  * keep their non-null min/max and survive on those. IS NULL /
+  * IS NOT NULL probes are served by [[graft.plans.ZoneMapRule]] off
+  * the `nn_c` vs `n_rows` counts; this explicit API stays
+  * range-shaped.
   */
 object ZoneMap {
 

@@ -40,20 +40,23 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType,
   */
 object ZoneMapRule extends Rule[LogicalPlan] {
 
-  /** One registered catalog: tracked columns, the cached stats rows
-    * (file path, per-column min/max as CATALYST-internal values), and
-    * the mtimes the freshness gate pins. Per-column entry tri-state
-    * (the catalog schema-evolution contract — tracked columns may be
-    * widened over a live catalog, so merged-in old rows carry null
-    * stats for the new column): key ABSENT = stats predate tracking
-    * of the column (file always survives — pruning on absent stats
-    * would lose rows); Some(None) = column genuinely all-null in the
-    * file (a range can never match); Some(Some((lo,hi))) = real
-    * range. */
+  /** Cached per-file, per-column stats: non-null count plus the
+    * min/max range as CATALYST-internal values (`range` None = the
+    * column is genuinely ALL NULL in the file). */
+  private final case class ColStats(nn: Long, range: Option[(Any, Any)])
+
+  /** One cached catalog row. `cols` key ABSENT = the stats predate
+    * tracking of that column (the schema-evolution tri-state: an
+    * era-absent column can never prune its file). */
+  private final case class FileStats(file: String, nRows: Long,
+      cols: Map[String, ColStats])
+
+  /** One registered catalog: tracked columns, the cached stats rows,
+    * and the mtimes the freshness gate pins. */
   private final case class Registered(
       statsDir: String,
       cols: Seq[String],
-      rows: Seq[(String, Map[String, Option[(Any, Any)]])],
+      rows: Seq[FileStats],
       statsMtime: Long,
       dataMtime: Long)
 
@@ -99,15 +102,18 @@ object ZoneMapRule extends Rule[LogicalPlan] {
         schema(s"min_$c").dataType)
     }.toMap
     val rows = stats.collect().map { r =>
-      val mm: Map[String, Option[(Any, Any)]] = cols.flatMap { c =>
-        if (r.getAs[Any](s"nn_$c") == null) None // era-absent: no entry
-        else {
-          val (lo, hi) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
-          if (lo == null || hi == null) Some(c -> None) // all-null file
-          else Some(c -> Some((conv(c)(lo), conv(c)(hi))))
+      val mm: Map[String, ColStats] = cols.flatMap { c =>
+        r.getAs[Any](s"nn_$c") match {
+          case null => None // era-absent: no entry
+          case nn: java.lang.Long =>
+            val (lo, hi) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+            val range =
+              if (lo == null || hi == null) None // all-null file
+              else Some((conv(c)(lo), conv(c)(hi)))
+            Some(c -> ColStats(nn, range))
         }
       }.toMap
-      (r.getAs[String]("file"), mm)
+      FileStats(r.getAs[String]("file"), r.getAs[Long]("n_rows"), mm)
     }.toSeq
     Registered(statsDir, cols, rows,
       latestMtime(spark, statsDir),
@@ -153,12 +159,28 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     def files(c: String)(keep: (Any, Any, Ordering[Any]) => Boolean,
         ord: Ordering[Any]): Set[Int] =
       reg.rows.indices.filter { i =>
-        reg.rows(i)._2.get(c) match {
+        reg.rows(i).cols.get(c) match {
           case None => true
-          case Some(None) => false
-          case Some(Some((mn, mx))) => keep(mn, mx, ord)
+          case Some(ColStats(_, None)) => false
+          case Some(ColStats(_, Some((mn, mx)))) => keep(mn, mx, ord)
         }
       }.toSet
+
+    // null-predicate pruning off the non-null counts (era-absent
+    // stats always survive): IS NULL needs at least one null in the
+    // file (nn < n_rows); IS NOT NULL needs at least one non-null.
+    // Catalyst plants isnotnull conjuncts above every filtered scan,
+    // so the IsNotNull case also lets a range query skip all-null
+    // files one test earlier.
+    def nullFiles(c: String)(survives: (Long, Long) => Boolean)
+        : Option[Set[Int]] =
+      if (!tracked(c)) None
+      else Some(reg.rows.indices.filter { i =>
+        reg.rows(i).cols.get(c) match {
+          case None => true
+          case Some(cs) => survives(cs.nn, reg.rows(i).nRows)
+        }
+      }.toSet)
 
     def cmpSet(c: String, dt: DataType, v: Any,
         op: Expression): Option[Set[Int]] =
@@ -199,6 +221,13 @@ object ZoneMapRule extends Rule[LogicalPlan] {
             cmpSet(a.name, dt, v, flipped)
           case _ => None
         }
+      // null predicates read the non-null counts directly
+      case org.apache.spark.sql.catalyst.expressions.IsNull(
+          a: AttributeReference) =>
+        nullFiles(a.name)((nn, n) => nn < n)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) =>
+        nullFiles(a.name)((nn, _) => nn > 0L)
       // IN-list: exact union of the per-value point tests
       case In(a: AttributeReference, vs)
           if tracked(a.name) && vs.nonEmpty &&
@@ -249,7 +278,7 @@ object ZoneMapRule extends Rule[LogicalPlan] {
         else {
           survivorIdx(reg, cond) match {
             case Some(idxs) if idxs.size < reg.rows.length =>
-              val files = idxs.toSeq.sorted.map(i => reg.rows(i)._1)
+              val files = idxs.toSeq.sorted.map(i => reg.rows(i).file)
               val idx = new InMemoryFileIndex(spark,
                 files.map(new Path(_)), Map.empty, Some(h.dataSchema))
               val pruned = h.copy(location = idx,

@@ -121,6 +121,42 @@ class ZoneMapRuleSpec extends SparkSpec {
     } finally ZoneMapRule.deregister(s"$base/data")
   }
 
+  test("IS NULL / IS NOT NULL prune from the non-null counts; rows exact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zmr_null").toString
+    // file A: k fully populated; file B: k all null; file C: mixed
+    (0L until 100L).map(i => (Some(i), s"a$i")).toDF("k", "payload")
+      .coalesce(1).write.parquet(s"$base/data")
+    Seq.fill(50)((None: Option[Long], "b")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    (200L until 300L).map(i => (if (i % 2 == 0) Some(i) else None, s"c$i"))
+      .toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("k"))
+    ZoneMapRule.install(spark)
+    ZoneMapRule.register(spark, s"$base/data", s"$base/zm", Seq("k"))
+    try {
+      // IS NULL: the fully-populated file drops; rows exact
+      val nulls = spark.read.parquet(s"$base/data").filter(col("k").isNull)
+      assert(nulls.count() === 100L)
+      assert(scannedFiles(nulls) === 2L, "IS NULL kept the no-null file")
+
+      // IS NOT NULL: the all-null file drops
+      val notNulls = spark.read.parquet(s"$base/data")
+        .filter(col("k").isNotNull)
+      assert(notNulls.count() === 150L)
+      assert(scannedFiles(notNulls) === 2L,
+        "IS NOT NULL kept the all-null file")
+
+      // and the isnotnull conjunct Catalyst plants above a range scan
+      // composes: range [0,99] + isnotnull = only file A survives
+      val band = spark.read.parquet(s"$base/data")
+        .filter(col("k").isNotNull && col("k") <= 99L && col("k") >= 0L)
+      assert(band.count() === 100L)
+      assert(scannedFiles(band) === 1L)
+    } finally ZoneMapRule.deregister(s"$base/data")
+  }
+
   test("the rule prunes the data-side scan UNDER a DeleteLedger reconcile anti-join") {
     import spark.implicits._
     val base = Files.createTempDirectory("zmr_live").toString
