@@ -30,10 +30,16 @@ object Debug {
       if (timing) {
         SparkEntry.queries(name)(spark, sfDir).count() // warm (JIT + data)
         spark.catalog.clearCache()
-        for (i <- 1 to 3) {
+        // SPARK_GRAFT_DEBUG_RUNS widens the sample when the question
+        // is the RUN-TO-RUN DISTRIBUTION in one JVM (bimodality
+        // triage: variance inside a JVM points at cache/eviction,
+        // stable-inside-but-differs-across-JVMs points at page cache
+        // or JIT), default 3 for quick profiling
+        val n = sys.env.getOrElse("SPARK_GRAFT_DEBUG_RUNS", "3").toInt
+        for (i <- 1 to n) {
           val t0 = System.nanoTime()
-          val n = SparkEntry.queries(name)(spark, sfDir).count()
-          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          val rows = SparkEntry.queries(name)(spark, sfDir).count()
+          println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
           spark.catalog.clearCache()
         }
       } else {
