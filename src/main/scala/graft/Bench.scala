@@ -150,6 +150,39 @@ object Bench {
       f"[bench] page-cache prime: ${(System.nanoTime() - tPrime) / 1e9}%.2f s")
 
     spinSec() // JIT warm
+    // I/O-side ambient probe: the CPU spin probes are blind to disk /
+    // page-cache / memory-bus contention, yet scan-bound queries (the
+    // md5 hash pass over lineitem) swing with exactly that — the r9
+    // "quantile-sketch sf10 bimodality" (14.8 vs 10.4 s across two
+    // clean-CPU-probe bench executions, while a 12-run same-JVM r10
+    // probe showed a unimodal ±13% band at a third level entirely)
+    // was unattributable for want of this number. Reads a fixed
+    // ≤256 MB slice of the bench's own biggest lineitem file; after
+    // the priming pass this measures page-cache/memory bandwidth —
+    // a co-tenant saturating disk or the memory bus shows HERE while
+    // the spins stay clean.
+    def ioProbeMbps(): Double = {
+      def pick(f: java.io.File): java.io.File =
+        if (f.isFile) f
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          .sortBy(-_.length()).headOption.getOrElse(f)
+      val src = pick(new java.io.File(sfDir, "lineitem.parquet"))
+      if (!src.isFile || src.length() == 0) return -1.0
+      val cap = math.min(src.length(), 256L * 1024 * 1024)
+      val buf = new Array[Byte](8 * 1024 * 1024)
+      val in = new java.io.FileInputStream(src)
+      val t0 = System.nanoTime()
+      var read = 0L
+      try {
+        var n = in.read(buf)
+        while (n > 0 && read < cap) { read += n; n = in.read(buf) }
+      } finally in.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec <= 0 || read == 0) -1.0 else read / 1e6 / sec
+    }
+    val ioPrime = ioProbeMbps() // first read may pay the disk: prime
+    val ioPre = ioProbeMbps()
     val calibPre = spinSec()
     val stPre = spinN(QuarterIters)
     val calibMtPre = spinMtSec()
@@ -279,9 +312,12 @@ object Bench {
     // probes when one happened); st_pre/st_post are the same-moment
     // single-thread quarters the contention rule divides by; mt_threads
     // makes the reading interpretable on any core count
+    val ioPost = ioProbeMbps()
     val calib = f"""{"pre":$calibPre%.3f,"post":$calibPost%.3f,""" +
       f""""mt_pre":$mtPreUsed%.3f,"mt_post":$calibMtPost%.3f,""" +
       f""""st_pre":$stPreUsed%.3f,"st_post":$stPost%.3f,""" +
+      f""""io_prime_mbps":$ioPrime%.0f,"io_pre_mbps":$ioPre%.0f,""" +
+      f""""io_post_mbps":$ioPost%.0f,""" +
       s""""mt_threads":$mtThreads}"""
     val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"reruns":$reruns,"calib_sec":$calib}"""
     if (json.length > 1800) System.err.println(

@@ -23,6 +23,10 @@ object Debug {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", timing.toString)
+      // mirror Bench's AQE partition sizing exactly — a --time probe
+      // that plans differently from Bench measures a different query
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
