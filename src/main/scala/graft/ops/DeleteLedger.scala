@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *   - `LAYOUT`      optional declared clustering ([[Layout.Spec]]);
   *                   every rewrite (create, compact) reproduces it,
   *                   so zone-map pruning survives maintenance
-  *   - `deletes/`    the ledger, hive-partitioned by `batch_id`
+  *   - `deletes/`    the delete ledger, hive-partitioned by `batch_id`
+  *   - `upserts/`    the upsert ledger (full-schema rows + `__seq`),
+  *                   hive-partitioned by `batch_id`; see [[upsert]]
+  *                   for the window semantics (deletes win; highest
+  *                   seq wins among upserts)
   *
   * Correctness contracts:
   *   - DELETE idempotency: each batch writes via dynamic-partition
@@ -67,6 +71,7 @@ object DeleteLedger {
 
   private def versionFile(base: String) = Paths.get(base, "VERSION")
   private def deletesDir(base: String) = s"$base/deletes"
+  private def upsertsDir(base: String) = s"$base/upserts"
 
   /** Current data version, or -1 before [[create]] committed. */
   def currentVersion(base: String): Int = {
@@ -177,20 +182,87 @@ object DeleteLedger {
     }
   }
 
-  /** The live table: current data version minus the ledger. One
-    * anti-join, broadcast while the measured ledger size allows.
-    * `maxBroadcast` exists so the spec can force the shuffle regime
-    * and pin both plans equal — production callers take the default. */
+  // -----------------------------------------------------------------
+  // Merge-on-read UPSERTS — the other half of the mutation story
+  // (Hudi MOR / Iceberg equality-delete+append, as an explicit
+  // operator): an update or insert costs one batch append beside the
+  // data, never a data-file rewrite; readers reconcile, [[compact]]
+  // folds. WINDOW SEMANTICS (documented, spec-pinned):
+  //   - among upserts to one key, the highest `seq` wins (ties break
+  //     on batch_id — deterministic whatever the read order);
+  //   - a DELETE in the same window beats every upsert to its key:
+  //     the compliance-first rule (a GDPR erase must not lose to a
+  //     late-arriving CDC update; if the key legitimately returns, it
+  //     returns as an upsert in a LATER window, after a compact).
+  // Idempotency matches delete(): each batch dynamic-partition
+  // overwrites its own batch_id partition, so a retry replaces
+  // itself; replaying a stale upsert over already-compacted data
+  // rewrites the same rows (spec-proven no-op).
+  // -----------------------------------------------------------------
+
+  /** Append one upsert batch: `rows` must carry the TABLE's schema
+    * (same columns; order normalized here). `seq` orders upsert
+    * batches within the window — the streaming twin passes its
+    * micro-batch id, batch callers a clock they control. */
+  def upsert(spark: SparkSession, base: String, rows: DataFrame,
+      pk: String, batchId: String, seq: Long): Unit = {
+    require(batchId.nonEmpty, "empty batchId")
+    val dataCols = spark.read.parquet(dataDir(base)).columns.toSeq
+    require(rows.columns.toSet == dataCols.toSet,
+      s"upsert schema ${rows.columns.sorted.mkString(",")} != table " +
+        s"schema ${dataCols.sorted.mkString(",")}")
+    rows.select(dataCols.map(col): _*)
+      .withColumn("__seq", lit(seq))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(upsertsDir(base))
+  }
+
+  /** Winning upsert row per key (empty None when no upserts): the
+    * max-(seq, batch_id) row, computed over the batch-sized upsert
+    * frame — one window exchange on the delta, never on the table. */
+  private def upsertWinners(spark: SparkSession, base: String,
+      pk: String): Option[DataFrame] = {
+    if (!Fs.hasCommittedParquet(new java.io.File(upsertsDir(base)))) None
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(upsertsDir(base))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(pk))
+        .orderBy(col("__seq").desc, col("batch_id").desc)
+      Some(raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__seq", "batch_id"))
+    }
+  }
+
+  /** The live table: current data version, minus every key the window
+    * touched (deletes ∪ upserts), plus the winning upsert rows that
+    * are not deleted. Two delta-sized anti-joins and a union;
+    * broadcast while the measured key count allows. `maxBroadcast`
+    * exists so the spec can force the shuffle regime and pin both
+    * plans equal — production callers take the default. */
   def read(spark: SparkSession, base: String, pk: String,
       maxBroadcast: Long = BroadcastDeleteRows): DataFrame = {
     val data = spark.read.parquet(dataDir(base))
     val dels = deletedKeys(spark, base, pk)
-    if (dels.isEmpty) data
-    else {
-      // ledger-sized count — the measured regime gate
-      val n = dels.count()
-      val right = if (n <= maxBroadcast) broadcast(dels) else dels
-      data.join(right, Seq(pk), "left_anti")
+    val winners = upsertWinners(spark, base, pk)
+    def anti(left: DataFrame, keys: DataFrame): DataFrame = {
+      val n = keys.count() // delta-sized count — the measured gate
+      val right = if (n <= maxBroadcast) broadcast(keys) else keys
+      left.join(right, Seq(pk), "left_anti")
+    }
+    (winners, dels.isEmpty) match {
+      case (None, true) => data
+      case (None, false) => anti(data, dels)
+      case (Some(ws), delsEmpty) =>
+        val touched =
+          if (delsEmpty) ws.select(pk)
+          else ws.select(pk).union(dels).distinct()
+        val liveUpserts = if (delsEmpty) ws else anti(ws, dels)
+        anti(data, touched).unionByName(liveUpserts)
     }
   }
 
@@ -222,6 +294,14 @@ object DeleteLedger {
         .parquet(s"$base/data_v$next")
     }
     writeVersion(base, next)
+    // clear order is LOAD-BEARING: upserts BEFORE deletes. A crash
+    // leaving both ledgers replays consistently (the delete re-beats
+    // the upsert, same winners as the fold); a crash leaving deletes
+    // only re-deletes already-gone keys (no-op anti-join). The
+    // REVERSE order has a window holding upserts without the deletes
+    // that beat them — a replayed upsert would RESURRECT erased keys
+    // (spec-pinned: the crash-schedule test replays each window).
+    Fs.deleteRecursively(new File(upsertsDir(base)))
     Fs.deleteRecursively(new File(deletesDir(base)))
     next
   }

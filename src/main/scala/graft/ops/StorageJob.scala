@@ -67,12 +67,13 @@ object StorageJob {
       DeleteLedger.start(spark, feedDir, base,
         if (feedKeyExpr.nonEmpty) feedKeyExpr else pk).awaitTermination()
 
-    // 2. measured compaction gate: the ledger count is ledger-sized
-    val ledgerDir = new java.io.File(s"$base/deletes")
-    val ledgerRows =
-      if (Fs.hasCommittedParquet(ledgerDir))
-        spark.read.parquet(s"$base/deletes").count()
+    // 2. measured compaction gate: pending ops (deletes + upserts)
+    // are ledger-sized counts
+    def dirRows(d: String): Long =
+      if (Fs.hasCommittedParquet(new java.io.File(d)))
+        spark.read.option("mergeSchema", "true").parquet(d).count()
       else 0L
+    val ledgerRows = dirRows(s"$base/deletes") + dirRows(s"$base/upserts")
     if (ledgerRows > compactAtRows) {
       DeleteLedger.compact(spark, base, pk)
       DeleteLedger.vacuum(base, keep = 2)

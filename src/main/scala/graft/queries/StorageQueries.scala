@@ -126,6 +126,56 @@ object StorageQueries extends QueryModule {
       base
     }
 
+  private val nullsMemo = BuildOnce.memo[String, String]()
+
+  /** Events slice with a DERIVED NULLABLE column — `v` is null for
+    * the user_id < 3 population (the "cohort never instrumented"
+    * shape), real elsewhere. Range layout on user_id makes the nulls
+    * FILE-LOCALIZED (low-user files all-null v, high-user files
+    * no-null, one boundary file mixed), so the catalog's non-null
+    * counts can actually prune a null probe: IS NULL keeps only the
+    * files containing a null. The artifact `q_zonemap_nulls` reads
+    * through ZoneMapRule. */
+  private[graft] def nullsTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(nullsMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_zm_nulls").toString
+      val events = Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          when(col("user_id") < 3L, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+      Layout.writeRangeLayout(events, s"$base/data", 8, "user_id")
+      ZoneMap.write(spark, s"$base/data", s"$base/zm", Seq("user_id", "v"))
+      base
+    }
+
+  private val upsertMemo = BuildOnce.memo[String, String]()
+
+  /** Documents table behind a MUTATION window: upsert batch seq=1
+    * bumps n_chars by 1000 for doc_id % 5 == 0, seq=2 re-bumps the
+    * % 10 == 0 subset by 2000 (latest seq must win), and a delete
+    * batch erases doc_id % 7 == 3 (deletes beat upserts —
+    * compliance-first). Nothing compacted: `q_upsert_ledger` reads
+    * through the full three-way reconcile. */
+  private[graft] def upsertTableFor(spark: SparkSession, dir: String): String =
+    BuildOnce.cached(upsertMemo, dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_upsert_ledger").toString
+      val docs = Tables(spark, dir, "documents")
+      DeleteLedger.create(spark, base, docs)
+      DeleteLedger.upsert(spark, base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        "doc_id", "u1", seq = 1L)
+      DeleteLedger.upsert(spark, base,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 2000L),
+        "doc_id", "u2", seq = 2L)
+      DeleteLedger.delete(spark, base,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), "d1")
+      base
+    }
+
   private val cdfMemo = BuildOnce.memo[String, String]()
 
   /** Documents table with a COMPACTION BOUNDARY in its history:
@@ -370,6 +420,43 @@ object StorageQueries extends QueryModule {
         |  AND NOT event_id % 13 = 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- NULL-PREDICATE file pruning (ZoneMapRule IsNull/IsNotNull
+    // off the catalog's non-null counts): a plain `filter(v IS NULL)`
+    // over the registered table keeps only the files that CONTAIN a
+    // null (nn_v < n_rows) — the no-null files are skipped before any
+    // scan task exists. The residual filter re-applies, so the oracle
+    // (the same CASE-derived null over raw events) proves the count
+    // pruning loses nothing. The one-sided safety argument is the
+    // same as for ranges: the counts can only DROP files that cannot
+    // match. (ZoneMapRuleSpec pins the file counts; this gate pins
+    // end-to-end losslessness.)
+    "q_zonemap_nulls" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = nullsTableFor(spark, dir)
+        graft.plans.ZoneMapRule.install(spark)
+        graft.plans.ZoneMapRule.register(spark, s"$base/data", s"$base/zm",
+          Seq("user_id", "v"))
+        spark.read.parquet(s"$base/data")
+          .filter(col("v").isNull)
+          .withColumn("__h60",
+            conv(md5(col("event_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_null_events"),
+            expr("bit_xor(__h60)").as("ids_xor60"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        |SELECT event_type, COUNT(*) AS n_null_events,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT)) AS ids_xor60,
+        |  MIN(user_id) AS min_user, MAX(user_id) AS max_user
+        |FROM events
+        |WHERE (CASE WHEN user_id < 3 THEN NULL ELSE value END) IS NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- Merge-on-read delete ledger (ops/DeleteLedger): documents
     // behind two delete batches (one retried), read through the
     // reconcile anti-join — no data file was rewritten. The oracle
@@ -397,6 +484,44 @@ object StorageQueries extends QueryModule {
         |    AS BIGINT)) AS ids_xor60
         |FROM documents
         |WHERE NOT (doc_id % 7 = 3 OR doc_id % 11 = 5)
+        |GROUP BY source ORDER BY source""".stripMargin),
+      bench = true),
+
+    // ---- Merge-on-read UPSERTS (DeleteLedger.upsert): updates land
+    // as batch appends beside the data — no data-file rewrite — and
+    // the read reconciles three ways (base minus touched keys, plus
+    // winning upsert rows, minus deletes). Window semantics under
+    // test: latest seq wins among upserts (the %10 subset carries
+    // seq=2's +2000, not seq=1's +1000), and a delete beats every
+    // upsert to its key (compliance-first). The oracle replays the
+    // whole window as CASE logic over the raw table, so the hash
+    // match proves the ledger reconcile ≡ the logical timeline.
+    "q_upsert_ledger" -> QueryDef(
+      fn = (spark, dir) => {
+        val base = upsertTableFor(spark, dir)
+        DeleteLedger.read(spark, base, "doc_id")
+          .withColumn("__h60",
+            conv(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("n_chars").cast("string"))).substr(1, 15), 16, 10)
+              .cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            expr("bit_xor(__h60)").as("rows_xor60"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars_eff) AS BIGINT) AS sum_chars,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(n_chars_eff AS VARCHAR)), 1, 15) AS BIGINT))
+        |    AS rows_xor60
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 2000
+        |         WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars_eff
+        |  FROM documents WHERE NOT doc_id % 7 = 3)
         |GROUP BY source ORDER BY source""".stripMargin),
       bench = true),
 

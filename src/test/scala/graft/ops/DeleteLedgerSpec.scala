@@ -248,6 +248,87 @@ class DeleteLedgerSpec extends SparkSpec {
       s"compaction destroyed the z-order layout: ${boxFiles()}/16")
   }
 
+  test("upserts: updates and inserts land without a data rewrite; latest seq wins; retry idempotent") {
+    val (base, df) = freshTable()
+    // seq 1: modify payload for pk < 100, insert two new keys
+    val u1 = df.filter(col("pk") < 100L)
+      .withColumn("payload", concat(lit("v1_"), col("payload")))
+      .unionByName(Seq((5000L, "new5000", 0L), (5001L, "new5001", 1L))
+        .toDF("pk", "payload", "g"))
+    DeleteLedger.upsert(spark, base, u1, "pk", "u1", seq = 1L)
+    // seq 2 re-modifies a subset — the later seq must win
+    val u2 = df.filter(col("pk") < 50L)
+      .withColumn("payload", concat(lit("v2_"), col("payload")))
+    DeleteLedger.upsert(spark, base, u2, "pk", "u2", seq = 2L)
+    // retried u1: dynamic overwrite replaces itself, no duplicates
+    DeleteLedger.upsert(spark, base, u1, "pk", "u1", seq = 1L)
+
+    val expected = df.collect().map { r =>
+      val (pk, p, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+      (pk, if (pk < 50) s"v2_$p" else if (pk < 100) s"v1_$p" else p, g)
+    }.toSet ++ Set((5000L, "new5000", 0L), (5001L, "new5001", 1L))
+    assert(liveSet(base) === expected.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)))
+  }
+
+  test("a delete beats every upsert to its key in the same window (compliance-first)") {
+    val (base, df) = freshTable()
+    DeleteLedger.upsert(spark, base,
+      df.filter(col("pk") < 100L)
+        .withColumn("payload", lit("updated")), "pk", "u1", seq = 5L)
+    // the delete carries a LOWER seq — it still wins: erasure must
+    // not lose to a late-arriving update in the same window
+    DeleteLedger.delete(spark, base, (0L until 20L).toDF("pk"), "d1")
+    val live = liveSet(base)
+    assert(!live.exists(_.getLong(0) < 20L), "deleted keys resurrected")
+    assert(live.count(r => r.getLong(0) < 100L && r.getString(1) == "updated") === 80)
+    assert(live.size === 980)
+  }
+
+  test("compact folds upserts+deletes, clears both ledgers; stale upsert replay is a no-op") {
+    val (base, df) = freshTable()
+    val u1 = df.filter(col("pk") % 3 === 0)
+      .withColumn("payload", concat(lit("up_"), col("payload")))
+    DeleteLedger.upsert(spark, base, u1, "pk", "u1", seq = 1L)
+    DeleteLedger.delete(spark, base, (0L until 1000L by 5).toDF("pk"), "d1")
+    val before = liveSet(base)
+
+    DeleteLedger.compact(spark, base, "pk", maxBroadcast = 0L)
+    assert(liveSet(base) === before)
+    assert(!Fs.hasCommittedParquet(new File(s"$base/upserts")))
+    // no reconcile joins left in the read plan
+    val plan = DeleteLedger.read(spark, base, "pk")
+    plan.collect()
+    assert(!execNodes(plan).exists(n =>
+      n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[SortMergeJoinExec]))
+
+    // crash window A: VERSION flipped, NEITHER ledger cleared — both
+    // replay together; the delete re-beats the upsert exactly as the
+    // fold resolved it, so the live view is unchanged
+    DeleteLedger.upsert(spark, base, u1, "pk", "u1", seq = 1L)
+    DeleteLedger.delete(spark, base, (0L until 1000L by 5).toDF("pk"), "d1")
+    assert(liveSet(base) === before)
+    DeleteLedger.compact(spark, base, "pk")
+    assert(liveSet(base) === before)
+
+    // crash window B: upserts cleared, delete clear lost — stale
+    // deletes alone re-apply to already-gone keys, a no-op (this is
+    // WHY compact clears upserts first: the reverse order's window
+    // holds upserts without the deletes that beat them and would
+    // resurrect erased keys)
+    DeleteLedger.delete(spark, base, (0L until 1000L by 5).toDF("pk"), "d1")
+    assert(liveSet(base) === before)
+    DeleteLedger.compact(spark, base, "pk")
+    assert(liveSet(base) === before)
+  }
+
+  test("upsert schema mismatch fails loudly") {
+    val (base, _) = freshTable()
+    intercept[IllegalArgumentException] {
+      DeleteLedger.upsert(spark, base,
+        Seq((1L, "x")).toDF("pk", "payload"), "pk", "bad", seq = 1L)
+    }
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

@@ -25,7 +25,18 @@ import sys
 
 def load_total(path):
     with open(path) as f:
-        lines = [json.loads(l) for l in f if l.strip()]
+        text = f.read()
+    try:
+        # driver round artifact: one wrapper object, metric under "parsed"
+        doc = json.loads(text)
+        if isinstance(doc, dict) and doc.get("parsed"):
+            return doc["parsed"]
+        if isinstance(doc, dict) and doc.get("metric") == "total":
+            return doc
+    except json.JSONDecodeError:
+        pass
+    # raw SPARK_GRAFT_BENCH_OUT file: one JSON object per line
+    lines = [json.loads(l) for l in text.splitlines() if l.strip()]
     totals = [l for l in lines if l.get("metric") == "total"]
     if not totals:
         sys.exit(f"{path}: no metric=total line")
