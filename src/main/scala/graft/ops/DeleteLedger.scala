@@ -365,4 +365,27 @@ object DeleteLedger {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming twin for the UPSERT feed (the CDC-update side of the
+    * mutation story): full-table-schema row batches from `feedDir`
+    * fold into the upsert ledger. The micro-batch id serves as BOTH
+    * the idempotency key (a replayed id overwrites its own partition)
+    * and the window sequence — checkpointed micro-batch ids are
+    * monotone, so later feed files win later, which is exactly the
+    * latest-wins contract [[upsert]] documents. Exactly-once by the
+    * same composition as the delete feed. */
+  def startUpserts(spark: SparkSession, feedDir: String, base: String,
+      pk: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(feedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsert(batch.sparkSession, base, batch, pk, s"u$id", seq = id)
+      }
+      .option("checkpointLocation", s"$base/__upsert_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

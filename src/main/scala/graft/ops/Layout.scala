@@ -63,6 +63,23 @@ object Layout {
     def serialized: String = s"zorder:$numFiles:$colA:$colB:$bits"
   }
 
+  /** Range-cluster with the file count DERIVED at rewrite time from
+    * the measured row count (ceil(rows / targetFileRows), min 1) —
+    * the 100 TB form of [[RangeSpec]]: a frozen numFiles declared at
+    * creation is wrong after the table grows 100× (files balloon
+    * past executor-friendly sizes and pruning granularity decays),
+    * while a per-rewrite measured count keeps every file near the
+    * declared target forever. The count is one aggregate over rows
+    * being fully rewritten anyway — noise next to the rewrite. */
+  final case class RangeAutoSpec(targetFileRows: Long,
+      sortCols: Seq[String]) extends Spec {
+    require(targetFileRows > 0 && sortCols.nonEmpty, "bad rangeauto spec")
+    require(sortCols.forall(c => !c.contains(",") && !c.contains(":")),
+      "sort column names must not contain ',' or ':'")
+    def serialized: String =
+      s"rangeauto:$targetFileRows:${sortCols.mkString(",")}"
+  }
+
   /** Parse [[Spec.serialized]]; loud on anything unrecognized (a
     * corrupt property file must never silently fall back to an
     * unclustered rewrite — that is the exact failure the property
@@ -70,6 +87,8 @@ object Layout {
   def parseSpec(s: String): Spec = s.trim.split(":", -1) match {
     case Array("range", n, cols) if cols.nonEmpty =>
       RangeSpec(n.toInt, cols.split(",").toSeq)
+    case Array("rangeauto", t, cols) if cols.nonEmpty =>
+      RangeAutoSpec(t.toLong, cols.split(",").toSeq)
     case Array("zorder", n, a, b, bits) =>
       ZOrderSpec(n.toInt, a, b, bits.toInt)
     case _ => throw new IllegalArgumentException(s"unparseable layout spec: $s")
@@ -78,6 +97,15 @@ object Layout {
   /** Write `df` at `path` under the declared clustering. */
   def write(df: DataFrame, path: String, spec: Spec): Unit = spec match {
     case RangeSpec(n, cols) => writeRangeLayout(df, path, n, cols: _*)
+    case RangeAutoSpec(target, cols) =>
+      // measured file count: one extra count pass over the frame
+      // being rewritten (column-pruned, so far cheaper than the
+      // rewrite it precedes; persist upstream if the frame is an
+      // expensive derivation)
+      val rows = df.count()
+      val n = math.max(1L, (rows + target - 1) / target)
+      require(n <= Int.MaxValue, s"rangeauto: $n files from $rows rows")
+      writeRangeLayout(df, path, n.toInt, cols: _*)
     case ZOrderSpec(n, a, b, bits) => writeZOrderLayout(df, path, n, a, b, bits)
   }
 

@@ -329,6 +329,56 @@ class DeleteLedgerSpec extends SparkSpec {
     }
   }
 
+  test("streamed upsert feed: micro-batch ids sequence the window; restart ingests only new files") {
+    val (base, df) = freshTable()
+    val feed = Files.createTempDirectory("dl_upsert_feed").toString
+    def writeFeed(rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.coalesce(1).write.mode("append").parquet(feed)
+
+    // feed file 1 then file 2 touch an overlapping key range — the
+    // later micro-batch must win on the overlap
+    writeFeed(df.filter(col("pk") < 100L)
+      .withColumn("payload", lit("feed1")))
+    DeleteLedger.startUpserts(spark, feed, base, "pk").awaitTermination()
+    writeFeed(df.filter(col("pk") >= 50L && col("pk") < 150L)
+      .withColumn("payload", lit("feed2")))
+    DeleteLedger.startUpserts(spark, feed, base, "pk").awaitTermination()
+
+    val live = liveSet(base)
+    assert(live.count(_.getString(1) == "feed1") === 50) // 0..49
+    assert(live.count(_.getString(1) == "feed2") === 100) // 50..149
+    assert(live.size === 1000)
+    // and compaction folds the streamed window like any other
+    DeleteLedger.compact(spark, base, "pk")
+    assert(liveSet(base) === live)
+  }
+
+  test("rangeauto layout: the compacted file count tracks the measured rows") {
+    val base = Files.createTempDirectory("dl_rangeauto").toString
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("pk", "payload")
+    DeleteLedger.create(spark, base, df,
+      Some(Layout.RangeAutoSpec(targetFileRows = 100L, Seq("pk"))))
+    def dataFiles(): Int = new File(DeleteLedger.dataDir(base))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles() === 10, s"v0: ${dataFiles()}")
+
+    // shrink the table: the next rewrite derives FEWER files — a
+    // frozen numFiles would keep 10 ever-smaller ones
+    DeleteLedger.delete(spark, base, (0L until 1000L)
+      .filter(_ % 4 != 0).toDF("pk"), "b1")
+    DeleteLedger.compact(spark, base, "pk", maxBroadcast = 0L)
+    assert(DeleteLedger.read(spark, base, "pk").count() === 250L)
+    assert(dataFiles() === 3, s"v1: ${dataFiles()}")
+
+    // and the clustering still prunes: a zone map over v1 keeps ~1
+    // file for a 10% band
+    val zm = Files.createTempDirectory("dl_rangeauto_zm").toString
+    ZoneMap.write(spark, DeleteLedger.dataDir(base), zm, Seq("pk"))
+    val surv = ZoneMap.survivingFiles(ZoneMap.read(spark, zm),
+      "pk", lit(100L), lit(199L))
+    assert(surv.length === 1, s"survivors: ${surv.length}")
+  }
+
   test("deletes accumulate across compactions") {
     val (base, df) = freshTable()
     DeleteLedger.delete(spark, base, Seq(1L, 2L).toDF("pk"), "b1")

@@ -152,6 +152,7 @@ class LayoutSpec extends SparkSpec {
     val specs = Seq(
       Layout.RangeSpec(8, Seq("k")),
       Layout.RangeSpec(16, Seq("a", "b")),
+      Layout.RangeAutoSpec(1000000L, Seq("k")),
       Layout.ZOrderSpec(16, "x", "y", 30))
     specs.foreach { s =>
       assert(Layout.parseSpec(s.serialized) === s, s.serialized)
