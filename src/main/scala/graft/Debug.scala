@@ -30,8 +30,31 @@ object Debug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // --jobs: per-job wall times + stage counts for ONE extra run —
+    // answers "where do a multi-job query's seconds go" (broadcast
+    // builds, checkpoint jobs, eager cache counts) without the UI
+    if (args.contains("--jobs")) {
+      val t0 = System.nanoTime()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(), j.stageInfos.size))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (s, nst) = starts.getOrDefault(j.jobId, (0L, -1))
+            System.err.println(
+              f"[job ${j.jobId}%3d] +${(s - t0) / 1e9}%7.3fs " +
+                f"dur=${(System.nanoTime() - s) / 1e9}%6.3fs stages=$nst")
+          }
+        })
+    }
     try {
       if (timing) {
+        if (args.contains("--explain"))
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
         SparkEntry.queries(name)(spark, sfDir).count() // warm (JIT + data)
         spark.catalog.clearCache()
         // SPARK_GRAFT_DEBUG_RUNS widens the sample when the question

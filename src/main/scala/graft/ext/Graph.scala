@@ -53,11 +53,15 @@ object GraphOps {
     *   crossover sits below 1.6M and the default is 1M.
     *   - node set ≤ `broadcastNodes` (the common curation case —
     *     ranks is one row per ENTITY, edges are the big side): ranks
-    *     and contributions broadcast, so an iteration never moves the
-    *     edge list at all — its only shuffle is the partial-aggregated
-    *     contribution rollup. Without this, every iteration
-    *     shuffle-sorts the full edge frame to meet the join's
-    *     distribution (measured 3 exchanges/iteration at sf0.1).
+    *     and contributions broadcast, and the edge cache is re-laid
+    *     out ONCE on hash(dst) — the contribution rollup's group key —
+    *     so an iteration has NO exchange at all: one broadcast-probe +
+    *     rollup stage per iteration. Without the broadcast, every
+    *     iteration shuffle-sorts the full edge frame to meet the
+    *     join's distribution (measured 3 exchanges/iteration at
+    *     sf0.1); without the dst layout, every iteration pays the
+    *     rollup exchange (measured: 5 exchanges + their AQE stage
+    *     jobs across the run).
     *   - larger graphs: edges are hash-partitioned on `src` ONCE at
     *     build (the `repartition` below persists WITH that layout), so
     *     per-iteration joins reuse the exchange and only the tiny
@@ -110,8 +114,24 @@ object GraphOps {
     //     regime's scale, double-caching the edge list is real memory,
     //     and a per-iteration re-attach would be a full shuffle each.
     val iterFrame =
-      if (small) e.join(broadcast(outw), "src")
-      else {
+      if (small) {
+        // re-layout the edge cache on the CONTRIBUTION GROUP key: the
+        // per-iteration join side broadcasts, so the only distribution
+        // requirement left in an iteration is groupBy(dst) — a cache
+        // pinned to hash(dst) satisfies it and the 5 per-iteration
+        // exchanges (and their AQE stage jobs) disappear outright
+        // (guide §2.4: operations keyed the same way share one
+        // exchange). One extra node-bounded-regime edge shuffle at
+        // build, amortized over every iteration; the raw copy is
+        // released once the layout exists (the attach-swap pattern).
+        val byDst = graft.ops.BuildOnce.swapPersist(lastAttached,
+          e.repartition(
+            edges.sparkSession.sessionState.conf.numShufflePartitions,
+            col("dst")))
+        byDst.count()
+        Option(lastEdges.getAndSet(null)).foreach(_.unpersist())
+        byDst.join(broadcast(outw), "src")
+      } else {
         val attached = graft.ops.BuildOnce.swapPersist(lastAttached,
           e.repartition(col("src")).join(outw, "src"))
         attached.count()
@@ -177,8 +197,12 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seedNodes: DataFrame,
       iters: Int, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"iters $iters")
+    // dst-pinned cache for the same reason as [[pageRank]]'s small
+    // regime: PPR is always the broadcast regime (seed-segment graphs
+    // are node-bounded), so groupBy(dst) is each iteration's only
+    // distribution requirement — served by the layout, exchange-free.
     val e = graft.ops.BuildOnce.swapPersist(lastPprEdges,
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+      lpEdgeFrame(edges))
     val outw = graft.ops.BuildOnce.swapPersist(lastPprOutw,
       e.groupBy("src").agg(sum(col("w")).as("ow")))
     val nNodes = outw.count()
@@ -226,8 +250,10 @@ object GraphOps {
 
   /** Bounded caches for the iteration-invariant frames (one live copy
     * each across invocations; superseded copies released on swap).
-    * `lastAttached` is occupied only in the co-partitioned regime
-    * (the broadcast regime fuses the attach into each iteration). */
+    * `lastAttached` holds the iteration layout both regimes derive
+    * from the raw copy (small: the dst-pinned re-layout; large: the
+    * src-pinned out-weight attach); the raw slot is released once it
+    * exists. */
   private val lastEdges =
     graft.ops.BuildOnce.swapRef()
   private val lastNodes =
@@ -273,8 +299,15 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters $iters")
+    // cache pinned to hash(dst): the label side broadcasts, so the
+    // only distribution requirements per round are groupBy(dst,label)
+    // and groupBy(dst) — both satisfied by the dst layout (a hash
+    // partitioning on a subset of the grouping keys satisfies the
+    // clustered distribution), so a round is exchange-free. Callers
+    // sharing this cache must build the IDENTICAL canonical plan
+    // (see lpEdgeFrame).
     val e = graft.ops.BuildOnce.swapPersist(lastLpEdges,
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+      lpEdgeFrame(edges))
     // sources define the node set (bidirectional callers have no
     // dangling nodes — the pageRank convention); initial label = self
     var labels = e.select(col("src").as("node")).distinct()
@@ -297,6 +330,17 @@ object GraphOps {
 
   private val lastLpEdges =
     graft.ops.BuildOnce.swapRef()
+
+  /** The canonical cached-edge plan [[labelPropagation]] builds —
+    * public to consumers that re-read the edge list (q_modularity)
+    * so their plan canonicalizes to the SAME CacheManager entry;
+    * a differently-shaped re-read would re-execute the caller's
+    * whole edge-building subtree instead of hitting the cache. */
+  def lpEdgeFrame(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("dst"))
 
   /** HITS hubs/authorities in EXACT fixed-point integers —
     * Kleinberg's mutual-reinforcement power iteration (a(v) =
@@ -327,13 +371,18 @@ object GraphOps {
     * per graph; the [[pageRank]] bound discussion applies).
     *
     * Scale shape: two regimes, gated like [[pageRank]] on the node
-    * count. Small (entity-bounded node sets — the curation case): the
-    * score frames broadcast, the cached edge list never moves; each
-    * half-round is one broadcast probe, one partial-agg'd rollup, and
-    * one 1-row global max crossed back in. Large: the edge list pins
-    * TWO hash layouts (by src and by dst — the iteration alternates
-    * join keys, so a single layout would re-shuffle the edges every
-    * half-round) and only the node-sized score frames move per join.
+    * count; BOTH pin the same two edge hash layouts (by src and by
+    * dst — the iteration alternates keys, so a single layout would
+    * re-shuffle the edges every half-round) and the raw edge frame is
+    * never cached. Small (entity-bounded node sets — the curation
+    * case): the score frames broadcast and each layout serves its
+    * half-round's GROUP key, so a half-round is one exchange-free
+    * broadcast-probe + rollup stage and the L∞ max rides a
+    * single-partition window over the node-bounded scores — the whole
+    * run is ONE declarative plan with one nested broadcast build per
+    * half-round. Large: each layout serves its half-round's JOIN key,
+    * only the node-sized score frames move per join, and each
+    * half-round is lineage-cut (see rescale).
     *
     * Concurrency contract: SINGLE CALLER, like every BuildOnce-backed
     * operator in this module — the per-half-round lineage cuts rotate
@@ -351,26 +400,32 @@ object GraphOps {
       broadcastNodes: Long = 1000000L): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= HitsMaxRounds,
       s"rounds $rounds (cache slots sized for <= $HitsMaxRounds)")
-    val e = graft.ops.BuildOnce.swapPersist(lastHitsEdges,
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
-    // the ONE eager action of the build: materializes the edge cache
-    // and measures the hub-side node count for the regime gate
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val sel = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    // BOTH regimes pin the same two hash layouts, so the raw edge
+    // frame is never cached at all (one fewer copy and one fewer
+    // build action than the previous raw+distinct+two-layouts shape).
+    // byDst materializes via the regime-gate count; the explicit
+    // partition count keeps AQE from advisory-coalescing the layout
+    // (a cache coalesced to one task would serialize every
+    // half-round's scan).
+    val byDst = graft.ops.BuildOnce.swapPersist(lastHitsByDst,
+      sel.repartition(nShuffle, col("dst")))
     val small =
-      e.select(col("src")).distinct().count() <= broadcastNodes
-    val (eSrc, eDst) =
-      if (small) (e, e)
-      else {
-        val bySrc = graft.ops.BuildOnce.swapPersist(lastHitsBySrc,
-          e.repartition(col("src")))
-        val byDst = graft.ops.BuildOnce.swapPersist(lastHitsByDst,
-          e.repartition(col("dst")))
-        bySrc.count(); byDst.count()
-        // both pinned layouts exist now — release the raw copy (at
-        // this regime's scale, triple-caching the edge list is real
-        // memory; the pageRank attach does the same swap)
-        Option(lastHitsEdges.getAndSet(null)).foreach(_.unpersist())
-        (bySrc, byDst)
-      }
+      byDst.select(col("src")).distinct().count() <= broadcastNodes
+    val bySrc = graft.ops.BuildOnce.swapPersist(lastHitsBySrc,
+      byDst.repartition(nShuffle, col("src")))
+    bySrc.count()
+    // eA drives the a-step (join hubs ON src, group BY dst), eH the
+    // h-step (join authorities ON dst, group BY src). Small regime:
+    // the score side BROADCASTS, so each step's only distribution
+    // requirement is its GROUP key — serving that key from the cache
+    // layout deletes the per-half-round exchange (guide §2.4). Large
+    // regime: the score side SHUFFLES, so each layout serves its
+    // step's JOIN key (the previous shape; the agg exchange is the
+    // iteration's one shuffle).
+    val (eA, eH) =
+      if (small) (byDst, bySrc) else (bySrc, byDst)
     // x·scale div max(x), max crossed in as a broadcast 1-row frame;
     // DECIMAL(38,0) widening makes the product wrap-proof (see bound).
     // The pre-rescale frame is LINEAGE-CUT (eager localCheckpoint,
@@ -385,30 +440,46 @@ object GraphOps {
     // per-round pattern. Slots release the previous invocation's
     // blocks via the LogicalRDD reach-through in releaseFrame.
     var slot = 0
-    def rescale(raw0: DataFrame, c: String): DataFrame = {
-      val raw = raw0.localCheckpoint(true)
-      Option(hitsSlots(slot).getAndSet(raw))
-        .foreach(graft.ops.BuildOnce.releaseFrame(_))
-      slot += 1
-      val m = raw.agg(max(col(c)).as("mx"))
-      raw.crossJoin(broadcast(m))
-        .select(col("node"),
-          expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
-    }
-    var h = eSrc.select(col("src").as("hn")).distinct()
+    def rescale(raw0: DataFrame, c: String): DataFrame =
+      if (small) {
+        // node-bounded regime (≤ broadcastNodes rows by the gate): the
+        // L∞ max rides a single-partition window instead of the
+        // checkpoint + max-agg + crossJoin — the pre-rescale frame is
+        // then referenced ONCE, so the plan stays a LINEAR chain (the
+        // eager checkpoint existed to stop the double-reference
+        // exponential blowup documented below) and the whole run fuses
+        // into one declarative plan: no per-half-round checkpoint/max
+        // jobs, just one nested broadcast build per half-round. The
+        // single-partition window is the bounded registry-frame class
+        // (the QuantileSketch.levelMeta contract), never data-sized.
+        raw0.withColumn("mx", max(col(c)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("node"),
+            expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
+      } else {
+        val raw = raw0.localCheckpoint(true)
+        Option(hitsSlots(slot).getAndSet(raw))
+          .foreach(graft.ops.BuildOnce.releaseFrame(_))
+        slot += 1
+        val m = raw.agg(max(col(c)).as("mx"))
+        raw.crossJoin(broadcast(m))
+          .select(col("node"),
+            expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
+      }
+    var h = eA.select(col("src").as("hn")).distinct()
       .withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       val hSide = if (small) broadcast(h) else h
       a = rescale(
-        eSrc.join(hSide, col("src") === col("hn"))
+        eA.join(hSide, col("src") === col("hn"))
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("h * w")).as("a")), "a")
         .withColumnRenamed("node", "an")
         .withColumnRenamed("a", "a_")
       val aSide = if (small) broadcast(a) else a
       h = rescale(
-        eDst.join(aSide, col("dst") === col("an"))
+        eH.join(aSide, col("dst") === col("an"))
           .groupBy(col("src").as("node"))
           .agg(sum(expr("a_ * w")).as("h")), "h")
         .withColumnRenamed("node", "hn")
@@ -417,8 +488,6 @@ object GraphOps {
       a.select(col("an").as("node"), col("a_").as("a")))
   }
 
-  private val lastHitsEdges =
-    graft.ops.BuildOnce.swapRef()
   private val lastHitsBySrc =
     graft.ops.BuildOnce.swapRef()
   private val lastHitsByDst =
@@ -600,8 +669,15 @@ object GraphQueries extends QueryModule {
       dir: String): DataFrame = {
     val orders = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
+    // widen the 2-column lineitem projection before the join probe: a
+    // single-row-group file scans as ONE task, serializing the 600k
+    // broadcast-probe + partial-agg map side (ops/Parallelism; the
+    // exchange moves 2 pruned longs per row and is an identity on a
+    // healthily-split scan)
+    val li = graft.ops.Parallelism.widen(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+      col("l_orderkey"))
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("o_custkey"), col("l_suppkey"))
@@ -831,8 +907,8 @@ object GraphQueries extends QueryModule {
       fn = (spark, dir) => {
         val edges = orderGraphEdges(spark, dir)
         val labels = GraphOps.labelPropagation(edges, iters = 3)
-        val e = edges.select(col("src"), col("dst"),
-          col("w").cast("long").as("w"))
+        // the canonical lp edge plan — hits labelPropagation's cache
+        val e = GraphOps.lpEdgeFrame(edges)
         val lSrc = labels.select(col("node").as("src"),
           col("label").as("l_src"))
         val lDst = labels.select(col("node").as("dst"),

@@ -123,7 +123,25 @@ object TableStats {
       val n = rows.map(_.getAs[Long]("n_rows")).max
       (n, rows.map(x => x.getAs[String]("column") -> x.getAs[Long]("ndv")).toMap)
     }
-    val m = rels.map(r => r.name -> measured(r)).toMap
+    // the per-relation ANALYZE jobs are independent — submit them
+    // concurrently so the small stats scans back-fill each other's
+    // stragglers instead of running strictly one after another (the
+    // optimization guide's overlap-independent-jobs pattern; Spark's
+    // scheduler runs concurrent actions fine, and a bounded pool keeps
+    // this from flooding the scheduler on a wide relation list)
+    val m: Map[String, (Long, Map[String, Long])] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(rels.size, 4))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futures = rels.map(r =>
+          r.name -> scala.concurrent.Future(measured(r))(ec))
+        futures.map { case (n, f) =>
+          n -> scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)
+        }.toMap
+      } finally pool.shutdown()
+    }
 
     // Selinger containment estimate for joining a composite (estRows,
     // ndvs) with relation `b` over `keys`; every key pair divides

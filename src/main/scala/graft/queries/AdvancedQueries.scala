@@ -27,7 +27,15 @@ object AdvancedQueries extends QueryModule {
   private def sketchRowsOf(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     graft.ops.BuildOnce.swapPersist(lastSketchRows,
-      Tables(spark, dir, "lineitem").select(
+      // widen between the 3-column projection and the md5 derivation:
+      // a single-row-group lineitem file scans as ONE task, which
+      // serialized the hash pass AND pinned the cache (every
+      // downstream pass) to width 1; the gate is an identity once the
+      // scan yields ≥ session-parallelism splits (ops/Parallelism)
+      graft.ops.Parallelism.widen(
+        Tables(spark, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        col("l_orderkey")).select(
         round(col("l_extendedprice") * 100).cast("long").as("v"),
         graft.ops.QuantileSketch.hash60(
           concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h")))
@@ -1417,8 +1425,14 @@ object AdvancedQueries extends QueryModule {
         import graft.ops.TableStats.{JoinEdge, Rel}
         def rel(n: String, df: org.apache.spark.sql.DataFrame) =
           Rel(n, df, graft.ops.TableStats.collect(df))
-        val li = Tables(spark, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_quantity")
+        // widen the fact projection: the stats pass AND the final
+        // broadcast-probe + md5 + rollup all plan into the lineitem
+        // scan stage, which is ONE task on a single-row-group file
+        // (ops/Parallelism; identity on a healthily-split scan)
+        val li = graft.ops.Parallelism.widen(
+          Tables(spark, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity"),
+          col("l_orderkey"))
         val ord = Tables(spark, dir, "orders")
           .select("o_orderkey", "o_custkey")
         val cust = Tables(spark, dir, "customer")

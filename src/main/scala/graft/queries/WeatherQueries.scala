@@ -14,7 +14,15 @@ import graft.pipeline.{Observations, StarSchema, WeatherEtl}
 object WeatherQueries extends QueryModule {
 
   private def obs(spark: SparkSession, dir: String): DataFrame =
-    Observations.fromEvents(Tables(spark, dir, "events"))
+    // widen the 4-column projection before the observation derivation:
+    // the events fixture is a single-row-group file (one scan task),
+    // and q_weather_star re-runs the string-heavy enrich pipeline five
+    // times (fact + 4 dims) over this frame — serial without the floor
+    // (ops/Parallelism; identity once the scan splits ≥ session width)
+    Observations.fromEvents(graft.ops.Parallelism.widen(
+      Tables(spark, dir, "events")
+        .select("event_id", "user_id", "ts", "value"),
+      col("event_id")))
 
   /** DuckDB CTE: obs + the full datetime/metric enrichment, mirroring
     * [[WeatherEtl.enrich]] expression-by-expression. */
