@@ -120,14 +120,20 @@ object DedupFunctions {
     * copy of every 5th doc with the first whitespace token dropped.
     * Gives the dedup operators true positives to find at any SF. */
   def withPlantedNearDups(docs: DataFrame): DataFrame = {
-    val perturbed = docs
+    // widen HERE (the one helper every near-dup query funnels its
+    // corpus through) so all consumers' shingle/minhash kernels run
+    // at session width instead of the single-row-group scan's one
+    // task, and their sig-cache plans keep canonicalizing identically
+    // (ops/Parallelism; identity at scale)
+    val wide = graft.ops.Parallelism.widen(docs, col("doc_id"))
+    val perturbed = wide
       .filter(col("doc_id") % 5 === 0)
       .select(
         (col("doc_id") + 1000000).as("doc_id"),
         // explicit RE2-safe classes (Java \S/\s differ on 0x0B)
         regexp_replace(col("text"), "^[^ \\t\\n\\f\\r]+[ \\t\\n\\f\\r]+", "").as("text"),
         col("lang"), col("source"), col("n_chars"))
-    docs.unionByName(perturbed)
+    wide.unionByName(perturbed)
   }
 
   private[ext] val lastSigs =

@@ -411,8 +411,13 @@ object GraphOps {
     // half-round's scan).
     val byDst = graft.ops.BuildOnce.swapPersist(lastHitsByDst,
       sel.repartition(nShuffle, col("dst")))
-    val small =
-      byDst.select(col("src")).distinct().count() <= broadcastNodes
+    // approximate regime gate (HLL, ±2%): a broadcast-vs-copartition
+    // threshold needs only the magnitude, and the approx aggregate
+    // folds into the layout-materializing pass map-side — the exact
+    // distinct paid a second exchange here. Both regimes are
+    // spec-pinned result-equal, so a borderline flip is cost-only.
+    val small = byDst.agg(approx_count_distinct(col("src")).as("n"))
+      .head().getLong(0) <= broadcastNodes
     val bySrc = graft.ops.BuildOnce.swapPersist(lastHitsBySrc,
       byDst.repartition(nShuffle, col("src")))
     bySrc.count()
@@ -466,7 +471,10 @@ object GraphOps {
           .select(col("node"),
             expr(s"cast($c as decimal(38,0)) * $scale div mx").as(c))
       }
-    var h = eA.select(col("src").as("hn")).distinct()
+    // initial hubs from the SRC-pinned layout: hash(src) satisfies the
+    // distinct's clustering, so h₀ plans without an exchange in both
+    // regimes (eA is the dst layout in the small regime)
+    var h = bySrc.select(col("src").as("hn")).distinct()
       .withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {

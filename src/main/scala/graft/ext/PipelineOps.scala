@@ -1114,7 +1114,11 @@ object PipelineQueries extends QueryModule {
     // stage already pays — the funnel adds none.
     "q_curation_funnel" -> QueryDef(
       fn = (spark, dir) => {
-        val all = Tables(spark, dir, "documents")
+        // widen once for all three text-heavy passes (score flags,
+        // shingles, decontamination grams): the corpus fixture scans
+        // as ONE task (ops/Parallelism; identity at scale)
+        val all = graft.ops.Parallelism.widen(
+          Tables(spark, dir, "documents"), col("doc_id"))
         val eval = all.filter(col("doc_id") < 10)
         val docs = all.filter(col("doc_id") >= 10)
         // flag inputs, text dropped before the persist (the cache

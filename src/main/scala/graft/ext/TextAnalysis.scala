@@ -222,7 +222,13 @@ object TextFunctions {
     * shuffled. */
   def bm25Scored(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
-    val base0 = Tables(spark, dir, "documents")
+    // widen before the tokenize: the corpus fixture is a single-row-
+    // group file (one scan task) and BOTH consumers of `base` (the
+    // stats aggregate and the final scoring pass) plan the tokenizer
+    // into that scan stage (ops/Parallelism; identity at scale)
+    val base0 = graft.ops.Parallelism.widen(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"),
         filter(wsTokens(col("text")), t => t =!= "").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -364,7 +370,12 @@ object TextQueries extends QueryModule {
         // read by the global count, the anti-join probe AND the
         // per-doc denominator => persist, swap-released
         val bg = graft.ops.BuildOnce.swapPersist(lastBigrams,
-          Tables(spark, dir, "documents")
+          // widen before the tokenize+explode (single-row-group scan;
+          // the persisted bigram stream inherits the width for every
+          // downstream pass — ops/Parallelism, identity at scale)
+          graft.ops.Parallelism.widen(
+            Tables(spark, dir, "documents")
+              .select(col("doc_id"), col("text")), col("doc_id"))
             .select(col("doc_id"), toks.as("t"))
             .filter(size(col("t")) >= 2)
             .select(col("doc_id"), explode(zip_with(
@@ -437,7 +448,12 @@ object TextQueries extends QueryModule {
         // read by the LM counts AND the scoring join => persist once
         // (swap-released, same bounded slot as q_bigram_oov's stream)
         val bg = graft.ops.BuildOnce.swapPersist(lastBigrams,
-          Tables(spark, dir, "documents")
+          // widen before the tokenize+explode (single-row-group scan;
+          // the persisted bigram stream inherits the width for every
+          // downstream pass — ops/Parallelism, identity at scale)
+          graft.ops.Parallelism.widen(
+            Tables(spark, dir, "documents")
+              .select(col("doc_id"), col("text")), col("doc_id"))
             .select(col("doc_id"), toks.as("t"))
             .filter(size(col("t")) >= 2)
             .select(col("doc_id"), explode(zip_with(
@@ -1353,7 +1369,11 @@ object TextQueries extends QueryModule {
     // model definition), so the oracle replays it bit-for-bit.
     "q_ecdf_quality" -> QueryDef(
       fn = (spark, dir) => {
-        val scored = Tables(spark, dir, "documents")
+        // widen before the per-token md5 scoring pass (single-row-
+        // group scan — ops/Parallelism, identity at scale)
+        val scored = graft.ops.Parallelism.widen(
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), classifierScore.as("score"))
         graft.ops.ExactRank.rankAll(scored,
           Seq(col("score"), col("doc_id")), rankCol = "srank")
@@ -1495,7 +1515,11 @@ object TextQueries extends QueryModule {
     // per-doc data ever crosses a single-partition boundary.
     "q_roc_auc" -> QueryDef(
       fn = (spark, dir) => {
-        val docs = Tables(spark, dir, "documents")
+        // widen before the per-token md5 scoring + quality pass
+        // (single-row-group scan — ops/Parallelism, identity at scale)
+        val docs = graft.ops.Parallelism.widen(
+          Tables(spark, dir, "documents")
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), classifierScore.as("score"),
             (qualityScore(col("text"), wsTokens(col("text"))) >= 0.5)
               .cast("long").as("label"))

@@ -298,6 +298,32 @@ class GraphSpec extends SparkSpec {
     assert(small === large)
   }
 
+  test("dst-pinned edge cache satisfies the iteration rollup (no exchange)") {
+    // r10 optimization contract: the broadcast regimes re-lay the
+    // cached edge frame out on the iteration's GROUP key, so the
+    // per-iteration aggregation — including the ALIASED grouping the
+    // operators use, groupBy(dst AS node) — must plan WITHOUT a hash
+    // exchange above the cache (partial+final fuse on the satisfying
+    // partitioning). A regression here silently re-adds one exchange
+    // + AQE stage per pageRank/PPR/labelProp iteration and per HITS
+    // half-round.
+    val e = GraphOps.lpEdgeFrame(Seq(
+      (0L, 1L, 3L), (0L, 3L, 1L), (2L, 1L, 2L), (2L, 5L, 1L),
+      (4L, 1L, 1L), (4L, 3L, 2L), (6L, 5L, 4L)).toDF("src", "dst", "w"))
+      .persist()
+    try {
+      e.count()
+      val agg = e.groupBy(col("dst").as("node")).agg(sum(col("w")).as("s"))
+      val p = agg.queryExecution.executedPlan.toString()
+      // the layer ABOVE the cache must be exchange-free (the cache
+      // build below it legitimately contains the layout repartition)
+      val aboveCache = p.split("InMemoryRelation", 2)(0)
+      assert(!aboveCache.contains("Exchange"),
+        s"rollup over the dst layout pays an exchange:\n$p")
+      assert(aboveCache.contains("HashAggregate"), p)
+    } finally e.unpersist()
+  }
+
   test("q_hits separates roles: hubs are customers, authorities suppliers") {
     val rows = SparkEntry.queries("q_hits")(spark, "/root/testdata/sf0.001")
       .select("kind", "label", "score").as[(String, String, Long)]

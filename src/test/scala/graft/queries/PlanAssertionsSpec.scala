@@ -368,20 +368,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(below.indexOf("Generate explode", agg) > agg, p)
   }
 
-  test("q_hits: per-half-round lineage cuts keep the final plan constant-size") {
+  test("q_hits: small regime fuses to one linear plan over the pinned layouts") {
     val p = plan("q_hits")
-    // the iteration work runs inside the eager per-half-round
-    // checkpoint jobs (the rescale references its input twice, so an
-    // uncut plan doubles per half-round — the driver-side 2^(2·rounds)
-    // planning blowup GraphOps.hits documents); the FINAL plan must
-    // therefore read checkpointed RDDs, and its only joins are the
-    // 1-row broadcast max cross-ins — never a data-sized shuffle join
-    assert(p.contains("Scan ExistingRDD"), p)
+    // small (broadcast) regime since r10: no per-half-round lineage
+    // cuts — the L∞ rescale is a single-partition window (its input
+    // referenced ONCE, so the plan chains LINEARLY in rounds; the old
+    // checkpoint existed to stop the crossJoin double-reference's
+    // 2^(2·rounds) blowup), every half-round reads a pinned cache
+    // layout keyed on its GROUP key, and all joins are broadcast —
+    // never a data-sized shuffle join
+    assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("ShuffledHashJoin"), p)
-    // and the plan is SMALL (a doubling regression is visible as a
-    // plan-string explosion long before it times out)
-    assert(p.length < 20000, s"plan unexpectedly large: ${p.length} chars")
+    // the half-round rollups reuse the cache partitioning (the
+    // exchange-free aggregation is pinned structurally in GraphSpec's
+    // half-round plan test); here pin the fused shape: the rescale
+    // windows are the plan's only single-partition funnels and they
+    // run on node-bounded frames
+    assert(p.contains("Window"), p)
+    // linear in rounds — a double-reference regression explodes this
+    assert(p.length < 200000, s"plan unexpectedly large: ${p.length} chars")
   }
 
   test("q_ab_test: user rollup partially aggregates; output frames are row-bounded") {
