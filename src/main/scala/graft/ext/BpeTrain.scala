@@ -71,11 +71,13 @@ object BpeQueries extends QueryModule {
     if (cached != null && cached._1 == dir) return cached._3
     val wWord = Window.partitionBy("word").orderBy("pos")
 
-    // widen before the word explode (single-row-group corpus scan —
-    // ops/Parallelism, identity at scale)
-    val vocab = graft.ops.Parallelism.widen(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
-      col("doc_id"))
+    // NOT widened, deliberately (r10): the word-count pass feeds a
+    // vocabulary-bounded (Heaps-law) round stream whose windowed
+    // rounds are small by design — a measured A/B showed both the
+    // widen and an explicit stream repartition REGRESSING the bench
+    // (0.95 → 1.45 s at sf0.1): per-stage scheduling overhead on the
+    // tiny per-round frames exceeds the serial work they replace.
+    val vocab = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
@@ -84,14 +86,6 @@ object BpeQueries extends QueryModule {
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("wcnt"), col("pos"),
         expr("substring(word, pos, 1)").as("sym"))
-      // the vocab aggregate's output is byte-tiny, so AQE advisory
-      // sizing coalesces it to ONE post-shuffle partition — and every
-      // round's stack of word-keyed windows then runs single-task.
-      // Pin the per-round stream to the session width on the window
-      // key (explicit count disables the coalescing; every later
-      // round inherits the layout through the window operators)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("word"))
 
     var stream = s0.persist()
     val streams = Seq.newBuilder[DataFrame]

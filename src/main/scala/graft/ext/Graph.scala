@@ -477,7 +477,7 @@ object GraphOps {
     var h = bySrc.select(col("src").as("hn")).distinct()
       .withColumn("h", lit(scale))
     var a: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val hSide = if (small) broadcast(h) else h
       a = rescale(
         eA.join(hSide, col("src") === col("hn"))
@@ -485,6 +485,19 @@ object GraphOps {
           .agg(sum(expr("h * w")).as("a")), "a")
         .withColumnRenamed("node", "an")
         .withColumnRenamed("a", "a_")
+      // the FINAL authorities frame has TWO consumers — the returned
+      // frame and the last hub half-round's join side — and in the
+      // fused small regime both would re-execute the whole nested
+      // chain (measured: ~duplicate job pairs through the run). One
+      // node-bounded persist + count materializes it once; the cache
+      // then serves the subtree inside h's plan too (CacheManager
+      // replaces matching subtrees). Large regime already cuts every
+      // half-round, so nothing to share there.
+      if (small && r == rounds) {
+        val aCached = graft.ops.BuildOnce.swapPersist(lastHitsFinalA, a)
+        aCached.count()
+        a = aCached
+      }
       val aSide = if (small) broadcast(a) else a
       h = rescale(
         eH.join(aSide, col("dst") === col("an"))
@@ -499,6 +512,8 @@ object GraphOps {
   private val lastHitsBySrc =
     graft.ops.BuildOnce.swapRef()
   private val lastHitsByDst =
+    graft.ops.BuildOnce.swapRef()
+  private val lastHitsFinalA =
     graft.ops.BuildOnce.swapRef()
 
   /** One persisted slot per HITS half-round (see rescale); a fixed

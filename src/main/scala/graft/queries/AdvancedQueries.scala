@@ -40,6 +40,25 @@ object AdvancedQueries extends QueryModule {
         graft.ops.QuantileSketch.hash60(
           concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h")))
 
+  /** The ≤k-row sketch frame shared by the two sketch queries —
+    * PERSISTED AND FORCED (r10): the sketch has 3–4 consumers per
+    * query (size rollup, position window, boundary join), and each
+    * re-executed the corpus-sized filter plan; worse, under AQE the
+    * independent consumers raced to build the (v, h) cache
+    * concurrently (measured: 9 simultaneous ~0.22 s stage jobs all
+    * paying the md5 scan). One eager count materializes the (v, h)
+    * cache AND the ≤k sketch in a single clean action; every
+    * consumer then reads ≤k cached rows. Bounded by k, swap-released. */
+  private val lastSketchSk = graft.ops.BuildOnce.swapRef()
+
+  private def sketchOf(spark: SparkSession, dir: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val sk = graft.ops.BuildOnce.swapPersist(lastSketchSk,
+      graft.ops.QuantileSketch.sketchRows(sketchRowsOf(spark, dir), k))
+    sk.count()
+    sk
+  }
+
   /** q_pareto_frontier's supplier aggregate — feeds both the frontier
     * derivation and the output semi-join; swap-released, bounded at
     * one copy across invocations (the Dedup.lastSigs pattern). */
@@ -736,7 +755,7 @@ object AdvancedQueries extends QueryModule {
         import spark.implicits._
         val k = 1024
         val rows = sketchRowsOf(spark, dir)
-        val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
+        val sk = sketchOf(spark, dir, k)
         val mDf = sk.groupBy("lstar", "n").agg(count(lit(1)).as("m"))
         // ≤k-row frame: the single-partition rank window is bounded
         // by the sketch capacity, never by data size
@@ -836,7 +855,7 @@ object AdvancedQueries extends QueryModule {
         val k = 1024
         val nB = 16
         val rows = sketchRowsOf(spark, dir)
-        val sk = graft.ops.QuantileSketch.sketchRows(rows, k)
+        val sk = sketchOf(spark, dir, k)
         val bnds = graft.ops.Histogram.sketchBoundaries(sk, nB)
         // exact per-bucket counts: each row lands in EXACTLY one
         // bucket (lo null = -inf; the last bucket is upper-unbounded)
