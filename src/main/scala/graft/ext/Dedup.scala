@@ -120,20 +120,20 @@ object DedupFunctions {
     * copy of every 5th doc with the first whitespace token dropped.
     * Gives the dedup operators true positives to find at any SF. */
   def withPlantedNearDups(docs: DataFrame): DataFrame = {
-    // widen HERE (the one helper every near-dup query funnels its
-    // corpus through) so all consumers' shingle/minhash kernels run
-    // at session width instead of the single-row-group scan's one
-    // task, and their sig-cache plans keep canonicalizing identically
-    // (ops/Parallelism; identity at scale)
-    val wide = graft.ops.Parallelism.widen(docs, col("doc_id"))
-    val perturbed = wide
+    // NOT widened, deliberately (r10): a measured A/B showed the
+    // parallelism-floor repartition REGRESSING q_neardup_minhash
+    // (0.58 → 0.77 s at sf0.1) — the corpus is referenced by BOTH
+    // union branches, so the widen exchange + extra stages outweigh
+    // the (already sub-second) serial minhash kernel at fixture
+    // scale. At 100 TB the scan splits on its own.
+    val perturbed = docs
       .filter(col("doc_id") % 5 === 0)
       .select(
         (col("doc_id") + 1000000).as("doc_id"),
         // explicit RE2-safe classes (Java \S/\s differ on 0x0B)
         regexp_replace(col("text"), "^[^ \\t\\n\\f\\r]+[ \\t\\n\\f\\r]+", "").as("text"),
         col("lang"), col("source"), col("n_chars"))
-    wide.unionByName(perturbed)
+    docs.unionByName(perturbed)
   }
 
   private[ext] val lastSigs =
